@@ -1,0 +1,97 @@
+"""Device-mesh bootstrap.
+
+TPU-native replacement for the reference's NCCL/Accelerate process-group setup
+(reference: scripts/train_karanta_ocr.sh NCCL env, karanta/training/ocr_training.py:128-207)
+and for vLLM's `--tensor-parallel-size/--data-parallel-size` plumbing
+(reference: karanta/pipeline.py:719-722). All parallelism here is expressed as a
+`jax.sharding.Mesh` over ICI/DCN with named axes; XLA inserts the collectives.
+
+Axis conventions:
+  "data"  — batch / page sharding (DP). Replicated params, sharded activations.
+  "fsdp"  — parameter+optimizer sharding axis (ZeRO-like; reference DeepSpeed
+            ZeRO-2/3 equivalent — ocr_training.py:153-185).
+  "model" — tensor-parallel axis (megatron-style qkv/mlp sharding; reference
+            delegates this to vLLM -tp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+MODEL_AXIS = "model"
+AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, MODEL_AXIS)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Declarative mesh shape. -1 in exactly one field means "absorb the rest"."""
+
+    data: int = -1
+    fsdp: int = 1
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+        dims = [self.data, self.fsdp, self.model]
+        free = [i for i, d in enumerate(dims) if d == -1]
+        if len(free) > 1:
+            raise ValueError(f"At most one mesh axis may be -1, got {dims}")
+        fixed = math.prod(d for d in dims if d != -1)
+        if free:
+            if n_devices % fixed != 0:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fixed axes product {fixed}"
+                )
+            dims[free[0]] = n_devices // fixed
+        if math.prod(dims) != n_devices:
+            raise ValueError(
+                f"Mesh {tuple(dims)} does not cover {n_devices} devices"
+            )
+        return tuple(dims)  # type: ignore[return-value]
+
+
+def create_mesh(
+    config: MeshConfig | None = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = AXIS_NAMES,
+) -> Mesh:
+    """Build a Mesh with axes (data, fsdp, model) over the given devices.
+
+    Device order is the order returned by jax.devices(), which on TPU slices
+    follows the physical torus so that the innermost ("model") axis lands on
+    neighbouring chips — keeping TP collectives on ICI, not DCN.
+    """
+    config = config or MeshConfig()
+    devices = list(devices) if devices is not None else jax.devices()
+    shape = config.resolve(len(devices))
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
+def local_mesh() -> Mesh:
+    """Single-process mesh over all visible devices, data-parallel only."""
+    return create_mesh(MeshConfig(data=-1, fsdp=1, model=1))
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bootstrap (jax.distributed). No-op for single-process runs.
+
+    Replaces the reference's NCCL process-group init
+    (ocr_training.py:135 InitProcessGroupKwargs / accelerate launch).
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
