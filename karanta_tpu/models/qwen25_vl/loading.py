@@ -1,0 +1,164 @@
+"""HF checkpoint conversion: Qwen2.5-VL safetensors/state-dict -> our pytree.
+
+Accepts both the modern transformers layout (model.visual.*,
+model.language_model.*) and the original hub layout (visual.*, model.*).
+The reference obtains weights through vLLM/transformers directly
+(karanta/pipeline.py:916-952 download_model); here we convert once into the
+stacked-layer layout the scan-based decoder expects.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Callable, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from karanta_tpu.models.qwen25_vl.config import VLMConfig
+
+Array = np.ndarray
+
+
+def _normalize_key(key: str) -> str:
+    """Map any known naming scheme onto model.visual.* / model.language_model.*"""
+    if key.startswith("visual."):
+        return "model." + key
+    if key.startswith("model.visual.") or key.startswith("model.language_model."):
+        return key
+    if key == "lm_head.weight":
+        return key
+    if key.startswith("model."):
+        return "model.language_model." + key[len("model."):]
+    return key
+
+
+def _to_np(t) -> Array:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (possibly bf16) without importing torch at module scope
+    try:
+        import torch  # noqa: F401
+        if hasattr(t, "detach"):
+            t = t.detach()
+            if t.dtype == __import__("torch").bfloat16:
+                t = t.float()
+            return t.cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def convert_state_dict(state: Mapping[str, Any], cfg: VLMConfig,
+                       dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Convert an HF state dict (torch tensors or numpy) to our param pytree."""
+    sd = {_normalize_key(k): v for k, v in state.items()}
+
+    def get(key: str) -> Array:
+        return _to_np(sd[key])
+
+    def lin(key: str) -> Array:  # torch Linear weight (out, in) -> (in, out)
+        return get(key).T
+
+    v = cfg.vision
+    t = cfg.text
+    h = v.hidden_size
+
+    def vstack(fn: Callable[[int], Array]) -> jnp.ndarray:
+        return jnp.asarray(np.stack([fn(i) for i in range(v.depth)]), dtype)
+
+    def tstack(fn: Callable[[int], Array]) -> jnp.ndarray:
+        return jnp.asarray(np.stack([fn(i) for i in range(t.num_layers)]), dtype)
+
+    vb = "model.visual.blocks.{}."
+
+    def qkv_w(i: int, part: int) -> Array:
+        w = get(vb.format(i) + "attn.qkv.weight")  # (3h, h)
+        return w[part * h:(part + 1) * h].T
+
+    def qkv_b(i: int, part: int) -> Array:
+        b = get(vb.format(i) + "attn.qkv.bias")
+        return b[part * h:(part + 1) * h]
+
+    visual = {
+        "patch_embed": {
+            # Conv3d weight (out, C, T, P, P) -> (C*T*P*P, out); feature order
+            # (C, T, P, P) matches ops/image_prep.patchify.
+            "kernel": jnp.asarray(
+                get("model.visual.patch_embed.proj.weight")
+                .reshape(h, -1).T, dtype),
+        },
+        "blocks": {
+            "norm1": vstack(lambda i: get(vb.format(i) + "norm1.weight")),
+            "norm2": vstack(lambda i: get(vb.format(i) + "norm2.weight")),
+            "attn": {
+                "wq": vstack(lambda i: qkv_w(i, 0)),
+                "bq": vstack(lambda i: qkv_b(i, 0)),
+                "wk": vstack(lambda i: qkv_w(i, 1)),
+                "bk": vstack(lambda i: qkv_b(i, 1)),
+                "wv": vstack(lambda i: qkv_w(i, 2)),
+                "bv": vstack(lambda i: qkv_b(i, 2)),
+                "wo": vstack(lambda i: lin(vb.format(i) + "attn.proj.weight")),
+                "bo": vstack(lambda i: get(vb.format(i) + "attn.proj.bias")),
+            },
+            "mlp": {
+                "gate": vstack(lambda i: lin(vb.format(i) + "mlp.gate_proj.weight")),
+                "gate_b": vstack(lambda i: get(vb.format(i) + "mlp.gate_proj.bias")),
+                "up": vstack(lambda i: lin(vb.format(i) + "mlp.up_proj.weight")),
+                "up_b": vstack(lambda i: get(vb.format(i) + "mlp.up_proj.bias")),
+                "down": vstack(lambda i: lin(vb.format(i) + "mlp.down_proj.weight")),
+                "down_b": vstack(lambda i: get(vb.format(i) + "mlp.down_proj.bias")),
+            },
+        },
+        "merger": {
+            "ln_q": jnp.asarray(get("model.visual.merger.ln_q.weight"), dtype),
+            "w1": jnp.asarray(lin("model.visual.merger.mlp.0.weight"), dtype),
+            "b1": jnp.asarray(get("model.visual.merger.mlp.0.bias"), dtype),
+            "w2": jnp.asarray(lin("model.visual.merger.mlp.2.weight"), dtype),
+            "b2": jnp.asarray(get("model.visual.merger.mlp.2.bias"), dtype),
+        },
+    }
+
+    tb = "model.language_model.layers.{}."
+    text = {
+        "embed": jnp.asarray(get("model.language_model.embed_tokens.weight"), dtype),
+        "layers": {
+            "ln1": tstack(lambda i: get(tb.format(i) + "input_layernorm.weight")),
+            "ln2": tstack(lambda i: get(tb.format(i) + "post_attention_layernorm.weight")),
+            "attn": {
+                "wq": tstack(lambda i: lin(tb.format(i) + "self_attn.q_proj.weight")),
+                "bq": tstack(lambda i: get(tb.format(i) + "self_attn.q_proj.bias")),
+                "wk": tstack(lambda i: lin(tb.format(i) + "self_attn.k_proj.weight")),
+                "bk": tstack(lambda i: get(tb.format(i) + "self_attn.k_proj.bias")),
+                "wv": tstack(lambda i: lin(tb.format(i) + "self_attn.v_proj.weight")),
+                "bv": tstack(lambda i: get(tb.format(i) + "self_attn.v_proj.bias")),
+                "wo": tstack(lambda i: lin(tb.format(i) + "self_attn.o_proj.weight")),
+            },
+            "mlp": {
+                "gate": tstack(lambda i: lin(tb.format(i) + "mlp.gate_proj.weight")),
+                "up": tstack(lambda i: lin(tb.format(i) + "mlp.up_proj.weight")),
+                "down": tstack(lambda i: lin(tb.format(i) + "mlp.down_proj.weight")),
+            },
+        },
+        "final_norm": jnp.asarray(get("model.language_model.norm.weight"), dtype),
+    }
+    if not t.tie_word_embeddings:
+        text["lm_head"] = jnp.asarray(lin("lm_head.weight"), dtype)
+
+    return {"visual": visual, "text": text}
+
+
+def load_hf_checkpoint(path: str, cfg: VLMConfig, dtype=jnp.bfloat16):
+    """Load all *.safetensors under `path` and convert."""
+    from safetensors import safe_open
+
+    state: Dict[str, Array] = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"No safetensors files under {path}")
+    for file in files:
+        with safe_open(file, framework="np") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    return convert_state_dict(state, cfg, dtype)

@@ -1,0 +1,206 @@
+"""Qwen2.5-VL vision encoder, TPU-native.
+
+Numerics match HF Qwen2_5_VisionTransformerPretrainedModel (checkpoints
+convert directly), but the execution plan is redesigned for XLA/TPU:
+
+  - Window attention is a *batched dense attention* over
+    (n_windows, window_tokens=64, heads, head_dim) — the window dimension is
+    just a batch axis. Padded grids make every window full; validity masks
+    (from the host layout planner, layout.py) hide pad tokens. No varlen
+    cu_seqlens, no argsort/gather on device.
+  - Full-attention layers ([7,15,23,31]) reshape the same buffer to
+    (1, pad_tokens, ...) and run the same flash kernel with the same mask.
+  - The patch-embed Conv3D is a single matmul (the conv is non-overlapping,
+    stride == kernel), which is exactly an MXU-shaped (tokens × 1176 × hidden)
+    GEMM.
+  - Layers run under lax.scan with stacked params; the window/full choice per
+    layer is a static python branch resolved at trace time (fullatt_block_indexes
+    is static), so XLA compiles each layer body once.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from karanta_tpu.models.qwen25_vl.config import VisionConfig
+from karanta_tpu.models.qwen25_vl.layout import VisionLayout
+from karanta_tpu.ops.attention import attention
+from karanta_tpu.ops.norms import rms_norm
+from karanta_tpu.ops.rotary import apply_rope, vision_rope_cos_sin
+
+Params = Any
+
+
+def init_vision_params(cfg: VisionConfig, key: jax.Array,
+                       dtype=jnp.bfloat16) -> Params:
+    """Random init (tests / from-scratch training)."""
+    h, d, inter = cfg.hidden_size, cfg.depth, cfg.intermediate_size
+    merged = h * cfg.merge_unit
+    keys = iter(jax.random.split(key, 24))
+
+    def dense(k, shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[0]))
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "patch_embed": {"kernel": dense(next(keys), (cfg.patch_input_dim, h))},
+        "blocks": {
+            "norm1": jnp.ones((d, h), dtype),
+            "norm2": jnp.ones((d, h), dtype),
+            "attn": {
+                "wq": dense(next(keys), (h, h))[None].repeat(d, 0),
+                "bq": jnp.zeros((d, h), dtype),
+                "wk": dense(next(keys), (h, h))[None].repeat(d, 0),
+                "bk": jnp.zeros((d, h), dtype),
+                "wv": dense(next(keys), (h, h))[None].repeat(d, 0),
+                "bv": jnp.zeros((d, h), dtype),
+                "wo": dense(next(keys), (h, h))[None].repeat(d, 0),
+                "bo": jnp.zeros((d, h), dtype),
+            },
+            "mlp": {
+                "gate": dense(next(keys), (h, inter))[None].repeat(d, 0),
+                "gate_b": jnp.zeros((d, inter), dtype),
+                "up": dense(next(keys), (h, inter))[None].repeat(d, 0),
+                "up_b": jnp.zeros((d, inter), dtype),
+                "down": dense(next(keys), (inter, h))[None].repeat(d, 0),
+                "down_b": jnp.zeros((d, h), dtype),
+            },
+        },
+        "merger": {
+            "ln_q": jnp.ones((h,), dtype),
+            "w1": dense(next(keys), (merged, merged)),
+            "b1": jnp.zeros((merged,), dtype),
+            "w2": dense(next(keys), (merged, cfg.out_hidden_size)),
+            "b2": jnp.zeros((cfg.out_hidden_size,), dtype),
+        },
+    }
+
+
+def vision_param_axes(cfg: VisionConfig) -> Params:
+    """Logical sharding axes matching init_vision_params structure."""
+    return {
+        "patch_embed": {"kernel": ("patch", "vit_embed")},
+        "blocks": {
+            "norm1": ("layers", "vit_embed"),
+            "norm2": ("layers", "vit_embed"),
+            "attn": {
+                "wq": ("layers", "vit_embed", "vit_heads"),
+                "bq": ("layers", "vit_heads"),
+                "wk": ("layers", "vit_embed", "vit_heads"),
+                "bk": ("layers", "vit_heads"),
+                "wv": ("layers", "vit_embed", "vit_heads"),
+                "bv": ("layers", "vit_heads"),
+                "wo": ("layers", "vit_heads", "vit_embed"),
+                "bo": ("layers", "vit_embed"),
+            },
+            "mlp": {
+                "gate": ("layers", "vit_embed", "vit_mlp"),
+                "gate_b": ("layers", "vit_mlp"),
+                "up": ("layers", "vit_embed", "vit_mlp"),
+                "up_b": ("layers", "vit_mlp"),
+                "down": ("layers", "vit_mlp", "vit_embed"),
+                "down_b": ("layers", "vit_embed"),
+            },
+        },
+        "merger": {
+            "ln_q": ("vit_embed",),
+            "w1": ("vit_embed", "vit_mlp"),
+            "b1": ("vit_mlp",),
+            "w2": ("vit_embed", "vit_mlp"),
+            "b2": ("vit_mlp",),
+        },
+    }
+
+
+def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
+                full: bool):
+    """x: (pad_tokens, hidden) window-ordered. Returns attention output."""
+    tokens, h = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    q = x @ p["wq"] + p["bq"]
+    k = x @ p["wk"] + p["bk"]
+    v = x @ p["wv"] + p["bv"]
+
+    if full:
+        shape = (1, tokens, nh, hd)
+        mask = valid[None, :]
+    else:
+        tw = cfg.window_patches ** 2
+        shape = (n_windows, tw, nh, hd)
+        mask = valid.reshape(n_windows, tw)
+
+    q = q.reshape(shape)
+    k = k.reshape(shape)
+    v = v.reshape(shape)
+    cs = cos.reshape(shape[0], shape[1], hd)
+    sn = sin.reshape(shape[0], shape[1], hd)
+    q, k = apply_rope(q, k, cs, sn)
+    out = attention(q, k, v, kv_mask=mask, causal=False)
+    out = out.reshape(tokens, nh * hd)
+    return out @ p["wo"] + p["bo"]
+
+
+def _mlp(x, p):
+    gate = jax.nn.silu(x @ p["gate"] + p["gate_b"])
+    up = x @ p["up"] + p["up_b"]
+    return (gate * up) @ p["down"] + p["down_b"]
+
+
+def encode_image(params: Params, cfg: VisionConfig,
+                 pixel_values: jnp.ndarray,  # (pad_tokens, patch_input_dim)
+                 perm: jnp.ndarray,          # (pad_tokens,) int32
+                 valid: jnp.ndarray,         # (pad_tokens,) float32
+                 pos_hw: jnp.ndarray,        # (pad_tokens, 2) int32
+                 n_windows: int) -> jnp.ndarray:
+    """Encode one (padded) image. Returns (pad_merged, out_hidden) in
+    window-merged order; callers select real tokens via layout.extract."""
+    x = pixel_values @ params["patch_embed"]["kernel"]
+    x = jnp.take(x, perm, axis=0)  # patchify order -> window order
+
+    cos, sin = vision_rope_cos_sin(pos_hw, cfg.head_dim, cfg.rope_theta)
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+
+    blocks = params["blocks"]
+    full_flags = tuple(i in cfg.fullatt_block_indexes for i in range(cfg.depth))
+
+    # Static per-layer branch: group consecutive layers sharing the same
+    # window/full mode and scan each group (fullatt_block_indexes is static).
+    def make_body(full: bool):
+        def body(carry, layer_params):
+            y = carry
+            attn_out = _attn_block(
+                rms_norm(y, layer_params["norm1"], cfg.rms_norm_eps),
+                layer_params["attn"], cos, sin, valid, n_windows, cfg, full)
+            y = y + attn_out
+            y = y + _mlp(rms_norm(y, layer_params["norm2"], cfg.rms_norm_eps),
+                         layer_params["mlp"])
+            return y, None
+        return body
+
+    idx = 0
+    while idx < cfg.depth:
+        mode = full_flags[idx]
+        end = idx
+        while end < cfg.depth and full_flags[end] == mode:
+            end += 1
+        group = jax.tree.map(lambda a: a[idx:end], blocks)
+        x, _ = jax.lax.scan(make_body(mode), x, group)
+        idx = end
+
+    # merger: RMSNorm per token, merge 2x2 units, 2-layer GELU MLP
+    m = params["merger"]
+    x = rms_norm(x, m["ln_q"], cfg.rms_norm_eps)
+    x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
+    x = jax.nn.gelu(x @ m["w1"] + m["b1"], approximate=False)
+    return x @ m["w2"] + m["b2"]
+
+
+def extract_image_tokens(encoded: jnp.ndarray, layout: VisionLayout) -> jnp.ndarray:
+    """(pad_merged, out) window order -> (num_merged, out) original order."""
+    return jnp.take(encoded, jnp.asarray(layout.extract), axis=0)

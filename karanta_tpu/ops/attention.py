@@ -1,0 +1,225 @@
+"""Attention ops: Pallas TPU flash attention + jnp reference path.
+
+This is the hot op of both the VLM decoder prefill and the vision encoder
+(reference delegates it to flash-attention-2 inside vLLM / torch —
+karanta/training/ocr_training.py:353-355, vLLM engine at pipeline.py:707-742).
+
+Design notes (TPU):
+  - Online-softmax flash attention tiled (block_q × block_k); grid
+    (batch, q_heads, q_blocks, kv_blocks) with the kv axis innermost so the
+    f32 accumulator lives in VMEM scratch across kv steps.
+  - GQA is handled in the k/v index_map (kv_head = q_head // group) — no
+    repeat_kv materialization, so HBM traffic for k/v is 1/group of the naive
+    path.
+  - Padding is masked via an optional float kv_mask (1 = valid); causal
+    masking is positional. Fully-masked causal kv blocks are predicated off
+    (compute skipped; the MXU never sees them).
+  - All matmuls accumulate in float32 via preferred_element_type.
+
+Public convention: q (B, Sq, H, D), k/v (B, Sk, KVH, D) — "BSHD".
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _use_pallas() -> bool:
+    force = os.environ.get("KARANTA_ATTENTION", "")
+    if force == "pallas":
+        return True
+    if force == "reference":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dense attention in plain jnp. Shapes: q (B,Sq,H,D), k/v (B,Sk,KVH,D)."""
+    b, sq, h, d = q.shape
+    _, sk, kvh, _ = k.shape
+    group = h // kvh
+    scale = d ** -0.5 if scale is None else scale
+    if group > 1:
+        k = jnp.repeat(k, group, axis=2)
+        v = jnp.repeat(v, group, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * scale
+    if causal:
+        qpos = jnp.arange(sq)[:, None]
+        kpos = jnp.arange(sk)[None, :]
+        s = jnp.where((qpos >= kpos)[None, None], s, NEG_INF)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :] > 0, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *,
+                  scale: float, causal: bool, block_q: int, block_k: int,
+                  has_mask: bool):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    def body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        if has_mask:
+            s = jnp.where(mask_ref[0][None, :] > 0, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:, 0:1] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+
+    if causal:
+        # Skip kv blocks entirely above the causal diagonal for this q block.
+        @pl.when(k_start < q_start + block_q)
+        def _():
+            body()
+    else:
+        body()
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = l_ref[:, 0:1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas flash attention. q (B,Sq,H,D), k/v (B,Sk,KVH,D), kv_mask (B,Sk)."""
+    b, sq, h, d = q.shape
+    _, sk, kvh, _ = k.shape
+    assert h % kvh == 0, (h, kvh)
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+
+    block_q = min(block_q, max(_round_up(sq, 128), 128))
+    block_k = min(block_k, max(_round_up(sk, 128), 128))
+
+    sq_p, sk_p = _round_up(sq, block_q), _round_up(sk, block_k)
+    has_mask = kv_mask is not None or sk_p != sk
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), dtype=jnp.float32)
+    kv_mask = _pad_to(kv_mask.astype(jnp.float32), 1, block_k, 0.0)
+
+    # BSHD -> BHSD for contiguous per-head blocks.
+    qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, block_q)
+    kt = _pad_to(jnp.swapaxes(k, 1, 2), 2, block_k)
+    vt = _pad_to(jnp.swapaxes(v, 1, 2), 2, block_k)
+
+    grid = (b, h, sq_p // block_q, sk_p // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, has_mask=has_mask),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qi, ki: (bb, hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bb, hh, qi, ki, g=group: (bb, hh // g, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bb, hh, qi, ki, g=group: (bb, hh // g, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda bb, hh, qi, ki: (bb, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bb, hh, qi, ki: (bb, hh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qt, kt, vt, kv_mask)
+
+    return jnp.swapaxes(out[:, :, :sq], 1, 2)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere (tests)."""
+    if _use_pallas():
+        return flash_attention(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale)
+    return mha_reference(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale)
