@@ -1,0 +1,150 @@
+"""End-to-end OCR throughput benchmark (driver contract).
+
+Measures pages/sec/chip through the full serving path on the flagship
+Qwen2.5-VL-3B-architecture OCR model (the reference's fine-tune base,
+configs/training/ocr/karanta_set_qwen_2_5_3B_vl.yaml): page image ->
+device preprocessing -> vision encoder -> multimodal prefill -> batched
+decode of a fixed completion budget, on the engine's continuous-batching
+slots. Weights are random (no network egress in this environment); decode
+cost is weight-value independent, so throughput is representative.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the comparison
+envelope is A100 + vLLM with a 7B-class OCR VLM, for which olmOCR-class
+pipelines report ~1 page/sec/GPU at comparable render/output budgets. We use
+1.0 pages/sec/chip as the baseline constant. The driver north star is >=3x.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_page_png(height: int = 1288, width: int = 994) -> str:
+    """Synthetic page: text-like high-frequency content at pipeline render dims
+    (1288 px longest side — reference pipeline.py:1170-1175)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    page = np.full((height, width), 235, np.uint8)
+    # rows of dark "text" lines
+    for y in range(60, height - 60, 22):
+        line = rng.integers(0, 2, size=(12, width - 120)) * rng.integers(
+            100, 200, size=(12, width - 120))
+        page[y:y + 12, 60:width - 60] = np.minimum(
+            page[y:y + 12, 60:width - 60], 255 - line).astype(np.uint8)
+    img = Image.fromarray(np.stack([page] * 3, axis=-1))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default=os.environ.get(
+        "KARANTA_BENCH_PRESET", "qwen2.5-vl-3b"))
+    parser.add_argument("--pages", type=int, default=16)
+    parser.add_argument("--decode-tokens", type=int, default=512,
+                        help="fixed completion budget per page")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--baseline", type=float, default=1.0,
+                        help="baseline pages/sec/chip (A100+vLLM 7B class)")
+    args = parser.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu" or \
+            os.environ.get("KARANTA_BENCH_PLATFORM", "") == "cpu":
+        # the container sitecustomize pins the TPU platform; honor an explicit
+        # CPU request for local smoke runs
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
+    from karanta_tpu.inference.tokenizer import ByteTokenizer
+    from karanta_tpu.models.qwen25_vl.config import get_config
+    from karanta_tpu.models.qwen25_vl.model import init_params
+
+    cfg = get_config(args.preset)
+
+    class NoStopTokenizer(ByteTokenizer):
+        """Fixed-length decode: eos never fires, workload is deterministic."""
+
+        def __init__(self):
+            super().__init__()
+            self.eos_token_id = -1
+
+    tok = NoStopTokenizer()
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+
+    ecfg = EngineConfig(
+        max_batch_size=args.batch,
+        max_seq_len=4096,
+        decode_chunk=64,
+        prefill_buckets=(2048, 4096),
+        image_token_buckets=(2048,),
+        dtype=dtype,
+    )
+    engine = Engine(params, cfg, tok, ecfg)
+
+    page_b64 = make_page_png()
+    messages = [{
+        "role": "user",
+        "content": [
+            {"type": "text",
+             "text": "Return the plain text representation of this document"
+                     " as if you were reading it naturally.\n"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{page_b64}"}},
+        ],
+    }]
+
+    def run(n_pages: int):
+        reqs = [GenRequest(messages=messages, max_tokens=args.decode_tokens,
+                           temperature=1.0, request_id=f"page-{i}")
+                for i in range(n_pages)]
+        start = time.time()
+        results = engine.generate(reqs)
+        elapsed = time.time() - start
+        return results, elapsed
+
+    # warmup: trigger all compilations (vision bucket, prefill bucket, decode)
+    run(max(2, args.batch // 2))
+
+    results, elapsed = run(args.pages)
+    total_completion = sum(r.completion_tokens for r in results)
+    pages_per_sec = args.pages / elapsed
+
+    n_chips = max(jax.device_count(), 1)
+    value = pages_per_sec / n_chips
+    print(json.dumps({
+        "metric": "pages_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": "pages/s/chip",
+        "vs_baseline": round(value / args.baseline, 4),
+        "detail": {
+            "preset": cfg.name,
+            "pages": args.pages,
+            "decode_tokens_per_page": args.decode_tokens,
+            "total_completion_tokens": total_completion,
+            "elapsed_s": round(elapsed, 3),
+            "decode_tokens_per_sec": round(total_completion / elapsed, 1),
+            "backend": jax.default_backend(),
+            "chips": n_chips,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,379 @@
+"""TPU serving engine: bucketed multimodal prefill + slot-based batched decode.
+
+Replaces the reference's vLLM subprocess engine (karanta/pipeline.py:707-742,
+scripts/start_*_vllm_servers.sh) with a JAX-native design:
+
+  - Static shapes everywhere: prompt lengths, image grids, and the KV cache
+    are padded to buckets; XLA compiles each bucket once and caches.
+  - Slot model: a fixed-size batch of decode slots (continuous batching).
+    Prefill runs per request (image-heavy, one compile per seq bucket) and is
+    inserted into a free slot; all active slots decode together.
+  - Chunked decode: K decode steps run inside one jitted lax.scan per host
+    round-trip, so host<->device latency (including remote-TPU tunnels) is
+    amortized K-fold. Finished slots keep cycling harmlessly inside a chunk
+    (their outputs are masked on host).
+  - Per-slot temperature/top-p; temperature 0 is exact greedy — the retry
+    temperature ladder of the pipeline (pipeline.py:281) maps onto this.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import io
+import logging
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from karanta_tpu.inference import chat
+from karanta_tpu.inference.sampling import sample_tokens
+from karanta_tpu.inference.tokenizer import Tokenizer
+from karanta_tpu.models.qwen25_vl import decoder as dec
+from karanta_tpu.models.qwen25_vl import vision as vis
+from karanta_tpu.models.qwen25_vl.config import VLMConfig
+from karanta_tpu.models.qwen25_vl.layout import build_vision_layout, mrope_positions
+from karanta_tpu.ops.image_prep import patchify, preprocess_host
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_batch_size: int = 8
+    max_seq_len: int = 8192              # KV cache length per slot
+    decode_chunk: int = 32               # decode steps per host round-trip
+    prefill_buckets: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192)
+    image_token_buckets: tuple[int, ...] = (256, 512, 1024, 2048)
+    max_output_tokens: int = 4000        # reference MAX_TOKENS (pipeline.py:124)
+    min_pixels: int = 56 * 56
+    max_pixels: int = 14 * 14 * 4 * 1280
+    dtype: Any = jnp.bfloat16
+
+
+@dataclasses.dataclass
+class GenRequest:
+    messages: list[dict]                 # OpenAI chat format
+    max_tokens: int = 4000
+    temperature: float = 0.0
+    top_p: float = 1.0
+    request_id: str = ""
+    guided_regex: Optional[str] = None
+
+
+@dataclasses.dataclass
+class GenResult:
+    request_id: str
+    text: str
+    token_ids: list[int]
+    finish_reason: str                   # "stop" | "length"
+    prompt_tokens: int
+    completion_tokens: int
+    latency_s: float = 0.0
+
+
+@dataclasses.dataclass
+class _Prepared:
+    ids: np.ndarray                      # (S,) int32 prompt token ids
+    positions: np.ndarray                # (3, S) int32 mrope positions
+    image_feeds: list[dict]              # per image: device-call kwargs
+    img_token_counts: list[int]
+    max_tokens: int
+    temperature: float
+    top_p: float
+    request_id: str
+    guide: Optional[Any] = None          # guided-decoding automaton state
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+class Engine:
+    """Single-model serving engine over one jax device mesh."""
+
+    def __init__(self, params: Any, cfg: VLMConfig, tokenizer: Tokenizer,
+                 engine_cfg: EngineConfig = EngineConfig(),
+                 rng_seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.ecfg = engine_cfg
+        self._key = jax.random.PRNGKey(rng_seed)
+
+        b, m = engine_cfg.max_batch_size, engine_cfg.max_seq_len
+        self.cache = dec.KVCache.zeros(cfg.text, b, m, engine_cfg.dtype)
+        self.cache_len = jnp.zeros((b,), jnp.int32)
+        self.next_pos = jnp.zeros((b,), jnp.int32)
+        self.last_token = jnp.zeros((b,), jnp.int32)
+        self.temps = jnp.zeros((b,), jnp.float32)
+        self.top_ps = jnp.ones((b,), jnp.float32)
+        self.slot_free = [True] * b
+
+        # ---- jitted stage functions (cached per shape bucket) ----
+        self._encode_image_jit = jax.jit(
+            self._encode_image_impl, static_argnames=("n_windows",))
+        self._prefill_jit = jax.jit(self._prefill_impl)
+        self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
+        self._decode_chunk_jit = jax.jit(
+            self._decode_chunk_impl, static_argnames=("steps",),
+            donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # device-side implementations
+    # ------------------------------------------------------------------
+
+    def _encode_image_impl(self, params, pixel_values, perm, valid, pos_hw,
+                           extract, *, n_windows):
+        encoded = vis.encode_image(params["visual"], self.cfg.vision,
+                                   pixel_values, perm, valid, pos_hw, n_windows)
+        return jnp.take(encoded, extract, axis=0)  # (N_pad, out_hidden)
+
+    def _prefill_impl(self, params, ids, positions, kv_mask, img_tokens,
+                      img_positions, true_len):
+        """ids (S,), img_tokens (N_pad, H) or zeros, -> (last_logits, cache)."""
+        emb = dec.embed_tokens(params["text"], ids)
+        emb = emb.at[img_positions].set(
+            img_tokens.astype(emb.dtype), mode="drop")
+        hidden, cache = dec.prefill_forward(
+            params["text"], self.cfg.text, emb[None], positions[:, None, :],
+            kv_mask=kv_mask[None])
+        last = hidden[0, true_len - 1]
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        return logits, cache
+
+    def _insert_impl(self, prefill_cache, cache, cache_len, next_pos,
+                     last_token, temps, top_ps, slot, true_len, first_token,
+                     pos_after, temp, top_p):
+        s = prefill_cache.k.shape[2]
+        k = cache.k.at[:, slot, :s].set(prefill_cache.k[:, 0])
+        v = cache.v.at[:, slot, :s].set(prefill_cache.v[:, 0])
+        return (
+            dec.KVCache(k, v),
+            cache_len.at[slot].set(true_len),
+            next_pos.at[slot].set(pos_after),
+            last_token.at[slot].set(first_token),
+            temps.at[slot].set(temp),
+            top_ps.at[slot].set(top_p),
+        )
+
+    def _decode_chunk_impl(self, params, cache, cache_len, next_pos,
+                           last_token, temps, top_ps, key, *, steps):
+        m = cache.k.shape[2]
+
+        def step(carry, step_key):
+            cache, cache_len, next_pos, last_token = carry
+            emb = dec.embed_tokens(params["text"], last_token)[:, None]
+            pos = jnp.broadcast_to(next_pos[None, :], (3,) + next_pos.shape)
+            hidden, cache = dec.decode_step(
+                params["text"], self.cfg.text, emb, pos, cache,
+                jnp.minimum(cache_len, m - 1))
+            logits = dec.logits_from_hidden(
+                params["text"], self.cfg.text, hidden[:, 0])
+            tokens = sample_tokens(logits, step_key, temps, top_ps)
+            cache_len = jnp.minimum(cache_len + 1, m - 1)
+            next_pos = next_pos + 1
+            return (cache, cache_len, next_pos, tokens), tokens
+
+        keys = jax.random.split(key, steps)
+        (cache, cache_len, next_pos, last_token), toks = jax.lax.scan(
+            step, (cache, cache_len, next_pos, last_token), keys)
+        return cache, cache_len, next_pos, last_token, toks  # toks (K, B)
+
+    # ------------------------------------------------------------------
+    # host-side orchestration
+    # ------------------------------------------------------------------
+
+    def prepare(self, request: GenRequest) -> _Prepared:
+        parsed = chat.parse_openai_messages(request.messages)
+        image_feeds = []
+        img_token_counts = []
+        grids = []
+        for raw in parsed.images:
+            from PIL import Image
+
+            pil = Image.open(io.BytesIO(raw))
+            arr, plan = preprocess_host(pil, self.ecfg.min_pixels,
+                                        self.ecfg.max_pixels)
+            layout = build_vision_layout(plan, self.cfg.vision)
+            n_pad = _bucket(layout.num_merged, self.ecfg.image_token_buckets)
+            extract = np.zeros((n_pad,), np.int32)
+            extract[: layout.num_merged] = layout.extract
+            image_feeds.append(dict(
+                image_u8=arr, plan=plan, layout=layout, extract=extract,
+                n_pad=n_pad))
+            img_token_counts.append(layout.num_merged)
+            grids.append(plan.grid_thw)
+
+        ids = self.tok.encode(parsed.text)
+        ids = chat.expand_image_pads(ids, self.tok.image_pad_id,
+                                     img_token_counts)
+        ids = np.asarray(ids, np.int32)
+        positions = mrope_positions(ids, grids, self.tok.image_pad_id,
+                                    self.cfg.vision.spatial_merge_size)
+        return _Prepared(
+            ids=ids, positions=positions, image_feeds=image_feeds,
+            img_token_counts=img_token_counts, max_tokens=request.max_tokens,
+            temperature=request.temperature, top_p=request.top_p,
+            request_id=request.request_id)
+
+    def _encode_images(self, prepared: _Prepared):
+        """Run the vision encoder for each image; returns padded token arrays
+        (concatenated) + their positions in the prompt sequence."""
+        if not prepared.image_feeds:
+            h = self.cfg.vision.out_hidden_size
+            return (jnp.zeros((1, h), self.ecfg.dtype),
+                    np.full((1,), 1 << 30, np.int32))
+
+        all_tokens = []
+        all_positions = []
+        # positions of image tokens in the prompt = where ids == image_pad_id
+        img_pos_all = np.flatnonzero(prepared.ids == self.tok.image_pad_id)
+        offset = 0
+        for feed in prepared.image_feeds:
+            plan, layout = feed["plan"], feed["layout"]
+            pix = patchify(jnp.asarray(feed["image_u8"]),
+                           grid_h=plan.grid_h, grid_w=plan.grid_w,
+                           pad_grid_h=plan.pad_grid_h, pad_grid_w=plan.pad_grid_w,
+                           out_dtype=self.ecfg.dtype)
+            tokens = self._encode_image_jit(
+                self.params, pix,
+                jnp.asarray(layout.perm), jnp.asarray(layout.valid),
+                jnp.asarray(layout.pos_hw), jnp.asarray(feed["extract"]),
+                n_windows=layout.n_windows)
+            all_tokens.append(tokens)
+            pos = np.full((feed["n_pad"],), 1 << 30, np.int32)
+            pos[: layout.num_merged] = img_pos_all[offset:offset + layout.num_merged]
+            all_positions.append(pos)
+            offset += layout.num_merged
+        return jnp.concatenate(all_tokens, 0), np.concatenate(all_positions)
+
+    def prefill(self, prepared: _Prepared):
+        """Run prefill; returns (cache, first_token_array, true_len, next_pos)."""
+        img_tokens, img_positions = self._encode_images(prepared)
+        s = len(prepared.ids)
+        s_pad = _bucket(s, self.ecfg.prefill_buckets)
+        ids = np.zeros((s_pad,), np.int32)
+        ids[:s] = prepared.ids
+        positions = np.zeros((3, s_pad), np.int32)
+        positions[:, :s] = prepared.positions
+        kv_mask = np.zeros((s_pad,), np.float32)
+        kv_mask[:s] = 1.0
+        # clamp out-of-bucket image positions to the drop sentinel
+        img_positions = np.where(img_positions < s_pad, img_positions, s_pad)
+
+        logits, cache = self._prefill_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(positions),
+            jnp.asarray(kv_mask), img_tokens,
+            jnp.asarray(img_positions.astype(np.int32)),
+            jnp.asarray(s, jnp.int32))
+
+        self._key, sub = jax.random.split(self._key)
+        first = sample_tokens(
+            logits[None], sub,
+            jnp.asarray([prepared.temperature], jnp.float32),
+            jnp.asarray([prepared.top_p], jnp.float32))[0]
+        # The first sampled token is *fed* at the next decode step; its
+        # position is max(prompt positions) + 1.
+        next_pos = (int(prepared.positions.max()) + 1) if s else 0
+        return cache, first, s, next_pos
+
+    def insert(self, slot: int, prepared: _Prepared, cache, first_token,
+               true_len: int, next_pos: int):
+        (self.cache, self.cache_len, self.next_pos, self.last_token,
+         self.temps, self.top_ps) = self._insert_jit(
+            cache, self.cache, self.cache_len, self.next_pos, self.last_token,
+            self.temps, self.top_ps, jnp.asarray(slot),
+            jnp.asarray(true_len, jnp.int32),
+            first_token, jnp.asarray(next_pos, jnp.int32),
+            jnp.asarray(prepared.temperature, jnp.float32),
+            jnp.asarray(prepared.top_p, jnp.float32))
+        self.slot_free[slot] = False
+
+    def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
+        steps = steps or self.ecfg.decode_chunk
+        self._key, sub = jax.random.split(self._key)
+        (self.cache, self.cache_len, self.next_pos, self.last_token,
+         toks) = self._decode_chunk_jit(
+            self.params, self.cache, self.cache_len, self.next_pos,
+            self.last_token, self.temps, self.top_ps, sub, steps=steps)
+        return np.asarray(toks)  # (K, B)
+
+    def free_slot(self, slot: int):
+        self.slot_free[slot] = True
+
+    # ------------------------------------------------------------------
+
+    def generate(self, requests: list[GenRequest]) -> list[GenResult]:
+        """Synchronous batch generation (the server drives slots directly)."""
+        results: dict[int, GenResult] = {}
+        pending = list(enumerate(requests))
+        # slot -> (req_idx, prepared, collected tokens, start time, first token)
+        active: dict[int, list] = {}
+
+        while pending or active:
+            while pending and any(self.slot_free):
+                req_idx, request = pending.pop(0)
+                prepared = self.prepare(request)
+                # keep prompt + completion within the cache
+                prepared.max_tokens = min(
+                    prepared.max_tokens,
+                    max(1, self.ecfg.max_seq_len - len(prepared.ids) - 1))
+                start = time.time()
+                cache, first, true_len, next_pos = self.prefill(prepared)
+                slot = self.slot_free.index(True)
+                self.insert(slot, prepared, cache, first, true_len, next_pos)
+                first_host = int(np.asarray(first))
+                collected = [first_host]
+                if (first_host == self.tok.eos_token_id
+                        or prepared.max_tokens <= 1):
+                    reason = ("stop" if first_host == self.tok.eos_token_id
+                              else "length")
+                    results[req_idx] = self._finish(
+                        prepared, collected, reason, start)
+                    self.free_slot(slot)
+                else:
+                    active[slot] = [req_idx, prepared, collected, start]
+
+            if not active:
+                continue
+
+            toks = self.decode_chunk()  # (K, B)
+            for slot in list(active):
+                req_idx, prepared, collected, start = active[slot]
+                finished = None
+                for token in toks[:, slot]:
+                    token = int(token)
+                    collected.append(token)
+                    if token == self.tok.eos_token_id:
+                        finished = "stop"
+                        break
+                    if len(collected) >= prepared.max_tokens:
+                        finished = "length"
+                        break
+                if finished:
+                    results[req_idx] = self._finish(
+                        prepared, collected, finished, start)
+                    del active[slot]
+                    self.free_slot(slot)
+
+        return [results[i] for i in range(len(requests))]
+
+    def _finish(self, prepared: _Prepared, collected: list[int],
+                reason: str, start: float) -> GenResult:
+        out_ids = [t for t in collected if t != self.tok.eos_token_id]
+        return GenResult(
+            request_id=prepared.request_id,
+            text=self.tok.decode(out_ids),
+            token_ids=out_ids,
+            finish_reason=reason,
+            prompt_tokens=int(len(prepared.ids)),
+            completion_tokens=len(collected),
+            latency_s=time.time() - start,
+        )

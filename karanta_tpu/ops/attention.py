@@ -99,7 +99,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
             cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
         if has_mask:
-            s = jnp.where(mask_ref[0][None, :] > 0, s, NEG_INF)
+            s = jnp.where(mask_ref[0, 0][None, :] > 0, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]
         l_prev = l_ref[:, 0:1]
@@ -166,7 +166,9 @@ def flash_attention(
     has_mask = kv_mask is not None or sk_p != sk
     if kv_mask is None:
         kv_mask = jnp.ones((b, sk), dtype=jnp.float32)
-    kv_mask = _pad_to(kv_mask.astype(jnp.float32), 1, block_k, 0.0)
+    # (B, 1, Sk): the unit middle dim satisfies TPU (sublane, lane) tiling
+    # for the (1, 1, block_k) mask block.
+    kv_mask = _pad_to(kv_mask.astype(jnp.float32), 1, block_k, 0.0)[:, None, :]
 
     # BSHD -> BHSD for contiguous per-head blocks.
     qt = _pad_to(jnp.swapaxes(q, 1, 2), 2, block_q)
@@ -189,7 +191,7 @@ def flash_attention(
             pl.BlockSpec((1, 1, block_k, d),
                          lambda bb, hh, qi, ki, g=group: (bb, hh // g, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda bb, hh, qi, ki: (bb, ki),
+            pl.BlockSpec((1, 1, block_k), lambda bb, hh, qi, ki: (bb, 0, ki),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d),

@@ -1,0 +1,148 @@
+"""The sharded training step: loss, grads, optimizer update under one jit.
+
+TPU-native equivalent of the reference's Accelerate/DeepSpeed step
+(karanta/training/ocr_training.py:640-790): bf16 compute, fp32 optimizer
+state, instruction-masked cross entropy (labels == -100 ignored, matching the
+reference collator — training/data.py:213-283), gradient accumulation via
+jax.lax.scan over microbatches, optional rematerialization. ZeRO-style
+param/optimizer sharding is just the fsdp axis of the mesh: params and
+optimizer state inherit the same NamedShardings, XLA inserts the
+reduce-scatter/all-gathers DeepSpeed does by hand.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from karanta_tpu.models.qwen25_vl.config import VLMConfig
+from karanta_tpu.models.qwen25_vl.model import forward_train
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def create_train_state(params: Any, optimizer: optax.GradientTransformation
+                       ) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def cross_entropy_loss(logits: jnp.ndarray,   # (B, S, V)
+                       labels: jnp.ndarray,   # (B, S) with IGNORE_INDEX masking
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean CE over non-ignored positions. Returns (loss, token_count)."""
+    mask = labels != IGNORE_INDEX
+    safe_labels = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    count = jnp.maximum(mask.sum(), 1)
+    loss = -(token_logp * mask).sum() / count
+    return loss, mask.sum()
+
+
+def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0):
+    forward = forward_train
+    if remat:
+        forward = jax.checkpoint(forward_train, static_argnums=(1,))
+
+    def loss_fn(params, batch):
+        logits = forward(
+            params, cfg,
+            batch["token_ids"], batch["positions"],
+            pixel_values=batch.get("pixel_values"),
+            vis_perm=batch.get("vis_perm"),
+            vis_valid=batch.get("vis_valid"),
+            vis_pos_hw=batch.get("vis_pos_hw"),
+            vis_extract=batch.get("vis_extract"),
+            image_positions=batch.get("image_positions"),
+            n_windows=n_windows,
+            attn_mask=batch.get("attn_mask"),
+        )
+        # next-token prediction: logits[t] predicts labels[t+1]
+        loss, tokens = cross_entropy_loss(
+            logits[:, :-1], batch["labels"][:, 1:])
+        return loss, tokens
+
+    return loss_fn
+
+
+def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
+                    remat: bool = False, grad_accum: int = 1,
+                    n_windows: int = 0):
+    """Returns a jittable (state, batch) -> (state, metrics) function.
+
+    With grad_accum > 1 the batch's leading dim must be grad_accum *
+    microbatch; microbatches run under lax.scan, gradients averaged before
+    one optimizer update (reference semantics: accelerate grad-accum,
+    ocr_training.py:200-207,669-685).
+    """
+    loss_fn = make_loss_fn(cfg, remat=remat, n_windows=n_windows)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def single(state: TrainState, batch):
+        (loss, tokens), grads = grad_fn(state.params, batch)
+        return loss, tokens, grads
+
+    def train_step(state: TrainState, batch):
+        if grad_accum == 1:
+            loss, tokens, grads = single(state, batch)
+        else:
+            def micro(carry, mb):
+                acc_grads, acc_loss, acc_tokens = carry
+                loss, tokens, grads = single(state, mb)
+                acc = jax.tree.map(jnp.add, acc_grads, grads)
+                return (acc, acc_loss + loss, acc_tokens + tokens), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            mb = jax.tree.map(
+                lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), batch)
+            (grads, loss, tokens), _ = jax.lax.scan(
+                micro, (zeros, 0.0, jnp.zeros((), jnp.int32)), mb)
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            loss = loss / grad_accum
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "tokens": tokens,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def eval_step(cfg: VLMConfig):
+    loss_fn = make_loss_fn(cfg)
+
+    def step(params, batch):
+        loss, tokens = loss_fn(params, batch)
+        return {"loss": loss, "tokens": tokens}
+
+    return step

@@ -1,0 +1,107 @@
+"""Engine tests on the tiny model + hermetic byte tokenizer."""
+
+import base64
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from karanta_tpu.inference.chat import parse_openai_messages
+from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
+from karanta_tpu.inference.tokenizer import ByteTokenizer
+from karanta_tpu.models.qwen25_vl.config import tiny_config
+from karanta_tpu.models.qwen25_vl.model import init_params
+
+CFG = tiny_config(vocab_size=ByteTokenizer().vocab_size)
+
+
+def _png_b64(h=56, w=56):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _messages(text="Read this page.", with_image=True):
+    content = [{"type": "text", "text": text}]
+    if with_image:
+        content.append({"type": "image_url",
+                        "image_url": {"url": f"data:image/png;base64,{_png_b64()}"}})
+    return [{"role": "user", "content": content}]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=256, decode_chunk=8,
+                        prefill_buckets=(64, 128, 256),
+                        image_token_buckets=(16, 64), dtype=jnp.float32)
+    return Engine(params, CFG, ByteTokenizer(), ecfg)
+
+
+class TestChat:
+    def test_parse_messages(self):
+        parsed = parse_openai_messages(_messages())
+        assert "<|image_pad|>" in parsed.text
+        assert parsed.text.endswith("<|im_start|>assistant\n")
+        assert len(parsed.images) == 1
+
+    def test_text_only(self):
+        parsed = parse_openai_messages(_messages(with_image=False))
+        assert parsed.images == []
+
+
+class TestEngine:
+    def test_text_generation(self, engine):
+        req = GenRequest(messages=_messages(with_image=False),
+                         max_tokens=12, temperature=0.0, request_id="r1")
+        (res,) = engine.generate([req])
+        assert res.request_id == "r1"
+        assert res.finish_reason in ("stop", "length")
+        assert 1 <= res.completion_tokens <= 12
+        assert res.prompt_tokens > 0
+
+    def test_greedy_deterministic(self, engine):
+        req = GenRequest(messages=_messages(with_image=False),
+                         max_tokens=16, temperature=0.0)
+        (a,) = engine.generate([req])
+        (b,) = engine.generate([req])
+        assert a.token_ids == b.token_ids
+
+    def test_multimodal_generation(self, engine):
+        req = GenRequest(messages=_messages(), max_tokens=8, temperature=0.0)
+        (res,) = engine.generate([req])
+        assert res.completion_tokens <= 8
+        # 56x56 image -> 2x2 merged tokens expand the prompt
+        assert res.prompt_tokens > 20
+
+    def test_batch_of_mixed_requests(self, engine):
+        reqs = [
+            GenRequest(messages=_messages(with_image=False), max_tokens=6,
+                       temperature=0.0, request_id="a"),
+            GenRequest(messages=_messages(), max_tokens=9, temperature=0.7,
+                       request_id="b"),
+            GenRequest(messages=_messages(with_image=False), max_tokens=4,
+                       temperature=0.0, request_id="c"),
+        ]
+        results = engine.generate(reqs)
+        assert [r.request_id for r in results] == ["a", "b", "c"]
+        for r, req in zip(results, reqs):
+            assert r.completion_tokens <= req.max_tokens
+
+    def test_batched_matches_single(self, engine):
+        """Continuous-batching must not change greedy results."""
+        req1 = GenRequest(messages=_messages(with_image=False, text="alpha"),
+                          max_tokens=10, temperature=0.0)
+        req2 = GenRequest(messages=_messages(with_image=False, text="beta"),
+                          max_tokens=10, temperature=0.0)
+        solo1 = engine.generate([req1])[0]
+        solo2 = engine.generate([req2])[0]
+        both = engine.generate([req1, req2])
+        assert both[0].token_ids == solo1.token_ids
+        assert both[1].token_ids == solo2.token_ids
