@@ -1,0 +1,270 @@
+"""PDF/image primitives for the serving pipeline.
+
+Mirrors the reference surface (karanta/data/process_pdf_utils.py):
+  - get_pdf_media_box_width_height: pdfinfo when present, else our own reader
+    (reference :6-47 shells out to pdfinfo unconditionally).
+  - render_pdf_to_base64png: pdftoppm at a dpi chosen so the longest box side
+    hits target_longest_image_dim, 120 s timeout (reference :50-75). Poppler
+    is optional here; without it, PDF rasterization raises a clear error
+    (image inputs never need it).
+  - get_png_dimensions_from_base64 / get_image_dimensions: direct header
+    peeks for PNG IHDR and JPEG SOFn (reference :78-134).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import shutil
+import struct
+import subprocess
+from functools import lru_cache
+
+from karanta_tpu.pdf.minipdf import PdfDocument
+
+RENDER_TIMEOUT_S = 120
+
+
+class PopplerMissingError(RuntimeError):
+    pass
+
+
+@lru_cache(maxsize=1)
+def has_poppler() -> bool:
+    return shutil.which("pdftoppm") is not None
+
+
+@lru_cache(maxsize=1)
+def has_pdfinfo() -> bool:
+    return shutil.which("pdfinfo") is not None
+
+
+def get_pdf_media_box_width_height(local_pdf_path: str,
+                                   page_num: int) -> tuple[float, float]:
+    """Media box (width, height) in points for 1-based page_num."""
+    if has_pdfinfo():
+        cmd = ["pdfinfo", "-f", str(page_num), "-l", str(page_num),
+               "-box", local_pdf_path]
+        out = subprocess.run(cmd, capture_output=True, timeout=60)
+        if out.returncode == 0:
+            for line in out.stdout.decode("utf-8", "ignore").splitlines():
+                if "MediaBox" in line:
+                    parts = line.split(":", 1)[1].split()
+                    x0, y0, x1, y1 = (float(v) for v in parts[:4])
+                    return abs(x1 - x0), abs(y1 - y0)
+    doc = PdfDocument.open(local_pdf_path)
+    x0, y0, x1, y1 = doc.media_box(page_num - 1)
+    return abs(x1 - x0), abs(y1 - y0)
+
+
+def render_pdf_to_base64png(local_pdf_path: str, page_num: int,
+                            target_longest_image_dim: int = 2048) -> str:
+    """Rasterize one page to base64 PNG at the target longest dimension.
+
+    Uses pdftoppm when available (full fidelity). Without poppler, falls back
+    to the native renderer, which handles the dominant scanned-document case
+    (a page that is one embedded raster image — extracted and resized
+    directly, no rasterizer needed) and draws positioned text for born-digital
+    pages (approximate, flagged in logs).
+    """
+    if has_poppler():
+        width, height = get_pdf_media_box_width_height(local_pdf_path, page_num)
+        longest = max(width, height) or 1.0
+        dpi = int(target_longest_image_dim * 72 / longest)
+        cmd = ["pdftoppm", "-png", "-f", str(page_num), "-l", str(page_num),
+               "-r", str(dpi), local_pdf_path]
+        out = subprocess.run(cmd, capture_output=True, timeout=RENDER_TIMEOUT_S)
+        if out.returncode != 0 or not out.stdout:
+            raise RuntimeError(
+                f"pdftoppm failed for {local_pdf_path} p{page_num}: "
+                f"{out.stderr.decode('utf-8', 'ignore')[:500]}")
+        return base64.b64encode(out.stdout).decode("utf-8")
+    return _render_native(local_pdf_path, page_num, target_longest_image_dim)
+
+
+def _render_native(local_pdf_path: str, page_num: int,
+                   target_longest_image_dim: int) -> str:
+    """Poppler-free rendering: embedded-image extraction or text drawing."""
+    import zlib
+
+    from PIL import Image, ImageDraw
+
+    from karanta_tpu.pdf.minipdf import Name, PdfDocument, Stream
+    from karanta_tpu.pdf.textextract import extract_page_report
+
+    doc = PdfDocument.open(local_pdf_path)
+    page = doc.pages[page_num - 1]
+    x0, y0, x1, y1 = doc.media_box(page_num - 1)
+    page_w, page_h = abs(x1 - x0) or 612.0, abs(y1 - y0) or 792.0
+    scale = target_longest_image_dim / max(page_w, page_h)
+    out_w, out_h = max(1, round(page_w * scale)), max(1, round(page_h * scale))
+
+    report = extract_page_report(doc, page_num - 1)
+
+    # scanned-page path: one embedded image covering most of the page
+    resources = doc.resolve(page.get(Name("Resources"))) or {}
+    xobjects = doc.resolve(resources.get(Name("XObject"))) or {}
+    if len(report.image_elements) == 1 and not report.text_elements:
+        im_el = report.image_elements[0]
+        coverage = ((im_el.x1 - im_el.x0) * (im_el.y1 - im_el.y0)) / (page_w * page_h)
+        if coverage > 0.5:
+            decoded = _decode_embedded_image(doc, xobjects)
+            if decoded is not None:
+                decoded.thumbnail(
+                    (target_longest_image_dim, target_longest_image_dim),
+                    Image.Resampling.BICUBIC)
+                # scanned page may not fill the media box exactly; good enough
+                buf = io.BytesIO()
+                decoded.convert("RGB").save(buf, format="PNG")
+                return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+    # born-digital fallback: draw positioned text (approximate glyphs)
+    img = Image.new("RGB", (out_w, out_h), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    for el in report.text_elements:
+        px = (el.x - x0) * scale
+        py = out_h - (el.y - y0) * scale
+        draw.text((px, py - 10), el.text, fill=(0, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+def _decode_embedded_image(doc, xobjects):
+    """Decode the first decodable image XObject (JPEG/Flate-RGB/Gray)."""
+    import zlib
+
+    from PIL import Image
+
+    from karanta_tpu.pdf.minipdf import Name, Stream
+
+    for _, ref in (xobjects or {}).items():
+        xo = doc.resolve(ref)
+        if not isinstance(xo, Stream):
+            continue
+        if doc.resolve(xo.dict.get(Name("Subtype"))) != Name("Image"):
+            continue
+        width = int(doc.resolve(xo.dict.get(Name("Width"), 0)))
+        height = int(doc.resolve(xo.dict.get(Name("Height"), 0)))
+        filt = doc.resolve(xo.dict.get(Name("Filter")))
+        filters = filt if isinstance(filt, list) else [filt]
+        filters = [doc.resolve(f) for f in filters]
+        try:
+            if Name("DCTDecode") in filters:
+                return Image.open(io.BytesIO(xo.raw))
+            if Name("FlateDecode") in filters or filt is None:
+                raw = zlib.decompress(xo.raw) if filters else xo.raw
+                cs = doc.resolve(xo.dict.get(Name("ColorSpace")))
+                if cs == Name("DeviceRGB") and len(raw) >= width * height * 3:
+                    return Image.frombytes("RGB", (width, height),
+                                           raw[: width * height * 3])
+                if cs == Name("DeviceGray") and len(raw) >= width * height:
+                    return Image.frombytes("L", (width, height),
+                                           raw[: width * height])
+        except Exception:
+            continue
+    return None
+
+
+def get_png_dimensions_from_base64(b64: str) -> tuple[int, int]:
+    """(width, height) from a base64 PNG without full decode."""
+    header = base64.b64decode(b64[:64].encode("ascii") + b"==")
+    if header[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    width, height = struct.unpack(">II", header[16:24])
+    return width, height
+
+
+def get_image_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) for PNG or JPEG bytes via header peek."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h
+    if data[:2] == b"\xff\xd8":  # JPEG: scan for SOFn marker
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                return w, h
+            length = struct.unpack(">H", data[i + 2:i + 4])[0]
+            i += 2 + length
+        raise ValueError("no JPEG SOF marker found")
+    raise ValueError("unsupported image format")
+
+
+def is_png(path_or_bytes) -> bool:
+    data = _head(path_or_bytes, 8)
+    return data == b"\x89PNG\r\n\x1a\n"
+
+
+def is_jpeg(path_or_bytes) -> bool:
+    return _head(path_or_bytes, 2) == b"\xff\xd8"
+
+
+def is_pdf(path_or_bytes) -> bool:
+    return _head(path_or_bytes, 5).startswith(b"%PDF")
+
+
+def _head(path_or_bytes, n: int) -> bytes:
+    if isinstance(path_or_bytes, bytes):
+        return path_or_bytes[:n]
+    with open(path_or_bytes, "rb") as f:
+        return f.read(n)
+
+
+def convert_image_to_pdf_bytes(image_bytes: bytes) -> bytes:
+    """Wrap a PNG/JPEG into a single-page PDF (native img2pdf replacement;
+    reference uses the img2pdf package — karanta/bench/convert.py:51-53).
+
+    JPEG embeds losslessly via DCTDecode; other formats embed via Flate RGB.
+    """
+    import zlib
+
+    from PIL import Image
+
+    width, height = get_image_dimensions(image_bytes)
+
+    if is_jpeg(image_bytes):
+        filt, payload, colorspace = "DCTDecode", image_bytes, "DeviceRGB"
+        bpc = 8
+    else:
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        payload = zlib.compress(img.tobytes())
+        filt, colorspace, bpc = "FlateDecode", "DeviceRGB", 8
+
+    objects = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objects.append(
+        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {width} {height}] "
+        f"/Resources << /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >>"
+        .encode())
+    img_dict = (
+        f"<< /Type /XObject /Subtype /Image /Width {width} /Height {height} "
+        f"/ColorSpace /{colorspace} /BitsPerComponent {bpc} "
+        f"/Filter /{filt} /Length {len(payload)} >>").encode()
+    objects.append(img_dict + b"\nstream\n" + payload + b"\nendstream")
+    content = f"q {width} 0 0 {height} 0 0 cm /Im0 Do Q".encode()
+    objects.append(
+        f"<< /Length {len(content)} >>".encode() + b"\nstream\n"
+        + content + b"\nendstream")
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(out.tell())
+        out.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref_pos = out.tell()
+    out.write(f"xref\n0 {len(objects) + 1}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        out.write(f"{off:010d} 00000 n \n".encode())
+    out.write(
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    return out.getvalue()

@@ -1,0 +1,510 @@
+"""Scale-out OCR pipeline orchestrator.
+
+Re-implementation of the reference's control plane (karanta/pipeline.py) with
+the same public stage API — build_page_query, process_page, process_pdf,
+worker, main — the same retry/temperature ladder, rotation self-correction,
+fallback pages, failure budget, Dolma JSONL + markdown outputs, and --stats.
+The engine behind the HTTP boundary is our TPU server instead of vLLM.
+
+CLI:  python -m karanta_tpu.pipeline <workspace> --pdfs <glob|files> \
+          [--server http://host:port/v1 | --serve-inproc --model <path>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import glob as globmod
+import io
+import json
+import logging
+import os
+import sys
+import tempfile
+from dataclasses import dataclass, field
+from typing import Optional
+
+from karanta_tpu.constants import (
+    MAX_OUTPUT_TOKENS_PER_PAGE, MODEL_MAX_CONTEXT, PIPELINE_IMAGE_DIM,
+    TEMPERATURE_BY_ATTEMPT,
+)
+from karanta_tpu.pdf.anchor import get_anchor_text
+from karanta_tpu.pdf.minipdf import PdfDocument
+from karanta_tpu.pdf.primitives import (
+    convert_image_to_pdf_bytes, is_jpeg, is_pdf, is_png,
+)
+from karanta_tpu.pipeline.dolma import (
+    ListPageResponse, PageResponse, PageResult, build_dolma_document,
+)
+from karanta_tpu.pipeline.http import aget, apost
+from karanta_tpu.pipeline.work_queue import LocalBackend, WorkQueue
+from karanta_tpu.prompts.templates import (
+    create_vision_message, load_prompt_template, prepare_image_and_text,
+)
+from karanta_tpu.utils.metrics import MetricsKeeper, WorkerTracker
+
+logger = logging.getLogger("karanta_tpu.pipeline")
+
+# rotation-correction regex for guided decoding (the YAML-ish front matter the
+# olmOCR-2 family emits; reference pipeline.py:304-307)
+GUIDED_REGEX = (
+    r"---\nprimary_language: (?:[a-z]{2}|null)\n"
+    r"is_rotation_valid: (?:True|False|true|false)\n"
+    r"rotation_correction: (?:0|90|180|270)\n"
+    r"is_table: (?:True|False|true|false)\n"
+    r"is_diagram: (?:True|False|true|false)\n(?:---|---\n[\s\S]+)"
+)
+
+metrics = MetricsKeeper(window=300)
+tracker = WorkerTracker()
+
+# bounded host-side render concurrency (reference pipeline.py:94-96)
+_render_semaphore: Optional[asyncio.Semaphore] = None
+
+
+def _render_sem() -> asyncio.Semaphore:
+    global _render_semaphore
+    if _render_semaphore is None:
+        _render_semaphore = asyncio.Semaphore(max(1, (os.cpu_count() or 4) - 2))
+    return _render_semaphore
+
+
+@dataclass
+class PipelineArgs:
+    workspace: str
+    pdfs: list[str] = field(default_factory=list)
+    model: str = "karanta-ocr"
+    server: str = "http://localhost:30024/v1"
+    api_key: Optional[str] = None
+    workers: int = 20
+    pages_per_group: int = 500
+    max_page_retries: int = 8
+    max_page_error_rate: float = 0.004
+    target_longest_image_dim: int = PIPELINE_IMAGE_DIM
+    prompt_key: str = "olmo_ocr_system_prompt"
+    prompt_path: Optional[str] = None
+    guided_decoding: bool = False
+    markdown: bool = False
+    stats: bool = False
+    serve_inproc: bool = False
+    model_path: Optional[str] = None
+
+
+async def build_page_query(local_pdf_path: str, page: int,
+                           target_longest_image_dim: int,
+                           image_rotation: int = 0,
+                           model_name: str = "karanta-ocr",
+                           prompt_key: str = "olmo_ocr_system_prompt",
+                           prompt_path: Optional[str] = None) -> dict:
+    """Render a page + anchor text into one chat-completions request body."""
+    assert image_rotation in (0, 90, 180, 270), "invalid rotation"
+    template = load_prompt_template(prompt_key, prompt_path)
+
+    async with _render_sem():
+        image_base64, anchor_text = await asyncio.to_thread(
+            prepare_image_and_text, local_pdf_path, page,
+            target_longest_image_dim, 4000, True)
+
+    if image_rotation:
+        from PIL import Image
+
+        raw = base64.b64decode(image_base64)
+        with Image.open(io.BytesIO(raw)) as img:
+            transpose = {
+                90: Image.Transpose.ROTATE_90,
+                180: Image.Transpose.ROTATE_180,
+                270: Image.Transpose.ROTATE_270,
+            }[image_rotation]
+            rotated = img.transpose(transpose)
+            buf = io.BytesIO()
+            rotated.save(buf, format="PNG")
+        image_base64 = base64.b64encode(buf.getvalue()).decode("utf-8")
+
+    return {
+        "model": model_name,
+        "messages": create_vision_message(template, anchor_text, image_base64),
+        "max_tokens": MAX_OUTPUT_TOKENS_PER_PAGE,
+        "temperature": 0.0,
+    }
+
+
+def _parse_model_content(content: str) -> ListPageResponse:
+    """Model output -> ListPageResponse. Accepts a JSON page object, a JSON
+    list of page objects, or raw text (wrapped as natural_text)."""
+    stripped = content.strip()
+    if stripped.startswith("{") or stripped.startswith("["):
+        parsed = json.loads(stripped)
+        items = parsed if isinstance(parsed, list) else [parsed]
+        return ListPageResponse(pages=[PageResponse(**item) for item in items])
+    raise json.JSONDecodeError("not JSON", content, 0)
+
+
+async def process_page(args, worker_id: int, pdf_orig_path: str,
+                       pdf_local_path: str, page_num: int) -> PageResult:
+    """OCR one page with the retry/temperature ladder + rotation correction."""
+    completion_url = f"{args.server.rstrip('/')}/chat/completions"
+    max_retries = args.max_page_retries
+    exponential_backoffs = 0
+    cumulative_rotation = 0
+    attempt = 0
+    await tracker.track_work(worker_id, f"{pdf_orig_path}-{page_num}", "started")
+
+    while attempt < max_retries:
+        lookup = min(attempt, len(TEMPERATURE_BY_ATTEMPT) - 1)
+        query = await build_page_query(
+            pdf_local_path, page_num, args.target_longest_image_dim,
+            image_rotation=cumulative_rotation, model_name=args.model,
+            prompt_key=args.prompt_key, prompt_path=args.prompt_path)
+        query["temperature"] = TEMPERATURE_BY_ATTEMPT[lookup]
+        if args.guided_decoding:
+            query["guided_regex"] = GUIDED_REGEX
+
+        try:
+            status, body = await apost(completion_url, query,
+                                       api_key=getattr(args, "api_key", None))
+            if status in (400, 500):
+                raise ValueError(f"server returned {status}: {body[:500]!r}")
+            if status == 429:
+                raise ConnectionError("429: rate limited")
+            if status != 200:
+                raise ValueError(f"http status {status}")
+
+            data = json.loads(body)
+            usage = data.get("usage", {})
+            if usage.get("total_tokens", 0) > MODEL_MAX_CONTEXT:
+                raise ValueError(
+                    f"response exceeded model_max_context {MODEL_MAX_CONTEXT}")
+            choice = data["choices"][0]
+            if choice.get("finish_reason") != "stop":
+                raise ValueError("finish_reason was not 'stop'")
+
+            metrics.add_metrics(
+                server_input_tokens=usage.get("prompt_tokens", 0),
+                server_output_tokens=usage.get("completion_tokens", 0))
+
+            page_response = _parse_model_content(choice["message"]["content"])
+
+            first = page_response.pages[0]
+            if not first.is_rotation_valid and attempt < max_retries - 1:
+                cumulative_rotation = (
+                    cumulative_rotation + first.rotation_correction) % 360
+                logger.info(
+                    "rotation invalid for %s-%d; cumulative rotation now %d",
+                    pdf_orig_path, page_num, cumulative_rotation)
+                raise ValueError("invalid_page rotation")
+
+            metrics.add_metrics(**{"completed_pages": 1,
+                                   f"finished_on_attempt_{attempt}": 1})
+            await tracker.track_work(
+                worker_id, f"{pdf_orig_path}-{page_num}", "finished")
+            return PageResult(
+                pdf_orig_path, page_num, page_response,
+                input_tokens=usage.get("prompt_tokens", 0),
+                output_tokens=usage.get("completion_tokens", 0),
+                is_fallback=False)
+        except (ConnectionError, OSError, asyncio.TimeoutError) as exc:
+            # transport problems back off without consuming page attempts
+            delay = 10 * (2 ** exponential_backoffs)
+            exponential_backoffs += 1
+            logger.warning("transport error on %s-%d (%s); sleeping %ds",
+                           pdf_orig_path, page_num, exc, delay)
+            await asyncio.sleep(delay)
+        except asyncio.CancelledError:
+            await tracker.track_work(
+                worker_id, f"{pdf_orig_path}-{page_num}", "cancelled")
+            raise
+        except json.JSONDecodeError as exc:
+            logger.warning("json decode error attempt %d for %s-%d: %s",
+                           attempt, pdf_orig_path, page_num, exc)
+            attempt += 1
+        except (ValueError, KeyError, IndexError, TypeError) as exc:
+            logger.warning("attempt %d failed for %s-%d: %s",
+                           attempt, pdf_orig_path, page_num, exc)
+            attempt += 1
+        except Exception:
+            logger.exception("unexpected error for %s-%d",
+                             pdf_orig_path, page_num)
+            attempt += 1
+
+    logger.error("page %s-%d failed after %d attempts; using anchor fallback",
+                 pdf_orig_path, page_num, max_retries)
+    metrics.add_metrics(failed_pages=1)
+    await tracker.track_work(worker_id, f"{pdf_orig_path}-{page_num}", "errored")
+    fallback_text = await asyncio.to_thread(
+        get_anchor_text, pdf_local_path, page_num, "pdftotext")
+    return PageResult(
+        pdf_orig_path, page_num,
+        ListPageResponse(pages=[PageResponse(natural_text=fallback_text or None)]),
+        input_tokens=0, output_tokens=0, is_fallback=True)
+
+
+async def process_pdf(args, worker_id: int, pdf_orig_path: str) -> Optional[dict]:
+    """OCR all pages of one document; returns a Dolma doc or None."""
+    try:
+        data = await asyncio.to_thread(_read_source_bytes, pdf_orig_path)
+    except FileNotFoundError:
+        logger.info("source not found, skipping %s", pdf_orig_path)
+        return None
+
+    if is_png(data) or is_jpeg(data):
+        data = convert_image_to_pdf_bytes(data)
+    if not is_pdf(data):
+        logger.warning("%s is not a PDF/PNG/JPEG, skipping", pdf_orig_path)
+        return None
+
+    with tempfile.NamedTemporaryFile("wb", suffix=".pdf", delete=False) as tf:
+        tf.write(data)
+        local_path = tf.name
+
+    try:
+        try:
+            num_pages = PdfDocument.open(local_path).num_pages()
+        except Exception:
+            logger.exception("could not count pages for %s", pdf_orig_path)
+            return None
+        if num_pages == 0:
+            return None
+
+        page_results = None
+        try:
+            async with asyncio.TaskGroup() as tg:
+                tasks = [
+                    tg.create_task(process_page(
+                        args, worker_id, pdf_orig_path, local_path, page))
+                    for page in range(1, num_pages + 1)
+                ]
+            page_results = [t.result() for t in tasks]
+        except* Exception as eg:
+            logger.error("page task group failed for %s: %s",
+                         pdf_orig_path, eg.exceptions[:3])
+        if page_results is None:
+            return None
+
+        fallback = sum(p.is_fallback for p in page_results)
+        if fallback / num_pages > args.max_page_error_rate:
+            logger.error(
+                "%s: %d/%d fallback pages exceeds budget %.4f — discarding",
+                pdf_orig_path, fallback, num_pages, args.max_page_error_rate)
+            return None
+        if fallback:
+            logger.warning("%s: proceeding with %d fallback pages",
+                           pdf_orig_path, fallback)
+        return build_dolma_document(pdf_orig_path, page_results)
+    finally:
+        if os.path.exists(local_path):
+            os.unlink(local_path)
+
+
+def _read_source_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+async def worker(args, work_queue: WorkQueue, semaphore: asyncio.Semaphore,
+                 worker_id: int) -> None:
+    backend = work_queue.backend
+    while True:
+        await semaphore.acquire()
+        item = await work_queue.get_work()
+        if item is None:
+            semaphore.release()
+            return
+        try:
+            async with asyncio.TaskGroup() as tg:
+                tasks = [tg.create_task(process_pdf(args, worker_id, path))
+                         for path in item.work_paths]
+            docs = [t.result() for t in tasks if t.result() is not None]
+
+            out_path = backend.output_path(item.hash)
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            tmp = out_path + ".tmp"
+            with open(tmp, "w") as f:
+                for doc in docs:
+                    f.write(json.dumps(doc, ensure_ascii=False) + "\n")
+            os.replace(tmp, out_path)
+
+            if args.markdown:
+                _write_markdown(args.workspace, docs)
+
+            metrics.add_metrics(completed_documents=len(docs),
+                                completed_groups=1)
+            await work_queue.mark_done(item)
+        except Exception:
+            logger.exception("worker %d failed on group %s",
+                             worker_id, item.hash)
+        finally:
+            await tracker.clear_work(worker_id)
+            semaphore.release()
+
+
+def _write_markdown(workspace: str, docs: list[dict]) -> None:
+    md_dir = os.path.join(workspace, "markdown")
+    os.makedirs(md_dir, exist_ok=True)
+    for doc in docs:
+        base = os.path.splitext(
+            os.path.basename(doc["metadata"]["Source-File"]))[0]
+        with open(os.path.join(md_dir, f"{base}.md"), "w") as f:
+            f.write(doc["text"])
+
+
+async def server_ready(server: str, attempts: int = 300) -> bool:
+    url = f"{server.rstrip('/')}/models"
+    for _ in range(attempts):
+        try:
+            status, _ = await aget(url, timeout=5)
+            if status == 200:
+                return True
+        except ConnectionError:
+            pass
+        await asyncio.sleep(1)
+    return False
+
+
+async def metrics_reporter(interval: float = 10.0) -> None:
+    while True:
+        await asyncio.sleep(interval)
+        logger.info("\n%s", metrics)
+        logger.info("\n%s", tracker)
+
+
+def print_stats(workspace: str) -> dict:
+    """Aggregate results/*.jsonl (reference --stats, pipeline.py:964-1110)."""
+    from karanta_tpu.constants import LONG_CONTEXT_THRESHOLD
+
+    results_dir = os.path.join(workspace, "results")
+    docs = pages = fallback_pages = input_tokens = output_tokens = 0
+    long_context_docs = 0
+    for path in globmod.glob(os.path.join(results_dir, "output_*.jsonl")):
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                doc = json.loads(line)
+                docs += 1
+                meta = doc.get("metadata", {})
+                pages += meta.get("pdf-total-pages", 0)
+                fallback_pages += meta.get("total-fallback-pages", 0)
+                input_tokens += meta.get("total-input-tokens", 0)
+                out_toks = meta.get("total-output-tokens", 0)
+                output_tokens += out_toks
+                if out_toks > LONG_CONTEXT_THRESHOLD:
+                    long_context_docs += 1
+    stats = {
+        "documents": docs,
+        "pages": pages,
+        "fallback_pages": fallback_pages,
+        "total_input_tokens": input_tokens,
+        "total_output_tokens": output_tokens,
+        "long_context_docs": long_context_docs,
+    }
+    print(json.dumps(stats, indent=2))
+    return stats
+
+
+async def amain(args: PipelineArgs) -> None:
+    backend = LocalBackend(args.workspace)
+    work_queue = WorkQueue(backend)
+
+    if args.stats:
+        print_stats(args.workspace)
+        return
+
+    if args.pdfs:
+        paths: list[str] = []
+        for pattern in args.pdfs:
+            if os.path.exists(pattern):
+                paths.append(pattern)
+            else:
+                paths.extend(globmod.glob(pattern, recursive=True))
+        paths = sorted(set(paths))
+        # size groups so each holds ~pages_per_group pages, estimated from a
+        # sample of documents (reference pipeline.py:1267-1333)
+        import random
+
+        sample = random.Random(0).sample(paths, min(100, len(paths)))
+        page_counts = []
+        for path in sample:
+            try:
+                page_counts.append(PdfDocument.open(path).num_pages())
+            except Exception:
+                page_counts.append(1)
+        avg_pages = max(1.0, sum(page_counts) / max(len(page_counts), 1))
+        items_per_group = max(1, int(args.pages_per_group / avg_pages))
+        work_queue.populate_queue(paths, items_per_group)
+
+    pending = work_queue.initialize_queue()
+    logger.info("%d work groups pending", pending)
+    if pending == 0:
+        logger.info("nothing to do")
+        return
+
+    server_proc = None
+    if args.serve_inproc:
+        server_proc = await _spawn_server(args)
+
+    try:
+        if not await server_ready(args.server):
+            raise RuntimeError(f"server at {args.server} never became ready")
+
+        reporter = asyncio.create_task(metrics_reporter())
+        semaphore = asyncio.Semaphore(args.workers)
+        workers = [asyncio.create_task(worker(args, work_queue, semaphore, i))
+                   for i in range(args.workers)]
+        await asyncio.gather(*workers)
+        reporter.cancel()
+        logger.info("final metrics:\n%s", metrics)
+        print(json.dumps(metrics.get_metrics_summary(), default=str, indent=2))
+    finally:
+        if server_proc is not None:
+            server_proc.terminate()
+            await server_proc.wait()
+
+
+async def _spawn_server(args: PipelineArgs):
+    from urllib.parse import urlparse
+
+    port = urlparse(args.server).port or 30024
+    cmd = [sys.executable, "-m", "karanta_tpu.inference.server",
+           "--port", str(port)]
+    if args.model_path:
+        cmd += ["--model-path", args.model_path]
+    logger.info("spawning inference server: %s", " ".join(cmd))
+    return await asyncio.create_subprocess_exec(*cmd)
+
+
+def parse_args(argv: Optional[list[str]] = None) -> PipelineArgs:
+    parser = argparse.ArgumentParser(
+        prog="python -m karanta_tpu.pipeline",
+        description="Scale-out OCR pipeline over a TPU inference server")
+    parser.add_argument("workspace")
+    parser.add_argument("--pdfs", nargs="*", default=[])
+    parser.add_argument("--model", default="karanta-ocr")
+    parser.add_argument("--server", default="http://localhost:30024/v1")
+    parser.add_argument("--api-key", dest="api_key", default=None)
+    parser.add_argument("--workers", type=int, default=20)
+    parser.add_argument("--pages_per_group", type=int, default=500)
+    parser.add_argument("--max_page_retries", type=int, default=8)
+    parser.add_argument("--max_page_error_rate", type=float, default=0.004)
+    parser.add_argument("--target_longest_image_dim", type=int,
+                        default=PIPELINE_IMAGE_DIM)
+    parser.add_argument("--prompt_key", default="olmo_ocr_system_prompt")
+    parser.add_argument("--prompt_path", default=None)
+    parser.add_argument("--guided_decoding", action="store_true")
+    parser.add_argument("--markdown", action="store_true")
+    parser.add_argument("--stats", action="store_true")
+    parser.add_argument("--serve-inproc", dest="serve_inproc",
+                        action="store_true")
+    parser.add_argument("--model-path", dest="model_path", default=None)
+    ns = parser.parse_args(argv)
+    return PipelineArgs(**vars(ns))
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    asyncio.run(amain(parse_args(argv)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Crash-safe work distribution over the filesystem.
+
+Native re-implementation of the olmocr WorkQueue/LocalBackend surface the
+reference imports (SURVEY.md §2.11; usage karanta/pipeline.py:1265-1357,
+594-704): the queue is a zstd-compressed CSV of work groups
+(workspace/work_index_list.csv.zstd), each group identified by a stable hash;
+completion is the existence of results/output_<hash>.jsonl, which makes the
+whole pipeline idempotent and resumable across worker crashes.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import hashlib
+import logging
+import os
+from typing import Optional, Sequence
+
+import zstandard
+
+logger = logging.getLogger(__name__)
+
+INDEX_NAME = "work_index_list.csv.zstd"
+RESULTS_DIR = "results"
+
+
+@dataclasses.dataclass(frozen=True)
+class WorkItem:
+    hash: str
+    work_paths: tuple[str, ...]
+
+
+def _group_hash(paths: Sequence[str]) -> str:
+    return hashlib.sha1(("|".join(paths)).encode()).hexdigest()
+
+
+class LocalBackend:
+    def __init__(self, workspace: str):
+        self.workspace = workspace
+        os.makedirs(workspace, exist_ok=True)
+
+    @property
+    def index_path(self) -> str:
+        return os.path.join(self.workspace, INDEX_NAME)
+
+    @property
+    def results_dir(self) -> str:
+        return os.path.join(self.workspace, RESULTS_DIR)
+
+    def read_index(self) -> list[tuple[str, ...]]:
+        if not os.path.exists(self.index_path):
+            return []
+        with open(self.index_path, "rb") as f:
+            data = zstandard.ZstdDecompressor().decompress(f.read())
+        groups = []
+        for line in data.decode("utf-8").splitlines():
+            line = line.strip()
+            if line:
+                groups.append(tuple(p for p in line.split(",") if p))
+        return groups
+
+    def write_index(self, groups: list[tuple[str, ...]]) -> None:
+        lines = "\n".join(",".join(g) for g in groups).encode("utf-8")
+        payload = zstandard.ZstdCompressor().compress(lines)
+        tmp = self.index_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, self.index_path)
+
+    def output_path(self, group_hash: str) -> str:
+        return os.path.join(self.results_dir, f"output_{group_hash}.jsonl")
+
+    def is_done(self, group_hash: str) -> bool:
+        return os.path.exists(self.output_path(group_hash))
+
+
+class WorkQueue:
+    """Async multi-worker queue over a LocalBackend."""
+
+    def __init__(self, backend: LocalBackend):
+        self.backend = backend
+        self._queue: asyncio.Queue[WorkItem] = asyncio.Queue()
+        self._outstanding = 0
+
+    def populate_queue(self, paths: Sequence[str], items_per_group: int) -> int:
+        """Merge new paths into the index, grouped; returns total groups.
+
+        Already-indexed paths keep their existing groups (stable hashes →
+        stable completion markers across invocations; reference
+        pipeline.py:1267-1333).
+        """
+        existing = self.backend.read_index()
+        known = {p for g in existing for p in g}
+        fresh = sorted(set(paths) - known)
+        items_per_group = max(1, items_per_group)
+        new_groups = [tuple(fresh[i:i + items_per_group])
+                      for i in range(0, len(fresh), items_per_group)]
+        groups = existing + new_groups
+        if new_groups:
+            self.backend.write_index(groups)
+        logger.info("work index: %d groups (%d new)", len(groups), len(new_groups))
+        return len(groups)
+
+    def initialize_queue(self) -> int:
+        """Load pending (not-yet-done) groups into the async queue."""
+        os.makedirs(self.backend.results_dir, exist_ok=True)
+        pending = 0
+        for group in self.backend.read_index():
+            h = _group_hash(group)
+            if not self.backend.is_done(h):
+                self._queue.put_nowait(WorkItem(hash=h, work_paths=group))
+                pending += 1
+        self._outstanding = pending
+        return pending
+
+    @property
+    def size(self) -> int:
+        return self._queue.qsize()
+
+    @property
+    def outstanding(self) -> int:
+        return self._outstanding
+
+    async def get_work(self) -> Optional[WorkItem]:
+        try:
+            return self._queue.get_nowait()
+        except asyncio.QueueEmpty:
+            return None
+
+    async def mark_done(self, item: WorkItem) -> None:
+        # completion is the result file's existence; here we only account
+        self._outstanding = max(0, self._outstanding - 1)
+        self._queue.task_done()

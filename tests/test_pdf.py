@@ -1,0 +1,127 @@
+"""PDF stack tests: reader, text extraction, anchor generation, primitives."""
+
+import base64
+import io
+
+import numpy as np
+import pytest
+
+from karanta_tpu.pdf.anchor import get_anchor_text
+from karanta_tpu.pdf.minipdf import PdfDocument
+from karanta_tpu.pdf.primitives import (
+    convert_image_to_pdf_bytes, get_image_dimensions,
+    get_png_dimensions_from_base64, is_jpeg, is_pdf, is_png,
+)
+from karanta_tpu.pdf.textextract import extract_page_report, extract_plain_text
+from tests.pdf_helpers import make_pdf
+
+PAGES = [
+    [(72, 720, "Hello TPU world"), (72, 700, "Second line of text")],
+    [(100, 650, "Page two content")],
+]
+
+
+class TestMiniPdf:
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_pages_and_mediabox(self, compress, tmp_path):
+        data = make_pdf(PAGES, compress=compress)
+        path = tmp_path / "t.pdf"
+        path.write_bytes(data)
+        doc = PdfDocument.open(str(path))
+        assert doc.num_pages() == 2
+        assert doc.media_box(0) == (0, 0, 612, 792)
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_text_positions(self, compress):
+        doc = PdfDocument.open(make_pdf(PAGES, compress=compress))
+        report = extract_page_report(doc, 0)
+        texts = {e.text: (e.x, e.y) for e in report.text_elements}
+        assert texts["Hello TPU world"] == (72, 720)
+        assert texts["Second line of text"] == (72, 700)
+
+    def test_plain_text_order(self):
+        doc = PdfDocument.open(make_pdf(PAGES))
+        text = extract_plain_text(doc, 0)
+        assert text.index("Hello TPU world") < text.index("Second line")
+
+    def test_image_elements(self):
+        doc = PdfDocument.open(make_pdf(PAGES, with_image=True))
+        report = extract_page_report(doc, 0)
+        assert len(report.image_elements) == 1
+        im = report.image_elements[0]
+        assert (im.x0, im.y0, im.x1, im.y1) == (50, 600, 150, 680)
+
+    def test_escaped_strings(self):
+        doc = PdfDocument.open(make_pdf([[(10, 10, "paren (x) and \\ back")]]))
+        report = extract_page_report(doc, 0)
+        assert report.text_elements[0].text == "paren (x) and \\ back"
+
+
+class TestAnchor:
+    def test_pdfreport_format(self, tmp_path):
+        path = tmp_path / "t.pdf"
+        path.write_bytes(make_pdf(PAGES, with_image=True))
+        anchor = get_anchor_text(str(path), 1, "pdfreport")
+        assert anchor.startswith("Page dimensions: 612.0x792.0")
+        assert "[72x720]Hello TPU world" in anchor
+        assert "[Image 50x600 to 150x680]" in anchor
+
+    def test_budget_respected(self, tmp_path):
+        many = [[(50, 700 - 12 * i, f"line {i} " + "x" * 60)
+                 for i in range(200)]]
+        path = tmp_path / "big.pdf"
+        path.write_bytes(make_pdf(many))
+        anchor = get_anchor_text(str(path), 1, "pdfreport", target_length=1000)
+        assert len(anchor) <= 1100
+        # edge elements survive the budget
+        assert "line 0 " in anchor and "line 199 " in anchor
+
+    def test_pdftotext_engine(self, tmp_path):
+        path = tmp_path / "t.pdf"
+        path.write_bytes(make_pdf(PAGES))
+        text = get_anchor_text(str(path), 2, "pdftotext")
+        assert "Page two content" in text
+
+    def test_malformed_returns_empty(self, tmp_path):
+        path = tmp_path / "bad.pdf"
+        path.write_bytes(b"%PDF-1.4 garbage")
+        assert get_anchor_text(str(path), 1) == ""
+
+
+class TestPrimitives:
+    def test_png_dimensions(self):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (123, 45)).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        assert get_png_dimensions_from_base64(b64) == (123, 45)
+
+    def test_jpeg_dimensions(self):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 32)).save(buf, format="JPEG")
+        assert get_image_dimensions(buf.getvalue()) == (64, 32)
+
+    def test_sniffers(self, tmp_path):
+        from PIL import Image
+
+        png = io.BytesIO()
+        Image.new("RGB", (4, 4)).save(png, format="PNG")
+        assert is_png(png.getvalue()) and not is_jpeg(png.getvalue())
+        assert is_pdf(make_pdf(PAGES))
+
+    def test_image_to_pdf_roundtrip(self):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 255, (40, 60, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")
+        pdf_bytes = convert_image_to_pdf_bytes(buf.getvalue())
+        doc = PdfDocument.open(pdf_bytes)
+        assert doc.num_pages() == 1
+        assert doc.media_box(0) == (0, 0, 60, 40)
+        report = extract_page_report(doc, 0)
+        assert len(report.image_elements) == 1

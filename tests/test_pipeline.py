@@ -1,0 +1,208 @@
+"""Pipeline tests: end-to-end against the fake OpenAI server, retry ladder,
+rotation correction, failure budget, Dolma schema, work queue, stats."""
+
+import asyncio
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from karanta_tpu.pipeline.dolma import (
+    ListPageResponse, PageResponse, PageResult, build_dolma_document,
+)
+from karanta_tpu.pipeline.runner import (
+    PipelineArgs, amain, print_stats, process_page,
+)
+from karanta_tpu.pipeline.work_queue import LocalBackend, WorkQueue
+from tests.fake_server import FakeOpenAIServer
+from tests.pdf_helpers import make_pdf
+
+
+def _scanned_pdf(tmp_path, name="scan.pdf"):
+    """An image-only PDF (the scanned-document case) renderable natively."""
+    from PIL import Image
+
+    from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
+
+    rng = np.random.default_rng(42)
+    img = Image.fromarray(rng.integers(200, 255, (400, 300, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    pdf = convert_image_to_pdf_bytes(buf.getvalue())
+    path = tmp_path / name
+    path.write_bytes(pdf)
+    return str(path)
+
+
+def _args(tmp_path, server_url, **kw):
+    defaults = dict(
+        workspace=str(tmp_path / "ws"), server=server_url, workers=2,
+        max_page_retries=3, target_longest_image_dim=256,
+    )
+    defaults.update(kw)
+    return PipelineArgs(**defaults)
+
+
+class TestWorkQueue:
+    def test_populate_group_and_resume(self, tmp_path):
+        backend = LocalBackend(str(tmp_path / "ws"))
+        queue = WorkQueue(backend)
+        n = queue.populate_queue(["a.pdf", "b.pdf", "c.pdf"], items_per_group=2)
+        assert n == 2
+        # repopulating with same paths adds nothing
+        assert queue.populate_queue(["a.pdf", "b.pdf", "c.pdf"], 2) == 2
+        assert queue.initialize_queue() == 2
+
+        async def drain():
+            item = await queue.get_work()
+            # simulate completion: write result file
+            os.makedirs(backend.results_dir, exist_ok=True)
+            open(backend.output_path(item.hash), "w").close()
+            await queue.mark_done(item)
+
+        asyncio.run(drain())
+        fresh = WorkQueue(LocalBackend(backend.workspace))
+        assert fresh.initialize_queue() == 1  # one group already done
+
+
+class TestDolma:
+    def test_document_schema(self):
+        results = [
+            PageResult("doc.pdf", 1, ListPageResponse(
+                pages=[PageResponse(natural_text="page one")]),
+                input_tokens=10, output_tokens=5, is_fallback=False),
+            PageResult("doc.pdf", 2, ListPageResponse(
+                pages=[PageResponse(natural_text="page two", is_table=True)]),
+                input_tokens=12, output_tokens=6, is_fallback=True),
+        ]
+        doc = build_dolma_document("doc.pdf", results)
+        assert doc["text"] == "page one\npage two"
+        assert doc["attributes"]["pdf_page_numbers"] == [[0, 9, 1], [9, 17, 2]]
+        assert doc["attributes"]["is_table"] == [False, True]
+        assert doc["metadata"]["total-fallback-pages"] == 1
+        assert len(doc["id"]) == 40
+
+    def test_empty_document_is_none(self):
+        results = [PageResult("d.pdf", 1, ListPageResponse(
+            pages=[PageResponse(natural_text=None)]), 0, 0, False)]
+        assert build_dolma_document("d.pdf", results) is None
+
+    def test_rotation_validation(self):
+        with pytest.raises(ValueError):
+            PageResponse(natural_text="x", rotation_correction=45)
+
+
+class TestProcessPage:
+    def test_retry_ladder_temperatures(self, tmp_path):
+        pdf = _scanned_pdf(tmp_path)
+        server = FakeOpenAIServer()
+        seen_temps = []
+
+        def responder(request, idx):
+            seen_temps.append(request["temperature"])
+            if idx < 2:
+                return 500, b"boom"
+            return 200, server.completion([server.page_json("recovered")])
+
+        server.responder = responder
+
+        async def run():
+            await server.start()
+            try:
+                args = _args(tmp_path, server.url)
+                return await process_page(args, 0, pdf, pdf, 1)
+            finally:
+                await server.stop()
+
+        result = asyncio.run(run())
+        assert not result.is_fallback
+        assert result.response.pages[0].natural_text == "recovered"
+        assert seen_temps == [0.1, 0.1, 0.2]
+
+    def test_rotation_correction_loop(self, tmp_path):
+        pdf = _scanned_pdf(tmp_path)
+        server = FakeOpenAIServer()
+
+        def responder(request, idx):
+            if idx == 0:
+                return 200, server.completion([server.page_json(
+                    "sideways", is_rotation_valid=False,
+                    rotation_correction=90)])
+            return 200, server.completion([server.page_json("upright")])
+
+        server.responder = responder
+
+        async def run():
+            await server.start()
+            try:
+                return await process_page(
+                    _args(tmp_path, server.url), 0, pdf, pdf, 1)
+            finally:
+                await server.stop()
+
+        result = asyncio.run(run())
+        assert result.response.pages[0].natural_text == "upright"
+        assert len(server.calls) == 2
+
+    def test_fallback_after_exhaustion(self, tmp_path):
+        pdf = _scanned_pdf(tmp_path)
+        server = FakeOpenAIServer(lambda req, idx: (500, b"always broken"))
+
+        async def run():
+            await server.start()
+            try:
+                return await process_page(
+                    _args(tmp_path, server.url), 0, pdf, pdf, 1)
+            finally:
+                await server.stop()
+
+        result = asyncio.run(run())
+        assert result.is_fallback
+
+
+class TestEndToEnd:
+    def test_pipeline_produces_dolma_and_markdown(self, tmp_path):
+        pdfs = [_scanned_pdf(tmp_path, f"doc{i}.pdf") for i in range(3)]
+        server = FakeOpenAIServer()
+
+        async def run():
+            await server.start()
+            try:
+                args = _args(tmp_path, server.url, pdfs=pdfs, markdown=True)
+                await amain(args)
+                return args
+            finally:
+                await server.stop()
+
+        args = asyncio.run(run())
+        results_dir = os.path.join(args.workspace, "results")
+        files = os.listdir(results_dir)
+        assert files, "no result files written"
+        docs = []
+        for name in files:
+            with open(os.path.join(results_dir, name)) as f:
+                docs += [json.loads(line) for line in f if line.strip()]
+        assert len(docs) == 3
+        for doc in docs:
+            assert doc["text"] == "Hello from fake model"
+            assert doc["metadata"]["pdf-total-pages"] == 1
+        md_dir = os.path.join(args.workspace, "markdown")
+        assert len(os.listdir(md_dir)) == 3
+
+        stats = print_stats(args.workspace)
+        assert stats["documents"] == 3 and stats["pages"] == 3
+
+        # resume: re-running does nothing (idempotent completion markers)
+        async def rerun():
+            await server.start()
+            try:
+                calls_before = len(server.calls)
+                await amain(_args(tmp_path, server.url, pdfs=pdfs))
+                return calls_before
+            finally:
+                await server.stop()
+
+        before = asyncio.run(rerun())
+        assert len(server.calls) == before  # no new model calls
