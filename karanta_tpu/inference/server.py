@@ -1,0 +1,337 @@
+"""OpenAI-compatible TPU inference server with continuous batching.
+
+Native replacement for the reference's `vllm serve` subprocess + fleet
+launchers (karanta/pipeline.py:707-913, scripts/start_*_vllm_servers.sh).
+Speaks the exact HTTP surface the pipeline and bulk layers poll:
+  GET  /health                     -> 200 (vllm_client.py:59-60)
+  GET  /v1/models                  -> model list (pipeline.py:888)
+  POST /v1/chat/completions        -> chat completion (pipeline.py:278)
+  GET  /metrics                    -> {"running": N, "waiting": M} — the queue
+                                      depths the reference scrapes from vLLM
+                                      logs for admission control
+                                      (pipeline.py:782-800)
+
+Design: one background engine task owns the device. New requests are admitted
+into free decode slots between decode chunks (continuous batching); prefills
+interleave with decode at chunk boundaries. All device work is serialized on
+one thread (JAX dispatch is not thread-safe across a shared engine state);
+HTTP handling stays fully async.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
+
+logger = logging.getLogger("karanta_tpu.server")
+
+
+@dataclass
+class _Active:
+    prepared: object
+    future: asyncio.Future
+    collected: list[int] = field(default_factory=list)
+    start: float = field(default_factory=time.time)
+
+
+class InferenceServer:
+    def __init__(self, engine: Engine, model_name: str = "karanta-ocr"):
+        self.engine = engine
+        self.model_name = model_name
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.active: dict[int, _Active] = {}
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._engine_task: Optional[asyncio.Task] = None
+        self.port: Optional[int] = None
+        self.requests_served = 0
+
+    # ------------------------------------------------------------------
+    # engine loop
+    # ------------------------------------------------------------------
+
+    async def _engine_loop(self):
+        while True:
+            admitted = await self._admit()
+            if self.active:
+                toks = await asyncio.to_thread(self.engine.decode_chunk)
+                self._distribute(toks)
+            elif not admitted:
+                await asyncio.sleep(0.002)
+
+    async def _admit(self) -> bool:
+        admitted = False
+        while any(self.engine.slot_free) and not self.queue.empty():
+            request, future = self.queue.get_nowait()
+            if future.cancelled():
+                continue
+            try:
+                prepared = await asyncio.to_thread(self.engine.prepare, request)
+                prepared.max_tokens = min(
+                    prepared.max_tokens,
+                    max(1, self.engine.ecfg.max_seq_len - len(prepared.ids) - 1))
+                cache, first, true_len, next_pos = await asyncio.to_thread(
+                    self.engine.prefill, prepared)
+                slot = self.engine.slot_free.index(True)
+                self.engine.insert(slot, prepared, cache, first, true_len,
+                                   next_pos)
+                state = _Active(prepared=prepared, future=future)
+                first_host = int(first)
+                state.collected.append(first_host)
+                if (first_host == self.engine.tok.eos_token_id
+                        or prepared.max_tokens <= 1):
+                    reason = ("stop" if first_host == self.engine.tok.eos_token_id
+                              else "length")
+                    self._finish(slot, state, reason)
+                else:
+                    self.active[slot] = state
+                admitted = True
+            except Exception as exc:
+                logger.exception("failed to admit request")
+                if not future.done():
+                    future.set_exception(exc)
+        return admitted
+
+    def _distribute(self, toks):
+        for slot in list(self.active):
+            state = self.active[slot]
+            reason = None
+            for token in toks[:, slot]:
+                token = int(token)
+                state.collected.append(token)
+                if token == self.engine.tok.eos_token_id:
+                    reason = "stop"
+                    break
+                if len(state.collected) >= state.prepared.max_tokens:
+                    reason = "length"
+                    break
+            if reason:
+                self._finish(slot, state, reason)
+                del self.active[slot]
+
+    def _finish(self, slot: int, state: _Active, reason: str):
+        self.engine.free_slot(slot)
+        self.requests_served += 1
+        if state.future.done():
+            return
+        out_ids = [t for t in state.collected
+                   if t != self.engine.tok.eos_token_id]
+        state.future.set_result({
+            "text": self.engine.tok.decode(out_ids),
+            "finish_reason": reason,
+            "prompt_tokens": int(len(state.prepared.ids)),
+            "completion_tokens": len(state.collected),
+        })
+
+    # ------------------------------------------------------------------
+    # HTTP
+    # ------------------------------------------------------------------
+
+    async def start(self, host: str = "0.0.0.0", port: int = 30024) -> int:
+        self._engine_task = asyncio.create_task(self._engine_loop())
+        self._server = await asyncio.start_server(self._handle, host, port)
+        self.port = self._server.sockets[0].getsockname()[1]
+        logger.info("karanta-tpu inference server on :%d (model=%s)",
+                    self.port, self.model_name)
+        return self.port
+
+    async def stop(self):
+        if self._engine_task:
+            self._engine_task.cancel()
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    async def serve_forever(self):
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter):
+        try:
+            request_line = await reader.readline()
+            if not request_line:
+                return
+            try:
+                method, path, _ = request_line.decode().split(" ", 2)
+            except ValueError:
+                await self._respond(writer, 400, {"error": "bad request line"})
+                return
+            content_length = 0
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                name, _, value = line.decode("latin-1").partition(":")
+                if name.strip().lower() == "content-length":
+                    content_length = int(value.strip())
+            body = (await reader.readexactly(content_length)
+                    if content_length else b"")
+
+            if method == "GET" and path in ("/health", "/health/"):
+                await self._respond(writer, 200, {"status": "ok"})
+            elif method == "GET" and path.rstrip("/").endswith("/models"):
+                await self._respond(writer, 200, {
+                    "object": "list",
+                    "data": [{"id": self.model_name, "object": "model",
+                              "owned_by": "karanta-tpu"}],
+                })
+            elif method == "GET" and path == "/metrics":
+                await self._respond(writer, 200, {
+                    "running": len(self.active),
+                    "waiting": self.queue.qsize(),
+                    "requests_served": self.requests_served,
+                })
+            elif method == "POST" and path.rstrip("/").endswith("/chat/completions"):
+                await self._chat_completions(writer, body)
+            else:
+                await self._respond(writer, 404, {"error": f"no route {path}"})
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        except Exception:
+            logger.exception("request handling failed")
+            try:
+                await self._respond(writer, 500, {"error": "internal error"})
+            except Exception:
+                pass
+        finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _chat_completions(self, writer, body: bytes):
+        try:
+            payload = json.loads(body)
+            messages = payload["messages"]
+        except (json.JSONDecodeError, KeyError) as exc:
+            await self._respond(writer, 400, {"error": f"bad request: {exc}"})
+            return
+
+        request = GenRequest(
+            messages=messages,
+            max_tokens=int(payload.get("max_tokens", 4000)),
+            temperature=float(payload.get("temperature", 0.0)),
+            top_p=float(payload.get("top_p", 1.0)),
+            request_id=f"chatcmpl-{uuid.uuid4().hex[:16]}",
+            guided_regex=payload.get("guided_regex"),
+        )
+        future: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self.queue.put((request, future))
+        try:
+            result = await future
+        except Exception as exc:
+            await self._respond(writer, 500, {"error": str(exc)})
+            return
+
+        await self._respond(writer, 200, {
+            "id": request.request_id,
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": payload.get("model", self.model_name),
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": result["text"]},
+                "finish_reason": result["finish_reason"],
+            }],
+            "usage": {
+                "prompt_tokens": result["prompt_tokens"],
+                "completion_tokens": result["completion_tokens"],
+                "total_tokens": result["prompt_tokens"]
+                + result["completion_tokens"],
+            },
+        })
+
+    @staticmethod
+    async def _respond(writer, status: int, payload: dict):
+        body = json.dumps(payload).encode()
+        writer.write(
+            f"HTTP/1.1 {status} {'OK' if status == 200 else 'ERR'}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n"
+            .encode() + body)
+        await writer.drain()
+
+
+# ----------------------------------------------------------------------
+# CLI
+# ----------------------------------------------------------------------
+
+
+def build_engine_from_args(args) -> tuple[Engine, str]:
+    import jax
+    import jax.numpy as jnp
+
+    from karanta_tpu.models.qwen25_vl.config import get_config
+    from karanta_tpu.models.qwen25_vl.model import init_params
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    ecfg = EngineConfig(
+        max_batch_size=args.max_batch_size,
+        max_seq_len=args.max_model_len,
+        decode_chunk=args.decode_chunk,
+        dtype=dtype,
+    )
+
+    if args.model_path:
+        from karanta_tpu.inference.tokenizer import HFTokenizer
+        from karanta_tpu.models.qwen25_vl.loading import load_hf_checkpoint
+
+        cfg = get_config(args.preset or args.model_path)
+        params = load_hf_checkpoint(args.model_path, cfg, dtype)
+        tok = HFTokenizer(args.model_path)
+        name = args.model_path
+    else:
+        from karanta_tpu.inference.tokenizer import ByteTokenizer
+
+        tok = ByteTokenizer()
+        if (args.preset or "tiny") == "tiny":
+            from karanta_tpu.models.qwen25_vl.config import tiny_config
+
+            cfg = tiny_config(vocab_size=tok.vocab_size)
+        else:
+            cfg = get_config(args.preset)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype)
+        name = f"random-{cfg.name}"
+        logger.warning("serving RANDOM weights (%s): test mode only", name)
+
+    return Engine(params, cfg, tok, ecfg), name
+
+
+def main(argv: Optional[list[str]] = None):
+    parser = argparse.ArgumentParser(
+        prog="python -m karanta_tpu.inference.server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=30024)
+    parser.add_argument("--model-path", default=None,
+                        help="local HF checkpoint dir (safetensors + tokenizer)")
+    parser.add_argument("--preset", default=None,
+                        help="architecture preset (qwen2.5-vl-3b/7b/tiny)")
+    parser.add_argument("--max-batch-size", type=int, default=8)
+    parser.add_argument("--max-model-len", type=int, default=8192)
+    parser.add_argument("--decode-chunk", type=int, default=32)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    engine, name = build_engine_from_args(args)
+    server = InferenceServer(engine, model_name=name)
+
+    async def run():
+        await server.start(args.host, args.port)
+        await server.serve_forever()
+
+    asyncio.run(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Inference-server tests: HTTP surface, continuous batching, and the full
+pipeline -> server -> engine integration loop (tiny random model)."""
+
+import asyncio
+import base64
+import io
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from karanta_tpu.inference.engine import Engine, EngineConfig
+from karanta_tpu.inference.server import InferenceServer
+from karanta_tpu.inference.tokenizer import ByteTokenizer
+from karanta_tpu.models.qwen25_vl.config import tiny_config
+from karanta_tpu.models.qwen25_vl.model import init_params
+from karanta_tpu.pipeline.http import aget, apost
+
+
+def _engine():
+    tok = ByteTokenizer()
+    cfg = tiny_config(vocab_size=tok.vocab_size)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=256, decode_chunk=8,
+                        prefill_buckets=(64, 128, 256),
+                        image_token_buckets=(16, 64), dtype=jnp.float32)
+    return Engine(params, cfg, tok, ecfg)
+
+
+def _chat_body(text="hello", max_tokens=8, with_image=False):
+    content = [{"type": "text", "text": text}]
+    if with_image:
+        from PIL import Image
+
+        img = Image.fromarray(np.random.default_rng(0).integers(
+            0, 255, (56, 56, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        content.append({"type": "image_url",
+                        "image_url": {"url": f"data:image/png;base64,{b64}"}})
+    return {"model": "karanta-ocr", "max_tokens": max_tokens,
+            "temperature": 0.0,
+            "messages": [{"role": "user", "content": content}]}
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    server = InferenceServer(_engine(), model_name="tiny-test")
+    loop = asyncio.new_event_loop()
+
+    import threading
+
+    started = threading.Event()
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def boot():
+            port = await server.start("127.0.0.1", 0)
+            holder["port"] = port
+            started.set()
+
+        loop.run_until_complete(boot())
+        loop.run_forever()
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    started.wait(timeout=30)
+    yield f"http://127.0.0.1:{holder['port']}"
+    loop.call_soon_threadsafe(loop.stop)
+
+
+class TestHTTPSurface:
+    def test_health_and_models(self, server_url):
+        async def go():
+            status, _ = await aget(f"{server_url}/health")
+            assert status == 200
+            status, body = await aget(f"{server_url}/v1/models")
+            return status, json.loads(body)
+
+        status, models = asyncio.run(go())
+        assert status == 200
+        assert models["data"][0]["id"] == "tiny-test"
+
+    def test_metrics(self, server_url):
+        async def go():
+            return await aget(f"{server_url}/metrics")
+
+        status, body = asyncio.run(go())
+        assert status == 200
+        data = json.loads(body)
+        assert {"running", "waiting"} <= set(data)
+
+    def test_chat_completion(self, server_url):
+        async def go():
+            return await apost(f"{server_url}/v1/chat/completions",
+                               _chat_body())
+
+        status, body = asyncio.run(go())
+        assert status == 200
+        data = json.loads(body)
+        assert data["object"] == "chat.completion"
+        assert data["choices"][0]["finish_reason"] in ("stop", "length")
+        assert data["usage"]["total_tokens"] > 0
+
+    def test_multimodal_completion(self, server_url):
+        async def go():
+            return await apost(f"{server_url}/v1/chat/completions",
+                               _chat_body(with_image=True))
+
+        status, body = asyncio.run(go())
+        assert status == 200
+        assert json.loads(body)["usage"]["prompt_tokens"] > 20
+
+    def test_concurrent_requests_batch(self, server_url):
+        async def go():
+            results = await asyncio.gather(*[
+                apost(f"{server_url}/v1/chat/completions",
+                      _chat_body(text=f"req {i}", max_tokens=6))
+                for i in range(5)
+            ])
+            return results
+
+        results = asyncio.run(go())
+        assert all(status == 200 for status, _ in results)
+
+    def test_bad_request(self, server_url):
+        async def go():
+            return await apost(f"{server_url}/v1/chat/completions",
+                               {"not_messages": 1})
+
+        status, _ = asyncio.run(go())
+        assert status == 400
+
+    def test_unknown_route(self, server_url):
+        async def go():
+            return await aget(f"{server_url}/nope")
+
+        status, _ = asyncio.run(go())
+        assert status == 404
+
+
+class TestPipelineIntegration:
+    def test_pipeline_against_real_server(self, server_url, tmp_path):
+        """Full loop: scanned PDF -> pipeline -> our engine -> result file.
+
+        The tiny random model emits non-JSON text, so pages fall back to
+        anchor text — the pipeline must still complete, write the group's
+        result marker, and resume idempotently."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
+        from karanta_tpu.pipeline.runner import PipelineArgs, amain
+
+        img = Image.fromarray(np.random.default_rng(1).integers(
+            180, 255, (120, 90, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        pdf_path = tmp_path / "scan.pdf"
+        pdf_path.write_bytes(convert_image_to_pdf_bytes(buf.getvalue()))
+
+        args = PipelineArgs(
+            workspace=str(tmp_path / "ws"), pdfs=[str(pdf_path)],
+            server=f"{server_url}/v1", workers=1, max_page_retries=2,
+            max_page_error_rate=1.0, target_longest_image_dim=128)
+        asyncio.run(amain(args))
+
+        results = os.listdir(os.path.join(args.workspace, "results"))
+        assert len(results) == 1  # group completion marker written
