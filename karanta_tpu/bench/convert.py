@@ -1,0 +1,161 @@
+"""OCR bench harness: run registered OCR methods over a folder of PDFs.
+
+Parity surface with reference karanta/bench/convert.py:151-390: for each
+method and each page of each <dir>/pdfs/**.pdf, write
+<dir>/<method>/<base>_pg<N>_repeat<R>.md. Methods are "name:key=value" specs
+resolved from a registry; async with a concurrency cap; --remove_text
+re-rasterizes pages to strip the text layer before OCR (so anchor-free paths
+are measured honestly).
+
+Usage:
+  python -m karanta_tpu.bench.convert karanta_pipeline:server=http://...:30024/v1 \
+      --dir bench_data --repeats 1 --parallel 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import glob as globmod
+import importlib
+import logging
+import os
+import tempfile
+from typing import Any, Callable, Optional
+
+logger = logging.getLogger("karanta_tpu.bench")
+
+# method name -> "module:function" (async fn(pdf_path, page_num, **kwargs) -> str|None)
+METHOD_REGISTRY: dict[str, str] = {
+    "karanta_pipeline": "karanta_tpu.bench.runners.run_karanta:run_karanta_pipeline",
+    "anchor_text": "karanta_tpu.bench.runners.run_karanta:run_anchor_baseline",
+}
+
+
+def parse_method_arg(spec: str) -> tuple[str, dict[str, Any]]:
+    """"name:k1=v1:k2=v2" -> (name, kwargs) with int/float/bool casting
+    (reference convert.py:65-95)."""
+    parts = spec.split(":")
+    name, kwargs = parts[0], {}
+    for part in parts[1:]:
+        if not part:
+            continue
+        key, _, raw = part.partition("=")
+        value: Any = raw
+        for cast in (int, float):
+            try:
+                value = cast(raw)
+                break
+            except ValueError:
+                continue
+        if raw.lower() in ("true", "false"):
+            value = raw.lower() == "true"
+        kwargs[key] = value
+    return name, kwargs
+
+
+def resolve_method(name: str) -> Callable:
+    if name not in METHOD_REGISTRY:
+        raise KeyError(f"Unknown method {name!r}; known: {sorted(METHOD_REGISTRY)}")
+    module_name, _, fn_name = METHOD_REGISTRY[name].partition(":")
+    module = importlib.import_module(module_name)
+    return getattr(module, fn_name)
+
+
+def _strip_text_layer(pdf_path: str, page_num: int) -> str:
+    """Rasterize a page and re-wrap as an image-only PDF (--remove_text;
+    reference convert.py:200-243). Returns a temp pdf path."""
+    from karanta_tpu.pdf.primitives import (
+        convert_image_to_pdf_bytes, render_pdf_to_base64png,
+    )
+
+    png_b64 = render_pdf_to_base64png(pdf_path, page_num, 1600)
+    pdf_bytes = convert_image_to_pdf_bytes(base64.b64decode(png_b64))
+    tf = tempfile.NamedTemporaryFile("wb", suffix=".pdf", delete=False)
+    tf.write(pdf_bytes)
+    tf.close()
+    return tf.name
+
+
+async def process_pdfs(methods: list[tuple[str, dict]], data_dir: str,
+                       repeats: int = 1, max_parallel: int = 8,
+                       remove_text: bool = False,
+                       force: bool = False) -> dict[str, int]:
+    from karanta_tpu.pdf.minipdf import PdfDocument
+
+    pdf_paths = sorted(
+        globmod.glob(os.path.join(data_dir, "pdfs", "**", "*.pdf"),
+                     recursive=True))
+    if not pdf_paths:
+        raise SystemExit(f"no PDFs under {data_dir}/pdfs")
+
+    semaphore = asyncio.Semaphore(max_parallel)
+    counts: dict[str, int] = {}
+
+    async def one(method_name, fn, kwargs, pdf_path, page, repeat):
+        base = os.path.splitext(os.path.basename(pdf_path))[0]
+        out_dir = os.path.join(data_dir, method_name)
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, f"{base}_pg{page}_repeat{repeat}.md")
+        if os.path.exists(out_path) and not force:
+            return
+        async with semaphore:
+            local = pdf_path
+            stripped = None
+            try:
+                if remove_text:
+                    stripped = await asyncio.to_thread(
+                        _strip_text_layer, pdf_path, page)
+                    local = stripped
+                text = await fn(local, page, **kwargs)
+            except Exception:
+                logger.exception("%s failed on %s p%d", method_name,
+                                 pdf_path, page)
+                text = None
+            finally:
+                if stripped and os.path.exists(stripped):
+                    os.unlink(stripped)
+        if text is not None:
+            with open(out_path, "w") as f:
+                f.write(text)
+            counts[method_name] = counts.get(method_name, 0) + 1
+
+    tasks = []
+    for method_name, kwargs in methods:
+        fn = resolve_method(method_name)
+        for pdf_path in pdf_paths:
+            try:
+                num_pages = PdfDocument.open(pdf_path).num_pages()
+            except Exception:
+                logger.warning("cannot read %s, skipping", pdf_path)
+                continue
+            for page in range(1, num_pages + 1):
+                for repeat in range(1, repeats + 1):
+                    tasks.append(one(method_name, fn, kwargs, pdf_path,
+                                     page, repeat))
+    await asyncio.gather(*tasks)
+    return counts
+
+
+def main(argv: Optional[list[str]] = None):
+    parser = argparse.ArgumentParser(prog="python -m karanta_tpu.bench.convert")
+    parser.add_argument("methods", nargs="+",
+                        help="method specs: name[:k=v...]")
+    parser.add_argument("--dir", required=True)
+    parser.add_argument("--repeats", type=int, default=1)
+    parser.add_argument("--parallel", type=int, default=8)
+    parser.add_argument("--remove_text", action="store_true")
+    parser.add_argument("--force", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    methods = [parse_method_arg(m) for m in args.methods]
+    counts = asyncio.run(process_pdfs(
+        methods, args.dir, args.repeats, args.parallel, args.remove_text,
+        args.force))
+    print(counts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Document-layout classifier inference.
+
+Parity surface with reference karanta/inference/image_classifier.py:8-54:
+`load_image` accepts a path/URL-string, PIL image, numpy array, or
+torch-style tensor and normalizes to RGB; `predict_layout` returns the best
+{"label", "score"} over the segment/no_segment classes. The backing model is
+our JAX ViT (models/classifier/vit.py); a lazily-created singleton mirrors
+the reference's module-level pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+# ImageNet normalization used by HF image classifiers
+IMAGENET_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
+IMAGENET_STD = np.array([0.5, 0.5, 0.5], np.float32)
+
+
+class LayoutClassifier:
+    def __init__(self, params: Any, cfg: Any):
+        import functools
+
+        import jax
+
+        from karanta_tpu.models.classifier.vit import vit_forward
+
+        self.params = params
+        self.cfg = cfg
+        self._forward = jax.jit(functools.partial(vit_forward, cfg=cfg))
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "LayoutClassifier":
+        """Load from an HF ViTForImageClassification directory (safetensors)."""
+        import glob as globmod
+        import json
+
+        from safetensors import safe_open
+
+        from karanta_tpu.models.classifier.vit import ViTConfig, convert_hf_vit
+
+        with open(os.path.join(path, "config.json")) as f:
+            hf_cfg = json.load(f)
+        id2label = hf_cfg.get("id2label", {"0": "no_segment", "1": "segment"})
+        labels = tuple(id2label[str(i)] for i in range(len(id2label)))
+        cfg = ViTConfig(
+            image_size=hf_cfg.get("image_size", 224),
+            patch_size=hf_cfg.get("patch_size", 16),
+            hidden_size=hf_cfg.get("hidden_size", 768),
+            num_layers=hf_cfg.get("num_hidden_layers", 12),
+            num_heads=hf_cfg.get("num_attention_heads", 12),
+            intermediate_size=hf_cfg.get("intermediate_size", 3072),
+            num_classes=len(labels), labels=labels)
+        state = {}
+        for file in globmod.glob(os.path.join(path, "*.safetensors")):
+            with safe_open(file, framework="np") as f:
+                for key in f.keys():
+                    state[key] = f.get_tensor(key)
+        return cls(convert_hf_vit(state, cfg), cfg)
+
+    @classmethod
+    def random(cls, seed: int = 0) -> "LayoutClassifier":
+        import jax
+
+        from karanta_tpu.models.classifier.vit import ViTConfig, init_vit_params
+
+        cfg = ViTConfig()
+        return cls(init_vit_params(cfg, jax.random.PRNGKey(seed)), cfg)
+
+    def preprocess(self, image) -> np.ndarray:
+        from PIL import Image
+
+        pil = load_image(image)
+        pil = pil.resize((self.cfg.image_size, self.cfg.image_size),
+                         Image.Resampling.BILINEAR)
+        arr = np.asarray(pil, np.float32) / 255.0
+        return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+    def predict(self, image) -> dict:
+        import jax
+
+        batch = self.preprocess(image)[None]
+        logits = np.asarray(self._forward(self.params, images=batch))[0]
+        probs = np.asarray(jax.nn.softmax(logits))
+        best = int(np.argmax(probs))
+        return {"label": self.cfg.labels[best], "score": float(probs[best])}
+
+    def predict_batch(self, images: list) -> list[dict]:
+        import jax
+
+        batch = np.stack([self.preprocess(im) for im in images])
+        logits = np.asarray(self._forward(self.params, images=batch))
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        best = probs.argmax(-1)
+        return [{"label": self.cfg.labels[int(b)], "score": float(p[int(b)])}
+                for b, p in zip(best, probs)]
+
+
+def load_image(image) -> "Any":
+    """path / PIL / ndarray / torch-tensor -> RGB PIL image
+    (reference image_classifier.py:15-39)."""
+    from PIL import Image
+
+    if isinstance(image, str):
+        if image.startswith("http://") or image.startswith("https://"):
+            raise ValueError("URL inputs need network access; download first")
+        pil = Image.open(image)
+    elif isinstance(image, Image.Image):
+        pil = image
+    elif isinstance(image, np.ndarray):
+        arr = image
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+            arr = np.moveaxis(arr, 0, -1)  # CHW -> HWC
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, -1)
+        pil = Image.fromarray(arr)
+    elif hasattr(image, "detach"):  # torch tensor
+        return load_image(image.detach().cpu().numpy())
+    elif hasattr(image, "__array__"):  # jax array & friends
+        return load_image(np.asarray(image))
+    else:
+        raise TypeError(f"Unsupported image type {type(image)}")
+    return pil.convert("RGB")
+
+
+_classifier: Optional[LayoutClassifier] = None
+
+
+def _get_classifier() -> LayoutClassifier:
+    global _classifier
+    if _classifier is None:
+        path = os.environ.get("KARANTA_CLASSIFIER_PATH")
+        if path and os.path.isdir(path):
+            _classifier = LayoutClassifier.from_checkpoint(path)
+        else:
+            _classifier = LayoutClassifier.random()
+    return _classifier
+
+
+def predict_layout(image) -> dict:
+    """{"label": "segment"|"no_segment", "score": float}
+    (reference image_classifier.py:42-54)."""
+    return _get_classifier().predict(image)

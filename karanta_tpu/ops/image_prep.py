@@ -42,8 +42,9 @@ FACTOR = PATCH_SIZE * MERGE_SIZE  # 28
 MIN_PIXELS = 56 * 56
 MAX_PIXELS = 14 * 14 * 4 * 1280
 
-# Grid buckets (in pre-merge patches per side); padded grids compile once each.
-GRID_BUCKETS = (16, 24, 32, 48, 64, 80, 96, 112, 128)
+# Grid buckets (in pre-merge patches per side, multiples of the 8-patch
+# window); padded grids compile once each.
+GRID_BUCKETS = (8, 16, 24, 32, 48, 64, 80, 96, 112, 128)
 
 
 def smart_resize(height: int, width: int, factor: int = FACTOR,

@@ -70,6 +70,10 @@ def create_mesh(
     """
     config = config or MeshConfig()
     devices = list(devices) if devices is not None else jax.devices()
+    dims = (config.data, config.fsdp, config.model)
+    if -1 not in dims and math.prod(dims) < len(devices):
+        # fully specified mesh smaller than the machine: use a device subset
+        devices = devices[: math.prod(dims)]
     shape = config.resolve(len(devices))
     dev_array = np.array(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))

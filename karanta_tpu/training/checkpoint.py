@@ -1,0 +1,99 @@
+"""Checkpoint save/restore: step-numbered directories, keep-last-N,
+COMPLETED markers, resume discovery.
+
+Parity with the reference's checkpoint semantics (karanta/training/utils.py:
+244-372 get_last_checkpoint/clean_last_n_checkpoints, ocr_training.py:784-802
+periodic save_state + keep-last-2): checkpoints live under
+<output_dir>/step_<N>/, a COMPLETED marker is written last (crash-safe), and
+resume picks the newest completed step. Storage uses orbax-checkpoint
+(the TPU-native array serializer) for the state pytree plus a JSON sidecar
+for host metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
+
+STEP_RE = re.compile(r"^(step|epoch)_(\d+)$")
+COMPLETED = "COMPLETED"
+
+
+def checkpoint_dirs(output_dir: str) -> list[tuple[int, str]]:
+    """Sorted (step, path) of checkpoint dirs under output_dir."""
+    if not os.path.isdir(output_dir):
+        return []
+    found = []
+    for name in os.listdir(output_dir):
+        match = STEP_RE.match(name)
+        if match:
+            found.append((int(match.group(2)), os.path.join(output_dir, name)))
+    return sorted(found)
+
+
+def get_last_checkpoint(output_dir: str,
+                        incomplete: bool = False) -> Optional[str]:
+    """Newest checkpoint dir, requiring the COMPLETED marker unless
+    incomplete=True (reference utils.py:244-266)."""
+    for _, path in reversed(checkpoint_dirs(output_dir)):
+        if incomplete or os.path.exists(os.path.join(path, COMPLETED)):
+            return path
+    return None
+
+
+def clean_last_n_checkpoints(output_dir: str, keep_last: int = 2) -> None:
+    dirs = checkpoint_dirs(output_dir)
+    for _, path in dirs[:-keep_last] if keep_last > 0 else dirs:
+        logger.info("removing old checkpoint %s", path)
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def save_checkpoint(output_dir: str, step: int, state: Any,
+                    metadata: Optional[dict] = None,
+                    keep_last: int = 2) -> str:
+    """Save a pytree state to <output_dir>/step_<N>/ atomically."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(output_dir, f"step_{step}")
+    os.makedirs(output_dir, exist_ok=True)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(os.path.abspath(os.path.join(path, "state")), state)
+    checkpointer.wait_until_finished()
+
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump({"step": step, **(metadata or {})}, f)
+    with open(os.path.join(path, COMPLETED), "w") as f:
+        f.write("done\n")
+
+    if keep_last:
+        clean_last_n_checkpoints(output_dir, keep_last)
+    logger.info("saved checkpoint %s", path)
+    return path
+
+
+def restore_checkpoint(path: str, target: Any) -> tuple[Any, dict]:
+    """Restore a pytree state saved by save_checkpoint.
+
+    `target` is an example pytree (same structure/shapes/dtypes/shardings).
+    Returns (state, metadata).
+    """
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+    state = checkpointer.restore(
+        os.path.abspath(os.path.join(path, "state")), target)
+    meta_path = os.path.join(path, "metadata.json")
+    metadata = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return state, metadata

@@ -116,8 +116,14 @@ def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
 
             zeros = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            mb = jax.tree.map(
-                lambda x: x.reshape((grad_accum, -1) + x.shape[1:]), batch)
+            mb = {}
+            for key, value in batch.items():
+                if key == "positions":
+                    # (3, B, S) — batch axis is 1; bring microbatch to front
+                    v = value.reshape(3, grad_accum, -1, value.shape[-1])
+                    mb[key] = jnp.moveaxis(v, 1, 0)
+                else:
+                    mb[key] = value.reshape((grad_accum, -1) + value.shape[1:])
             (grads, loss, tokens), _ = jax.lax.scan(
                 micro, (zeros, 0.0, jnp.zeros((), jnp.int32)), mb)
             grads = jax.tree.map(lambda g: g / grad_accum, grads)
@@ -138,8 +144,8 @@ def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
     return train_step
 
 
-def eval_step(cfg: VLMConfig):
-    loss_fn = make_loss_fn(cfg)
+def eval_step(cfg: VLMConfig, n_windows: int = 0):
+    loss_fn = make_loss_fn(cfg, n_windows=n_windows)
 
     def step(params, batch):
         loss, tokens = loss_fn(params, batch)

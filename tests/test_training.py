@@ -1,0 +1,151 @@
+"""Training stack tests: pipeline steps, collator, full train loop + resume."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from karanta_tpu.inference.tokenizer import ByteTokenizer
+from karanta_tpu.models.qwen25_vl.config import tiny_config
+from karanta_tpu.training.data import (
+    DataCollator, LocalDataset, SingleDatapoint, Tokenizer, build_pipeline,
+    pair_pdf_json, str2PipelineStep,
+)
+
+TOK = ByteTokenizer()
+CFG = tiny_config(vocab_size=TOK.vocab_size)
+
+
+def _make_dataset(tmp_path, n=3):
+    """Scanned-pdf + ground-truth-json pairs on disk."""
+    from PIL import Image
+
+    from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
+
+    pdf_dir = tmp_path / "pdfs"
+    json_dir = tmp_path / "json"
+    pdf_dir.mkdir()
+    json_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = Image.fromarray(rng.integers(150, 255, (80, 64, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        (pdf_dir / f"doc{i}.pdf").write_bytes(
+            convert_image_to_pdf_bytes(buf.getvalue()))
+        page = {
+            "primary_language": "en", "is_rotation_valid": True,
+            "rotation_correction": 0, "is_table": False, "is_diagram": False,
+            "natural_text": f"ground truth text {i}",
+        }
+        (json_dir / f"doc{i}.json").write_text(
+            json.dumps({"result": {"text": json.dumps([page])}}))
+    return tmp_path
+
+
+PIPELINE = [
+    {"name": "PDF2ImageStep", "target_longest_image_dim": 128},
+    {"name": "FetchPageData"},
+    {"name": "StaticLengthDocumentAnchoring", "target_anchor_text_len": 1000},
+    {"name": "FinetuningPrompt"},
+    {"name": "JSONOutputFormat"},
+    {"name": "InstructUserMessages"},
+    {"name": "Tokenizer"},
+]
+
+
+class TestPipelineSteps:
+    def test_registry_complete(self):
+        assert set(str2PipelineStep) == {
+            "PDF2ImageStep", "JSONOutputFormat", "FetchPageData",
+            "FetchMultipageData", "StaticLengthDocumentAnchoring",
+            "FinetuningPrompt", "InstructUserMessages", "Tokenizer"}
+
+    def test_dataset_build(self, tmp_path):
+        root = _make_dataset(tmp_path)
+        ds = LocalDataset(str(root), pipeline_steps=PIPELINE,
+                          tokenizer=TOK, vision_cfg=CFG.vision, max_length=2048)
+        assert len(ds.pairs) == 3
+        samples = ds.build()
+        assert len(samples) == 3
+        s = samples[0]
+        assert s["input_ids"].dtype == np.int32
+        # response tokens unmasked, prompt masked
+        assert (s["labels"] == -100).sum() > 0
+        assert (s["labels"] != -100).sum() > 5
+        assert s["labels"][-1] == TOK.eos_token_id
+        assert s["plan"] is not None
+        # image pads expanded to merged token count
+        n_img = (s["input_ids"] == TOK.image_pad_id).sum()
+        assert n_img == s["plan"].num_merged_tokens
+
+    def test_dataset_cache_roundtrip(self, tmp_path):
+        root = _make_dataset(tmp_path)
+        cache = str(tmp_path / "cache")
+        ds1 = LocalDataset(str(root), pipeline_steps=PIPELINE, cache_dir=cache,
+                           tokenizer=TOK, vision_cfg=CFG.vision)
+        s1 = ds1.build()
+        ds2 = LocalDataset(str(root), pipeline_steps=PIPELINE, cache_dir=cache,
+                           tokenizer=TOK, vision_cfg=CFG.vision)
+        s2 = ds2.build()
+        np.testing.assert_array_equal(s1[0]["input_ids"], s2[0]["input_ids"])
+        assert s2[0]["plan"] == s1[0]["plan"]
+
+    def test_multipage_fetch(self, tmp_path):
+        (tmp_path / "m.json").write_text(json.dumps(
+            {"generation": {"pages": [{"natural_text": "a"},
+                                      {"natural_text": "b"}]}}))
+        sample = SingleDatapoint(json_path=str(tmp_path / "m.json"))
+        step = str2PipelineStep["FetchMultipageData"]()
+        assert len(step(sample).page_data) == 2
+
+
+class TestCollator:
+    def test_batch_shapes(self, tmp_path):
+        root = _make_dataset(tmp_path)
+        samples = LocalDataset(str(root), pipeline_steps=PIPELINE,
+                               tokenizer=TOK, vision_cfg=CFG.vision).build()
+        collator = DataCollator(CFG.vision)
+        batch = collator(samples)
+        bsz, seq = batch["token_ids"].shape
+        assert bsz == 3 and seq in (512, 1024, 2048)
+        assert batch["positions"].shape == (3, bsz, seq)
+        assert batch["pixel_values"].shape[0] == bsz
+        assert batch["image_positions"].shape[0] == bsz
+        assert batch["n_windows"] >= 1
+        # padded image slots point beyond seq (dropped at scatter)
+        n_img = samples[0]["plan"].num_merged_tokens
+        assert (batch["image_positions"][0, n_img:] == seq).all()
+
+
+class TestTrainLoop:
+    def test_train_and_resume(self, tmp_path):
+        from karanta_tpu.training.train import main
+
+        root = _make_dataset(tmp_path)
+        out = tmp_path / "run"
+        argv = [
+            "--dataset_root", str(root),
+            "--output_dir", str(out),
+            "--model_name_or_path", "tiny",
+            "--mesh_data", "1",
+            "--max_steps", "3",
+            "--gradient_accumulation_steps", "1",
+            "--per_device_train_batch_size", "2",
+            "--logging_steps", "1",
+            "--checkpointing_steps", "2",
+            "--eval_steps", "0",
+            "--learning_rate", "0.001",
+            "--dtype", "float32",
+        ]
+        metrics = main(argv)
+        assert np.isfinite(metrics["loss"])
+        assert os.path.exists(out / "step_3" / "COMPLETED")
+
+        # resume continues from the saved step
+        argv2 = list(argv)
+        argv2[argv2.index("--max_steps") + 1] = "4"
+        metrics2 = main(argv2 + ["--resume_from_checkpoint", "auto"])
+        assert metrics2["step"] == 4
