@@ -116,6 +116,14 @@ class Engine:
         self.top_ps = jnp.ones((b,), jnp.float32)
         self.slot_free = [True] * b
 
+        # guided decoding: token automaton tables live on device; dfa state 0
+        # is FREE (unguided slots). One compiled regex active at a time.
+        self.dfa_state = jnp.zeros((b,), jnp.int32)
+        self._guided_regex: Optional[str] = None
+        vocab = cfg.text.vocab_size
+        self._allowed = jnp.ones((1, vocab), jnp.bool_)
+        self._next_state = jnp.zeros((1, vocab), jnp.int32)
+
         # ---- jitted stage functions (cached per shape bucket) ----
         self._encode_image_jit = jax.jit(
             self._encode_image_impl, static_argnames=("n_windows",))
@@ -149,8 +157,8 @@ class Engine:
         return logits, cache
 
     def _insert_impl(self, prefill_cache, cache, cache_len, next_pos,
-                     last_token, temps, top_ps, slot, true_len, first_token,
-                     pos_after, temp, top_p):
+                     last_token, temps, top_ps, dfa_state, slot, true_len,
+                     first_token, pos_after, temp, top_p, dfa_val):
         s = prefill_cache.k.shape[2]
         k = cache.k.at[:, slot, :s].set(prefill_cache.k[:, 0])
         v = cache.v.at[:, slot, :s].set(prefill_cache.v[:, 0])
@@ -161,14 +169,16 @@ class Engine:
             last_token.at[slot].set(first_token),
             temps.at[slot].set(temp),
             top_ps.at[slot].set(top_p),
+            dfa_state.at[slot].set(dfa_val),
         )
 
     def _decode_chunk_impl(self, params, cache, cache_len, next_pos,
-                           last_token, temps, top_ps, key, *, steps):
+                           last_token, temps, top_ps, dfa_state,
+                           allowed, next_state, key, *, steps):
         m = cache.k.shape[2]
 
         def step(carry, step_key):
-            cache, cache_len, next_pos, last_token = carry
+            cache, cache_len, next_pos, last_token, dfa_state = carry
             emb = dec.embed_tokens(params["text"], last_token)[:, None]
             pos = jnp.broadcast_to(next_pos[None, :], (3,) + next_pos.shape)
             hidden, cache = dec.decode_step(
@@ -176,15 +186,19 @@ class Engine:
                 jnp.minimum(cache_len, m - 1))
             logits = dec.logits_from_hidden(
                 params["text"], self.cfg.text, hidden[:, 0])
+            # guided decoding: mask disallowed tokens for each slot's state
+            mask = allowed[dfa_state]  # (B, V)
+            logits = jnp.where(mask, logits, -jnp.inf)
             tokens = sample_tokens(logits, step_key, temps, top_ps)
+            dfa_state = next_state[dfa_state, tokens]
             cache_len = jnp.minimum(cache_len + 1, m - 1)
             next_pos = next_pos + 1
-            return (cache, cache_len, next_pos, tokens), tokens
+            return (cache, cache_len, next_pos, tokens, dfa_state), tokens
 
         keys = jax.random.split(key, steps)
-        (cache, cache_len, next_pos, last_token), toks = jax.lax.scan(
-            step, (cache, cache_len, next_pos, last_token), keys)
-        return cache, cache_len, next_pos, last_token, toks  # toks (K, B)
+        (cache, cache_len, next_pos, last_token, dfa_state), toks = jax.lax.scan(
+            step, (cache, cache_len, next_pos, last_token, dfa_state), keys)
+        return cache, cache_len, next_pos, last_token, dfa_state, toks
 
     # ------------------------------------------------------------------
     # host-side orchestration
@@ -217,11 +231,40 @@ class Engine:
         ids = np.asarray(ids, np.int32)
         positions = mrope_positions(ids, grids, self.tok.image_pad_id,
                                     self.cfg.vision.spatial_merge_size)
+        guide = None
+        if request.guided_regex:
+            guide = self._ensure_automaton(request.guided_regex)
         return _Prepared(
             ids=ids, positions=positions, image_feeds=image_feeds,
             img_token_counts=img_token_counts, max_tokens=request.max_tokens,
             temperature=request.temperature, top_p=request.top_p,
-            request_id=request.request_id)
+            request_id=request.request_id, guide=guide)
+
+    def _ensure_automaton(self, regex: str) -> Optional[int]:
+        """Compile/activate the token automaton for `regex`. Returns the DFA
+        start state for the new slot, or None if guiding is unavailable
+        (different regex already active with live guided slots)."""
+        if regex == self._guided_regex:
+            return self._automaton_start
+        active_guided = bool(np.any(np.asarray(self.dfa_state) > 0)) and \
+            not all(self.slot_free)
+        if self._guided_regex is not None and active_guided:
+            logger.warning("another guided regex is active; running this "
+                           "request unguided")
+            return None
+        from karanta_tpu.inference.guided import (
+            build_token_automaton, token_bytes_from_tokenizer,
+        )
+
+        token_bytes = token_bytes_from_tokenizer(
+            self.tok, self.cfg.text.vocab_size)
+        automaton = build_token_automaton(regex, token_bytes,
+                                          self.tok.eos_token_id)
+        self._guided_regex = regex
+        self._allowed = jnp.asarray(automaton.allowed)
+        self._next_state = jnp.asarray(automaton.next_state)
+        self._automaton_start = automaton.start
+        return automaton.start
 
     def _encode_images(self, prepared: _Prepared):
         """Run the vision encoder for each image; returns padded token arrays
@@ -274,35 +317,42 @@ class Engine:
             jnp.asarray(img_positions.astype(np.int32)),
             jnp.asarray(s, jnp.int32))
 
+        state0 = prepared.guide if prepared.guide is not None else 0
+        if prepared.guide is not None:
+            logits = jnp.where(self._allowed[state0], logits, -jnp.inf)
         self._key, sub = jax.random.split(self._key)
         first = sample_tokens(
             logits[None], sub,
             jnp.asarray([prepared.temperature], jnp.float32),
             jnp.asarray([prepared.top_p], jnp.float32))[0]
+        dfa_after = (int(self._next_state[state0, first])
+                     if prepared.guide is not None else 0)
         # The first sampled token is *fed* at the next decode step; its
         # position is max(prompt positions) + 1.
         next_pos = (int(prepared.positions.max()) + 1) if s else 0
-        return cache, first, s, next_pos
+        return cache, first, s, next_pos, dfa_after
 
     def insert(self, slot: int, prepared: _Prepared, cache, first_token,
-               true_len: int, next_pos: int):
+               true_len: int, next_pos: int, dfa_val: int = 0):
         (self.cache, self.cache_len, self.next_pos, self.last_token,
-         self.temps, self.top_ps) = self._insert_jit(
+         self.temps, self.top_ps, self.dfa_state) = self._insert_jit(
             cache, self.cache, self.cache_len, self.next_pos, self.last_token,
-            self.temps, self.top_ps, jnp.asarray(slot),
+            self.temps, self.top_ps, self.dfa_state, jnp.asarray(slot),
             jnp.asarray(true_len, jnp.int32),
             first_token, jnp.asarray(next_pos, jnp.int32),
             jnp.asarray(prepared.temperature, jnp.float32),
-            jnp.asarray(prepared.top_p, jnp.float32))
+            jnp.asarray(prepared.top_p, jnp.float32),
+            jnp.asarray(dfa_val, jnp.int32))
         self.slot_free[slot] = False
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
         steps = steps or self.ecfg.decode_chunk
         self._key, sub = jax.random.split(self._key)
         (self.cache, self.cache_len, self.next_pos, self.last_token,
-         toks) = self._decode_chunk_jit(
+         self.dfa_state, toks) = self._decode_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
-            self.last_token, self.temps, self.top_ps, sub, steps=steps)
+            self.last_token, self.temps, self.top_ps, self.dfa_state,
+            self._allowed, self._next_state, sub, steps=steps)
         return np.asarray(toks)  # (K, B)
 
     def free_slot(self, slot: int):
@@ -326,9 +376,10 @@ class Engine:
                     prepared.max_tokens,
                     max(1, self.ecfg.max_seq_len - len(prepared.ids) - 1))
                 start = time.time()
-                cache, first, true_len, next_pos = self.prefill(prepared)
+                cache, first, true_len, next_pos, dfa_val = self.prefill(prepared)
                 slot = self.slot_free.index(True)
-                self.insert(slot, prepared, cache, first, true_len, next_pos)
+                self.insert(slot, prepared, cache, first, true_len, next_pos,
+                            dfa_val)
                 first_host = int(np.asarray(first))
                 collected = [first_host]
                 if (first_host == self.tok.eos_token_id

@@ -77,11 +77,12 @@ class InferenceServer:
                 prepared.max_tokens = min(
                     prepared.max_tokens,
                     max(1, self.engine.ecfg.max_seq_len - len(prepared.ids) - 1))
-                cache, first, true_len, next_pos = await asyncio.to_thread(
-                    self.engine.prefill, prepared)
+                (cache, first, true_len, next_pos,
+                 dfa_val) = await asyncio.to_thread(self.engine.prefill,
+                                                    prepared)
                 slot = self.engine.slot_free.index(True)
                 self.engine.insert(slot, prepared, cache, first, true_len,
-                                   next_pos)
+                                   next_pos, dfa_val)
                 state = _Active(prepared=prepared, future=future)
                 first_host = int(first)
                 state.collected.append(first_host)

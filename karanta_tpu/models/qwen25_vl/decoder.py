@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from karanta_tpu.models.qwen25_vl.config import TextConfig
-from karanta_tpu.ops.attention import attention, mha_reference
+from karanta_tpu.ops.attention import attention, decode_attention
 from karanta_tpu.ops.norms import rms_norm
 from karanta_tpu.ops.rotary import apply_rope, mrope_cos_sin
 
@@ -189,7 +189,7 @@ def decode_step(params: Params, cfg: TextConfig,
         q, k = apply_rope(q, k, cos, sin)
         k_cache = k_cache.at[batch_idx, cache_len].set(k[:, 0])
         v_cache = v_cache.at[batch_idx, cache_len].set(v[:, 0])
-        attn = mha_reference(q, k_cache, v_cache, kv_mask=kv_valid, causal=False)
+        attn = decode_attention(q, k_cache, v_cache, kv_mask=kv_valid)
         x = x + attn.reshape(b, 1, -1) @ layer["attn"]["wo"]
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
         return x, (k_cache, v_cache)

@@ -71,6 +71,33 @@ def mha_reference(
     return out.astype(q.dtype)
 
 
+def decode_attention(
+    q: jnp.ndarray,        # (B, 1, H, D)
+    k_cache: jnp.ndarray,  # (B, M, KVH, D)
+    v_cache: jnp.ndarray,  # (B, M, KVH, D)
+    kv_mask: jnp.ndarray,  # (B, M) 1 = valid
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Single-token decode attention, GQA-aware: no repeat_kv materialization
+    (reads each cache byte exactly once — the decode path is HBM-bound and
+    the cache is its largest stream). Shapes static; bound M is the cache
+    bucket."""
+    b, _, h, d = q.shape
+    kvh = k_cache.shape[2]
+    group = h // kvh
+    scale = d ** -0.5 if scale is None else scale
+    qg = q.reshape(b, kvh, group, d)
+    # scores: (B, KVH, G, M) — f32 accumulation without materializing an
+    # f32 (or head-repeated) copy of the cache
+    s = jnp.einsum("bkgd,bmkd->bkgm", qg, k_cache,
+                   preferred_element_type=jnp.float32) * scale
+    s = jnp.where(kv_mask[:, None, None, :] > 0, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgm,bmkd->bkgd", p.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, 1, h, d).astype(q.dtype)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                   acc_ref, m_ref, l_ref, *,
                   scale: float, causal: bool, block_q: int, block_k: int,

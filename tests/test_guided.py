@@ -1,0 +1,91 @@
+"""Guided decoding tests: regex compiler, token automaton, engine integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
+from karanta_tpu.inference.guided import (
+    build_token_automaton, compile_regex, match_full,
+    token_bytes_from_tokenizer, TokenAutomaton,
+)
+from karanta_tpu.inference.tokenizer import ByteTokenizer
+from karanta_tpu.models.qwen25_vl.config import tiny_config
+from karanta_tpu.models.qwen25_vl.model import init_params
+from karanta_tpu.pipeline.runner import GUIDED_REGEX
+
+
+class TestRegexCompiler:
+    @pytest.mark.parametrize("pattern,accept,reject", [
+        (r"ab+c?", ["ab", "abbb", "abc"], ["a", "ac", "abcc"]),
+        (r"[a-c]{2}", ["ab", "cc"], ["a", "abc", "dd"]),
+        (r"(?:foo|bar)x*", ["foo", "barxx"], ["baz", "xfoo"]),
+        (r"a\nb", ["a\nb"], ["anb", "a b"]),
+        (r"[^0-9]+", ["abc"], ["a1"]),
+        (r"x{2,3}", ["xx", "xxx"], ["x", "xxxx"]),
+        (r"a.c", ["abc", "azc"], ["a\nc", "ac"]),
+    ])
+    def test_patterns(self, pattern, accept, reject):
+        dfa = compile_regex(pattern)
+        for s in accept:
+            assert match_full(dfa, s.encode()), (pattern, s)
+        for s in reject:
+            assert not match_full(dfa, s.encode()), (pattern, s)
+
+    def test_pipeline_guided_regex(self):
+        dfa = compile_regex(GUIDED_REGEX)
+        good = (b"---\nprimary_language: en\nis_rotation_valid: True\n"
+                b"rotation_correction: 90\nis_table: false\n"
+                b"is_diagram: False\n---\nbody text\nmore")
+        assert match_full(dfa, good)
+        assert not match_full(dfa, good.replace(b": en", b": english"))
+        assert not match_full(dfa, b"primary_language: en")
+
+
+class TestTokenAutomaton:
+    def test_masks_and_transitions(self):
+        tok = ByteTokenizer()
+        token_bytes = token_bytes_from_tokenizer(tok, tok.vocab_size)
+        auto = build_token_automaton(r"ab+", token_bytes, tok.eos_token_id)
+        a_id = ord("a") + tok.OFFSET
+        b_id = ord("b") + tok.OFFSET
+        c_id = ord("c") + tok.OFFSET
+        state = auto.start
+        assert auto.allowed[state, a_id]
+        assert not auto.allowed[state, b_id]
+        assert not auto.allowed[state, tok.eos_token_id]
+        state = auto.next_state[state, a_id]
+        assert auto.allowed[state, b_id]
+        assert not auto.allowed[state, c_id]
+        state = auto.next_state[state, b_id]
+        # after "ab": accepting -> eos allowed, more b allowed
+        assert auto.allowed[state, tok.eos_token_id]
+        assert auto.allowed[state, b_id]
+        # FREE row allows everything
+        assert auto.allowed[TokenAutomaton.FREE].all()
+
+
+class TestEngineGuided:
+    def test_generation_matches_regex(self):
+        tok = ByteTokenizer()
+        cfg = tiny_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        ecfg = EngineConfig(max_batch_size=2, max_seq_len=128, decode_chunk=4,
+                            prefill_buckets=(64, 128),
+                            image_token_buckets=(16,), dtype=jnp.float32)
+        engine = Engine(params, cfg, tok, ecfg)
+
+        pattern = r"(?:yes|no): [0-9]{1,3}"
+        req = GenRequest(
+            messages=[{"role": "user", "content": "classify"}],
+            max_tokens=24, temperature=1.0, guided_regex=pattern)
+        (res,) = engine.generate([req])
+        dfa = compile_regex(pattern)
+        assert match_full(dfa, res.text.encode()), res.text
+
+        # unguided request on the same engine still works
+        (free,) = engine.generate([GenRequest(
+            messages=[{"role": "user", "content": "hello"}],
+            max_tokens=6, temperature=0.0)])
+        assert free.completion_tokens <= 6
