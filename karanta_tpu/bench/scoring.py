@@ -15,14 +15,27 @@ import glob as globmod
 import json
 import os
 import re
+import sys
 import unicodedata
 from typing import Optional
+
+# native C++ kernels (native/fastlev.cpp); build with `make native`
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+if _NATIVE_DIR not in sys.path:
+    sys.path.append(_NATIVE_DIR)
+try:
+    import fastlev as _fastlev
+except ImportError:
+    _fastlev = None
 
 
 def edit_distance(a: str, b: str, limit: Optional[int] = None) -> int:
     """Levenshtein distance (O(len(a)*len(b)), early-exit on limit)."""
     if a == b:
         return 0
+    if _fastlev is not None:
+        return _fastlev.edit_distance(a, b, -1 if limit is None else limit)
     if len(a) > len(b):
         a, b = b, a
     previous = list(range(len(a) + 1))
@@ -50,6 +63,8 @@ def _fuzzy_find(haystack: str, needle: str, max_diffs: int = 0) -> bool:
     """Is `needle` present in `haystack` within `max_diffs` edits?"""
     if max_diffs <= 0:
         return needle in haystack
+    if _fastlev is not None:
+        return bool(_fastlev.fuzzy_contains(haystack, needle, max_diffs))
     n = len(needle)
     if n == 0:
         return True
