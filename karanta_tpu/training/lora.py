@@ -1,0 +1,111 @@
+"""LoRA adapters for the stacked-layer decoder.
+
+Reference behavior (karanta/training/ocr_training.py:373-397): low-rank
+adapters on q/k/v/o and gate/up/down projections, base weights frozen.
+
+Functional design: adapters are a parallel pytree of (a, b) factors stacked
+over the layers axis, matching each target matrix (L, in, out) with
+a (L, in, r) and b (L, r, out). Training merges adapters into the base
+params inside the jitted step (two batched matmuls per target — MXU work,
+no data-dependent control flow) and differentiates only the adapter leaves;
+base params stay frozen constants. `merge_lora` produces plain full-weight
+params for serving/export (reference save_with_accelerate's LoRA-aware save,
+training/utils.py:310-354).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# target paths inside params["text"]["layers"]
+ATTN_TARGETS = ("wq", "wk", "wv", "wo")
+MLP_TARGETS = ("gate", "up", "down")
+
+
+def init_lora_params(params: Any, rank: int, key: jax.Array,
+                     alpha: float = 16.0, dtype=jnp.float32) -> Any:
+    """Adapters for every decoder attn/mlp target present in `params`."""
+    layers = params["text"]["layers"]
+    keys = iter(jax.random.split(key, 16))
+
+    def factors(w):
+        L, d_in, d_out = w.shape
+        a = (jax.random.normal(next(keys), (L, d_in, rank), jnp.float32)
+             / jnp.sqrt(rank)).astype(dtype)
+        b = jnp.zeros((L, rank, d_out), dtype)
+        return {"a": a, "b": b}
+
+    lora = {"attn": {}, "mlp": {}}
+    for name in ATTN_TARGETS:
+        lora["attn"][name] = factors(layers["attn"][name])
+    for name in MLP_TARGETS:
+        lora["mlp"][name] = factors(layers["mlp"][name])
+    lora["alpha"] = jnp.asarray(alpha, jnp.float32)
+    lora["rank"] = rank
+    return lora
+
+
+def merge_lora(params: Any, lora: Any) -> Any:
+    """params + scale * a@b on every target; returns a new params pytree."""
+    scale = (lora["alpha"] / lora["rank"]).astype(jnp.float32) \
+        if hasattr(lora["alpha"], "astype") else lora["alpha"] / lora["rank"]
+
+    def merged(w, f):
+        delta = jnp.einsum("lir,lro->lio", f["a"].astype(jnp.float32),
+                           f["b"].astype(jnp.float32)) * scale
+        return (w.astype(jnp.float32) + delta).astype(w.dtype)
+
+    layers = params["text"]["layers"]
+    new_attn = dict(layers["attn"])
+    for name in ATTN_TARGETS:
+        new_attn[name] = merged(layers["attn"][name], lora["attn"][name])
+    new_mlp = dict(layers["mlp"])
+    for name in MLP_TARGETS:
+        new_mlp[name] = merged(layers["mlp"][name], lora["mlp"][name])
+
+    new_layers = dict(layers)
+    new_layers["attn"] = new_attn
+    new_layers["mlp"] = new_mlp
+    new_text = dict(params["text"])
+    new_text["layers"] = new_layers
+    return {**params, "text": new_text}
+
+
+def trainable_lora(lora: Any) -> Any:
+    """The differentiable subset (factors only, not alpha/rank)."""
+    return {"attn": lora["attn"], "mlp": lora["mlp"]}
+
+
+def with_factors(lora: Any, factors: Any) -> Any:
+    return {**lora, "attn": factors["attn"], "mlp": factors["mlp"]}
+
+
+def make_lora_train_step(cfg, optimizer, n_windows: int = 0):
+    """(state, params, batch) -> (state, metrics); state holds adapter
+    factors + opt state; base params are frozen inputs."""
+    import optax
+
+    from karanta_tpu.training.train_step import TrainState, make_loss_fn
+
+    loss_fn = make_loss_fn(cfg, n_windows=n_windows)
+
+    def train_step(state: TrainState, base_params, lora_template, batch):
+        def lora_loss(factors):
+            lora = with_factors(lora_template, factors)
+            merged = merge_lora(base_params, lora)
+            return loss_fn(merged, batch)
+
+        (loss, tokens), grads = jax.value_and_grad(
+            lora_loss, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        factors = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=factors, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {"loss": loss, "tokens": tokens,
+                           "grad_norm": optax.global_norm(grads)}
+
+    return train_step

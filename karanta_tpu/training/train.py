@@ -45,6 +45,9 @@ class ExperimentArguments:
     seed: int = 42
     gradient_checkpointing: bool = False
     report_to: str = "none"             # none | wandb
+    use_lora: bool = False
+    lora_rank: int = 16
+    lora_alpha: float = 16.0
 
 
 @dataclasses.dataclass
@@ -157,7 +160,36 @@ def main(argv: Optional[list[str]] = None) -> dict:
         optimizer = make_optimizer(exp.optimizer, schedule,
                                    weight_decay=exp.weight_decay,
                                    max_grad_norm=exp.max_grad_norm)
-        state = create_train_state(params, optimizer)
+        n_windows = _batch_windows(collator, train_samples)
+        lora_template = None
+        if exp.use_lora:
+            from karanta_tpu.training.lora import (
+                init_lora_params, make_lora_train_step, merge_lora,
+                trainable_lora, with_factors,
+            )
+
+            lora_template = init_lora_params(
+                params, exp.lora_rank, jax.random.PRNGKey(exp.seed + 1),
+                alpha=exp.lora_alpha)
+            state = create_train_state(trainable_lora(lora_template), optimizer)
+            lora_step = jax.jit(make_lora_train_step(cfg, optimizer,
+                                                     n_windows=n_windows))
+
+            def train_fn(state, batch):
+                return lora_step(state, params, lora_template, batch)
+        else:
+            state = create_train_state(params, optimizer)
+            train_fn = jax.jit(make_train_step(
+                cfg, optimizer, remat=exp.gradient_checkpointing,
+                grad_accum=exp.gradient_accumulation_steps,
+                n_windows=n_windows))
+        eval_fn = jax.jit(eval_step(cfg, n_windows=n_windows))
+
+        def eval_params(current_state):
+            if exp.use_lora:
+                return merge_lora(params, with_factors(lora_template,
+                                                       current_state.params))
+            return current_state.params
 
         start_step = 0
         resume = exp.resume_from_checkpoint
@@ -167,12 +199,6 @@ def main(argv: Optional[list[str]] = None) -> dict:
             state, meta = ckpt.restore_checkpoint(resume, state)
             start_step = int(meta.get("step", 0))
             logger.info("resumed from %s at step %d", resume, start_step)
-
-        n_windows = _batch_windows(collator, train_samples)
-        train_fn = jax.jit(make_train_step(
-            cfg, optimizer, remat=exp.gradient_checkpointing,
-            grad_accum=exp.gradient_accumulation_steps, n_windows=n_windows))
-        eval_fn = jax.jit(eval_step(cfg, n_windows=n_windows))
 
         # --- loop ---
         tracker = None
@@ -213,7 +239,7 @@ def main(argv: Optional[list[str]] = None) -> dict:
                     tracker.log(last_metrics, step=step)
 
             if exp.eval_steps and step % exp.eval_steps == 0 and eval_samples:
-                eval_loss = _run_eval(eval_fn, state, collator, eval_samples)
+                eval_loss = _run_eval(eval_fn, eval_params(state), collator, eval_samples)
                 logger.info("eval at %d: loss=%.4f", step, eval_loss)
                 if tracker:
                     tracker.log({"eval_loss": eval_loss}, step=step)
@@ -225,7 +251,7 @@ def main(argv: Optional[list[str]] = None) -> dict:
         ckpt.save_checkpoint(exp.output_dir, step, state,
                              keep_last=exp.keep_last_n_checkpoints)
         if eval_samples:
-            final_eval = _run_eval(eval_fn, state, collator, eval_samples)
+            final_eval = _run_eval(eval_fn, eval_params(state), collator, eval_samples)
             last_metrics["final_eval_loss"] = final_eval
             logger.info("final eval loss: %.4f", final_eval)
         if tracker:
@@ -238,13 +264,13 @@ def _batch_windows(collator, samples) -> int:
     return int(probe.get("n_windows", 0))
 
 
-def _run_eval(eval_fn, state, collator, eval_samples, batch_size: int = 2
+def _run_eval(eval_fn, params, collator, eval_samples, batch_size: int = 2
               ) -> float:
     losses = []
     for start in range(0, len(eval_samples), batch_size):
         chunk = eval_samples[start:start + batch_size]
         batch = _to_device_batch(collator(chunk), 1, len(chunk))
-        metrics = eval_fn(state.params, batch)
+        metrics = eval_fn(params, batch)
         losses.append(float(metrics["loss"]))
     return float(np.mean(losses)) if losses else float("nan")
 

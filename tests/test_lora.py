@@ -1,0 +1,85 @@
+"""LoRA tests: zero-init identity, merge math, gradient flow, train CLI."""
+
+import io
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from karanta_tpu.inference.tokenizer import ByteTokenizer
+from karanta_tpu.models.qwen25_vl.config import tiny_config
+from karanta_tpu.models.qwen25_vl.model import init_params
+from karanta_tpu.training.lora import (
+    init_lora_params, merge_lora, trainable_lora, with_factors,
+)
+
+TOK = ByteTokenizer()
+CFG = tiny_config(vocab_size=TOK.vocab_size)
+
+
+class TestLoraMath:
+    def test_zero_init_is_identity(self):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        lora = init_lora_params(params, rank=4, key=jax.random.PRNGKey(1))
+        merged = merge_lora(params, lora)
+        np.testing.assert_array_equal(
+            np.asarray(merged["text"]["layers"]["attn"]["wq"]),
+            np.asarray(params["text"]["layers"]["attn"]["wq"]))
+
+    def test_merge_applies_delta(self):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        lora = init_lora_params(params, rank=4, key=jax.random.PRNGKey(1),
+                                alpha=8.0)
+        factors = trainable_lora(lora)
+        factors["attn"]["wq"]["b"] = jnp.ones_like(factors["attn"]["wq"]["b"])
+        merged = merge_lora(params, with_factors(lora, factors))
+        base = np.asarray(params["text"]["layers"]["attn"]["wq"])
+        new = np.asarray(merged["text"]["layers"]["attn"]["wq"])
+        expected_delta = np.einsum(
+            "lir,lro->lio", np.asarray(factors["attn"]["wq"]["a"]),
+            np.ones_like(np.asarray(factors["attn"]["wq"]["b"]))) * (8.0 / 4)
+        np.testing.assert_allclose(new - base, expected_delta, atol=1e-5)
+        # untouched matrices stay identical
+        np.testing.assert_array_equal(
+            np.asarray(merged["text"]["layers"]["mlp"]["gate"]),
+            np.asarray(params["text"]["layers"]["mlp"]["gate"]))
+
+
+class TestLoraTraining:
+    def test_train_cli_with_lora(self, tmp_path):
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
+        from karanta_tpu.training.train import main
+
+        pdf_dir = tmp_path / "pdfs"
+        json_dir = tmp_path / "json"
+        pdf_dir.mkdir()
+        json_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            img = Image.fromarray(rng.integers(150, 255, (80, 64, 3),
+                                               dtype=np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            (pdf_dir / f"d{i}.pdf").write_bytes(
+                convert_image_to_pdf_bytes(buf.getvalue()))
+            page = {"primary_language": "en", "is_rotation_valid": True,
+                    "rotation_correction": 0, "is_table": False,
+                    "is_diagram": False, "natural_text": f"text {i}"}
+            (json_dir / f"d{i}.json").write_text(
+                json.dumps({"result": {"text": json.dumps([page])}}))
+
+        metrics = main([
+            "--dataset_root", str(tmp_path),
+            "--output_dir", str(tmp_path / "run"),
+            "--model_name_or_path", "tiny", "--mesh_data", "1",
+            "--max_steps", "2", "--gradient_accumulation_steps", "1",
+            "--per_device_train_batch_size", "2", "--logging_steps", "1",
+            "--checkpointing_steps", "0", "--eval_steps", "0",
+            "--learning_rate", "0.01", "--dtype", "float32",
+            "--use_lora", "true", "--lora_rank", "4",
+        ])
+        assert np.isfinite(metrics["loss"])
+        assert metrics["step"] == 2
