@@ -96,11 +96,28 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 class Engine:
-    """Single-model serving engine over one jax device mesh."""
+    """Single-model serving engine over one jax device mesh.
+
+    With a multi-device mesh, parameters shard per the logical-axis rules
+    (tensor parallelism over "model": qkv/mlp column-sharded, o/down
+    row-sharded with psum — the reference delegates this to vLLM -tp,
+    pipeline.py:719-720) and the KV cache shards its kv-head axis to match;
+    decode slots shard over "data"."""
 
     def __init__(self, params: Any, cfg: VLMConfig, tokenizer: Tokenizer,
                  engine_cfg: EngineConfig = EngineConfig(),
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            from karanta_tpu.models.qwen25_vl.model import param_axes
+            from karanta_tpu.parallel.sharding import (
+                DEFAULT_RULES, logical_to_named_sharding, shard_pytree,
+            )
+
+            params = shard_pytree(params, param_axes(cfg), mesh, DEFAULT_RULES)
+            self._cache_sharding = logical_to_named_sharding(
+                mesh, ("layers", "batch", "kv_seq", "kv_heads", "head_dim"),
+                DEFAULT_RULES)
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -109,6 +126,10 @@ class Engine:
 
         b, m = engine_cfg.max_batch_size, engine_cfg.max_seq_len
         self.cache = dec.KVCache.zeros(cfg.text, b, m, engine_cfg.dtype)
+        if mesh is not None:
+            self.cache = dec.KVCache(
+                jax.device_put(self.cache.k, self._cache_sharding),
+                jax.device_put(self.cache.v, self._cache_sharding))
         self.cache_len = jnp.zeros((b,), jnp.int32)
         self.next_pos = jnp.zeros((b,), jnp.int32)
         self.last_token = jnp.zeros((b,), jnp.int32)

@@ -283,6 +283,14 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         dtype=dtype,
     )
 
+    mesh = None
+    tp = getattr(args, "tensor_parallel_size", 1)
+    dp = getattr(args, "data_parallel_size", 1)
+    if tp > 1 or dp > 1:
+        from karanta_tpu.parallel.mesh import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(data=dp, fsdp=1, model=tp))
+
     if args.model_path:
         from karanta_tpu.inference.tokenizer import HFTokenizer
         from karanta_tpu.models.qwen25_vl.loading import load_hf_checkpoint
@@ -305,7 +313,7 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         name = f"random-{cfg.name}"
         logger.warning("serving RANDOM weights (%s): test mode only", name)
 
-    return Engine(params, cfg, tok, ecfg), name
+    return Engine(params, cfg, tok, ecfg, mesh=mesh), name
 
 
 def main(argv: Optional[list[str]] = None):
@@ -320,6 +328,8 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--max-batch-size", type=int, default=8)
     parser.add_argument("--max-model-len", type=int, default=8192)
     parser.add_argument("--decode-chunk", type=int, default=32)
+    parser.add_argument("--tensor-parallel-size", type=int, default=1)
+    parser.add_argument("--data-parallel-size", type=int, default=1)
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
