@@ -52,6 +52,7 @@ class EngineConfig:
     min_pixels: int = 56 * 56
     max_pixels: int = 14 * 14 * 4 * 1280
     dtype: Any = jnp.bfloat16
+    quantize: Optional[str] = None       # None | "int8" (decoder weights)
 
 
 @dataclasses.dataclass
@@ -118,6 +119,13 @@ class Engine:
             self._cache_sharding = logical_to_named_sharding(
                 mesh, ("layers", "batch", "kv_seq", "kv_heads", "head_dim"),
                 DEFAULT_RULES)
+        if engine_cfg.quantize == "int8":
+            from karanta_tpu.ops.quantization import quantize_decoder_params
+
+            params = {**params,
+                      "text": quantize_decoder_params(params["text"])}
+        elif engine_cfg.quantize:
+            raise ValueError(f"unknown quantize mode {engine_cfg.quantize!r}")
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer

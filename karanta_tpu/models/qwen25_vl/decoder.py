@@ -31,6 +31,7 @@ import numpy as np
 from karanta_tpu.models.qwen25_vl.config import TextConfig
 from karanta_tpu.ops.attention import attention, decode_attention
 from karanta_tpu.ops.norms import rms_norm
+from karanta_tpu.ops.quantization import matmul as qmm
 from karanta_tpu.ops.rotary import apply_rope, mrope_cos_sin
 
 Params = Any
@@ -126,14 +127,14 @@ jax.tree_util.register_pytree_node(
 
 def _project_qkv(x, p, cfg: TextConfig):
     b, s, _ = x.shape
-    q = (x @ p["wq"] + p["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = (x @ p["wk"] + p["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = (x @ p["wv"] + p["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = (qmm(x, p["wq"]) + p["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = (qmm(x, p["wk"]) + p["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = (qmm(x, p["wv"]) + p["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
 def _mlp(x, p):
-    return (jax.nn.silu(x @ p["gate"]) * (x @ p["up"])) @ p["down"]
+    return qmm(jax.nn.silu(qmm(x, p["gate"])) * qmm(x, p["up"]), p["down"])
 
 
 def prefill_forward(params: Params, cfg: TextConfig,
@@ -154,7 +155,7 @@ def prefill_forward(params: Params, cfg: TextConfig,
         q, k, v = _project_qkv(xn, layer["attn"], cfg)
         q, k = apply_rope(q, k, cos, sin)
         attn = attention(q, k, v, kv_mask=kv_mask, causal=True)
-        x = x + attn.reshape(b, s, -1) @ layer["attn"]["wo"]
+        x = x + qmm(attn.reshape(b, s, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
         return x, (k, v)
 
@@ -190,7 +191,7 @@ def decode_step(params: Params, cfg: TextConfig,
         k_cache = k_cache.at[batch_idx, cache_len].set(k[:, 0])
         v_cache = v_cache.at[batch_idx, cache_len].set(v[:, 0])
         attn = decode_attention(q, k_cache, v_cache, kv_mask=kv_valid)
-        x = x + attn.reshape(b, 1, -1) @ layer["attn"]["wo"]
+        x = x + qmm(attn.reshape(b, 1, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
         return x, (k_cache, v_cache)
 
@@ -203,7 +204,7 @@ def logits_from_hidden(params: Params, cfg: TextConfig,
                        hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_word_embeddings:
         return hidden @ params["embed"].T
-    return hidden @ params["lm_head"]
+    return qmm(hidden, params["lm_head"])
 
 
 def embed_tokens(params: Params, token_ids: jnp.ndarray) -> jnp.ndarray:

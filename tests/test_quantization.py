@@ -1,0 +1,81 @@
+"""int8 weight-only quantization tests: matmul accuracy, decoder parity,
+engine integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
+from karanta_tpu.inference.tokenizer import ByteTokenizer
+from karanta_tpu.models.qwen25_vl import decoder as dec
+from karanta_tpu.models.qwen25_vl.config import tiny_config
+from karanta_tpu.models.qwen25_vl.layout import mrope_positions
+from karanta_tpu.models.qwen25_vl.model import init_params
+from karanta_tpu.ops.quantization import (
+    matmul, quantize_decoder_params, quantize_weight,
+)
+
+TOK = ByteTokenizer()
+CFG = tiny_config(vocab_size=TOK.vocab_size)
+
+
+class TestQuantizedMatmul:
+    def test_accuracy(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+        qw = quantize_weight(w)
+        assert qw["int8_q"].dtype == jnp.int8
+        exact = np.asarray(x @ w)
+        approx = np.asarray(matmul(x, qw))
+        rel = np.abs(exact - approx).max() / np.abs(exact).max()
+        assert rel < 0.02, rel
+
+    def test_stacked_layers(self):
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(size=(3, 16, 8)), jnp.float32)
+        qw = quantize_weight(w)
+        assert qw["scale"].shape == (3, 1, 8)
+        x = jnp.asarray(rng.normal(size=(3, 5, 16)), jnp.float32)
+        exact = np.asarray(jnp.einsum("lbi,lio->lbo", x, w))
+        approx = np.asarray(jnp.stack(
+            [matmul(x[i], {"int8_q": qw["int8_q"][i], "scale": qw["scale"][i]})
+             for i in range(3)]))
+        assert np.abs(exact - approx).max() / np.abs(exact).max() < 0.02
+
+
+class TestQuantizedDecoder:
+    def test_prefill_close_to_full_precision(self):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        qtext = quantize_decoder_params(params["text"])
+
+        ids = np.random.default_rng(2).integers(16, 200, size=(1, 24))
+        pos = mrope_positions(ids[0], [], CFG.image_token_id)
+        emb = dec.embed_tokens(params["text"], jnp.asarray(ids[0]))[None]
+
+        h_full, _ = dec.prefill_forward(params["text"], CFG.text, emb,
+                                        jnp.asarray(pos)[:, None, :])
+        h_q, _ = dec.prefill_forward(qtext, CFG.text, emb,
+                                     jnp.asarray(pos)[:, None, :])
+        logits_full = np.asarray(dec.logits_from_hidden(
+            params["text"], CFG.text, h_full))
+        logits_q = np.asarray(dec.logits_from_hidden(qtext, CFG.text, h_q))
+        # int8 weight-only should track full precision closely
+        top_full = logits_full.argmax(-1)
+        top_q = logits_q.argmax(-1)
+        agreement = (top_full == top_q).mean()
+        assert agreement > 0.85, agreement
+
+    def test_engine_with_int8(self):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        ecfg = EngineConfig(max_batch_size=1, max_seq_len=128, decode_chunk=4,
+                            prefill_buckets=(64, 128),
+                            image_token_buckets=(16,), dtype=jnp.float32,
+                            quantize="int8")
+        engine = Engine(params, CFG, TOK, ecfg)
+        (res,) = engine.generate([GenRequest(
+            messages=[{"role": "user", "content": "hello world"}],
+            max_tokens=8, temperature=0.0)])
+        assert res.completion_tokens <= 8
+        assert engine.params["text"]["layers"]["mlp"]["gate"][
+            "int8_q"].dtype == jnp.int8
