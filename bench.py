@@ -58,6 +58,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--baseline", type=float, default=1.0,
                         help="baseline pages/sec/chip (A100+vLLM 7B class)")
+    parser.add_argument("--quantize", default=os.environ.get(
+        "KARANTA_BENCH_QUANTIZE") or None, choices=[None, "int8"],
+        help="decoder weight quantization (reference serves FP8 checkpoints)")
     args = parser.parse_args()
 
     import jax
@@ -67,6 +70,10 @@ def main() -> None:
         # the container sitecustomize pins the TPU platform; honor an explicit
         # CPU request for local smoke runs
         jax.config.update("jax_platforms", "cpu")
+
+    from karanta_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 
@@ -95,6 +102,7 @@ def main() -> None:
         prefill_buckets=(2048, 4096),
         image_token_buckets=(2048,),
         dtype=dtype,
+        quantize=args.quantize,
     )
     engine = Engine(params, cfg, tok, ecfg)
 
@@ -142,6 +150,8 @@ def main() -> None:
             "decode_tokens_per_sec": round(total_completion / elapsed, 1),
             "backend": jax.default_backend(),
             "chips": n_chips,
+            "batch": args.batch,
+            "quantize": args.quantize,
         },
     }))
 

@@ -281,6 +281,7 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         max_seq_len=args.max_model_len,
         decode_chunk=args.decode_chunk,
         dtype=dtype,
+        quantize=getattr(args, "quantize", None),
     )
 
     mesh = None
@@ -330,10 +331,14 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--decode-chunk", type=int, default=32)
     parser.add_argument("--tensor-parallel-size", type=int, default=1)
     parser.add_argument("--data-parallel-size", type=int, default=1)
+    parser.add_argument("--quantize", default=None, choices=["int8"])
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    from karanta_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     engine, name = build_engine_from_args(args)
     server = InferenceServer(engine, model_name=name)
 

@@ -439,9 +439,11 @@ async def amain(args: PipelineArgs) -> None:
         logger.info("nothing to do")
         return
 
-    server_proc = None
+    supervisor = None
+    stop_supervisor = asyncio.Event()
     if args.serve_inproc:
-        server_proc = await _spawn_server(args)
+        supervisor = asyncio.create_task(
+            _supervise_server(args, stop_supervisor))
 
     try:
         if not await server_ready(args.server):
@@ -456,9 +458,39 @@ async def amain(args: PipelineArgs) -> None:
         logger.info("final metrics:\n%s", metrics)
         print(json.dumps(metrics.get_metrics_summary(), default=str, indent=2))
     finally:
-        if server_proc is not None:
-            server_proc.terminate()
-            await server_proc.wait()
+        stop_supervisor.set()
+        if supervisor is not None:
+            await supervisor
+
+
+async def _supervise_server(args, stop: asyncio.Event,
+                            max_restarts: int = 5) -> None:
+    """Keep the in-process inference server alive, restarting on crash
+    (reference pipeline.py:865-882: vLLM subprocess restarted up to 5x)."""
+    restarts = 0
+    proc = await _spawn_server(args)
+    try:
+        while not stop.is_set():
+            wait_stop = asyncio.create_task(stop.wait())
+            wait_proc = asyncio.create_task(proc.wait())
+            done, pending = await asyncio.wait(
+                {wait_stop, wait_proc}, return_when=asyncio.FIRST_COMPLETED)
+            for task in pending:
+                task.cancel()
+            if stop.is_set():
+                break
+            restarts += 1
+            if restarts > max_restarts:
+                logger.critical("inference server crashed %d times; giving up",
+                                restarts)
+                raise RuntimeError("inference server keeps crashing")
+            logger.error("inference server exited (code %s); restart %d/%d",
+                         proc.returncode, restarts, max_restarts)
+            proc = await _spawn_server(args)
+    finally:
+        if proc.returncode is None:
+            proc.terminate()
+            await proc.wait()
 
 
 async def _spawn_server(args: PipelineArgs):

@@ -99,6 +99,9 @@ def main(argv: Optional[list[str]] = None) -> dict:
     )
 
     logging.basicConfig(level=logging.INFO)
+    from karanta_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     exp, model_args, data_args = ConfigParser(
         [ExperimentArguments, ModelArguments, DatasetArguments]).parse(argv)
 
