@@ -148,6 +148,7 @@ def make_lr_schedule(kind: str, base_lr: float, warmup_steps: int,
 
 def make_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
                    max_grad_norm: Optional[float] = 1.0,
+                   skip_nonfinite: bool = True,
                    **kwargs) -> optax.GradientTransformation:
     if name == "adamw":
         opt = make_adamw(learning_rate, weight_decay, **kwargs)
@@ -157,4 +158,8 @@ def make_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
         raise ValueError(f"Unknown optimizer {name!r}")
     if max_grad_norm:
         opt = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+    if skip_nonfinite:
+        # skip updates on NaN/inf loss batches instead of poisoning params
+        # (reference skips NaN-loss batches — ocr_training.py:89-93)
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=10)
     return opt
