@@ -28,7 +28,7 @@ import numpy as np
 
 from karanta_tpu.models.qwen25_vl.config import VisionConfig
 from karanta_tpu.models.qwen25_vl.layout import VisionLayout
-from karanta_tpu.ops.attention import attention
+from karanta_tpu.ops.attention import _use_pallas, attention, window_attention
 from karanta_tpu.ops.norms import rms_norm
 from karanta_tpu.ops.rotary import apply_rope, vision_rope_cos_sin
 
@@ -126,11 +126,24 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
     k = x @ p["wk"] + p["bk"]
     v = x @ p["wv"] + p["bv"]
 
+    tw = cfg.window_patches ** 2
+    if not full and _use_pallas():
+        # block-diagonal kernel: windows stay in-sequence, each 256-token
+        # block computes only its own diagonal tile (4 windows per block)
+        q = q.reshape(1, tokens, nh, hd)
+        k = k.reshape(1, tokens, nh, hd)
+        v = v.reshape(1, tokens, nh, hd)
+        cs = cos.reshape(1, tokens, hd)
+        sn = sin.reshape(1, tokens, hd)
+        q, k = apply_rope(q, k, cs, sn)
+        out = window_attention(q, k, v, window=tw, kv_mask=valid[None, :])
+        out = out.reshape(tokens, nh * hd)
+        return out @ p["wo"] + p["bo"]
+
     if full:
         shape = (1, tokens, nh, hd)
         mask = valid[None, :]
     else:
-        tw = cfg.window_patches ** 2
         shape = (n_windows, tw, nh, hd)
         mask = valid.reshape(n_windows, tw)
 

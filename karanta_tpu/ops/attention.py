@@ -240,6 +240,83 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _window_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                   scale: float, window: int, block: int):
+    """Block-diagonal attention: each block attends only within itself,
+    masked down to `window`-sized segments. Written for the vision encoder's
+    window layers (window=64 pre-merge patches): with block a multiple of
+    window, every query's full kv set lives in its own aligned block, so no
+    online softmax and no cross-block traffic is needed."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    same_window = (rows // window) == (cols // window)
+    s = jnp.where(same_window, s, NEG_INF)
+    s = jnp.where(mask_ref[0, 0][None, :] > 0, s, NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    p = p / denom
+    out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, 0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "scale", "block", "interpret"))
+def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     window: int,
+                     kv_mask: Optional[jnp.ndarray] = None,
+                     scale: Optional[float] = None,
+                     block: int = 256,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Attention restricted to contiguous `window`-token segments.
+
+    q/k/v (B, S, H, D) with S a multiple of `window` and the same head count
+    (no GQA here — the ViT has none). kv_mask (B, S) hides pad tokens.
+    """
+    b, s, h, d = q.shape
+    assert s % window == 0, (s, window)
+    block = min(block, s)
+    while block % window != 0 or s % block != 0:
+        block = window  # fallback: one window per block
+        break
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, s), jnp.float32)
+    kv_mask = kv_mask.astype(jnp.float32)[:, None, :]
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    grid = (b, h, s // block)
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, scale=float(d ** -0.5 if scale is None
+                                                      else scale),
+                          window=window, block=block),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block, d), lambda bb, hh, si: (bb, hh, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda bb, hh, si: (bb, hh, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda bb, hh, si: (bb, hh, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda bb, hh, si: (bb, 0, si),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block, d),
+                               lambda bb, hh, si: (bb, hh, si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt, kv_mask)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -21,9 +21,11 @@ import pytest  # noqa: E402
 # The environment's sitecustomize may have force-registered a TPU backend and
 # pinned jax_platforms; re-pin to cpu before any backend initialization.
 jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: repeat test runs skip XLA compiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/karanta_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from karanta_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 
 @pytest.fixture(scope="session")
