@@ -40,6 +40,8 @@ class _Active:
     future: asyncio.Future
     collected: list[int] = field(default_factory=list)
     start: float = field(default_factory=time.time)
+    stream: Optional[asyncio.Queue] = None   # token-delta queue when streaming
+    emitted_text: str = ""
 
 
 class InferenceServer:
@@ -69,7 +71,7 @@ class InferenceServer:
     async def _admit(self) -> bool:
         admitted = False
         while any(self.engine.slot_free) and not self.queue.empty():
-            request, future = self.queue.get_nowait()
+            request, future, stream_q = self.queue.get_nowait()
             if future.cancelled():
                 continue
             try:
@@ -83,7 +85,8 @@ class InferenceServer:
                 slot = self.engine.slot_free.index(True)
                 self.engine.insert(slot, prepared, cache, first, true_len,
                                    next_pos, dfa_val)
-                state = _Active(prepared=prepared, future=future)
+                state = _Active(prepared=prepared, future=future,
+                                stream=stream_q)
                 first_host = int(first)
                 state.collected.append(first_host)
                 if (first_host == self.engine.tok.eos_token_id
@@ -113,13 +116,27 @@ class InferenceServer:
                 if len(state.collected) >= state.prepared.max_tokens:
                     reason = "length"
                     break
+            if state.stream is not None:
+                self._emit_delta(state)
             if reason:
                 self._finish(slot, state, reason)
                 del self.active[slot]
 
+    def _emit_delta(self, state: _Active):
+        out_ids = [t for t in state.collected
+                   if t != self.engine.tok.eos_token_id]
+        text = self.engine.tok.decode(out_ids)
+        delta = text[len(state.emitted_text):]
+        if delta:
+            state.emitted_text = text
+            state.stream.put_nowait(delta)
+
     def _finish(self, slot: int, state: _Active, reason: str):
         self.engine.free_slot(slot)
         self.requests_served += 1
+        if state.stream is not None:
+            self._emit_delta(state)
+            state.stream.put_nowait({"finish_reason": reason})
         if state.future.done():
             return
         out_ids = [t for t in state.collected
@@ -227,7 +244,14 @@ class InferenceServer:
             guided_regex=payload.get("guided_regex"),
         )
         future: asyncio.Future = asyncio.get_running_loop().create_future()
-        await self.queue.put((request, future))
+
+        if payload.get("stream"):
+            stream_q: asyncio.Queue = asyncio.Queue()
+            await self.queue.put((request, future, stream_q))
+            await self._stream_response(writer, request, payload, stream_q)
+            return
+
+        await self.queue.put((request, future, None))
         try:
             result = await future
         except Exception as exc:
@@ -251,6 +275,41 @@ class InferenceServer:
                 + result["completion_tokens"],
             },
         })
+
+    async def _stream_response(self, writer, request, payload,
+                               stream_q: asyncio.Queue):
+        """OpenAI-style SSE: chat.completion.chunk deltas then [DONE]."""
+        writer.write(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/event-stream\r\n"
+            b"Cache-Control: no-cache\r\nConnection: close\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n")
+        await writer.drain()
+
+        def chunk_payload(delta: dict, finish: Optional[str]) -> bytes:
+            body = json.dumps({
+                "id": request.request_id,
+                "object": "chat.completion.chunk",
+                "created": int(time.time()),
+                "model": payload.get("model", self.model_name),
+                "choices": [{"index": 0, "delta": delta,
+                             "finish_reason": finish}],
+            }).encode()
+            event = b"data: " + body + b"\n\n"
+            return f"{len(event):x}\r\n".encode() + event + b"\r\n"
+
+        writer.write(chunk_payload({"role": "assistant"}, None))
+        await writer.drain()
+        while True:
+            item = await stream_q.get()
+            if isinstance(item, dict):  # finish marker
+                writer.write(chunk_payload({}, item["finish_reason"]))
+                done = b"data: [DONE]\n\n"
+                writer.write(f"{len(done):x}\r\n".encode() + done + b"\r\n")
+                writer.write(b"0\r\n\r\n")
+                await writer.drain()
+                return
+            writer.write(chunk_payload({"content": item}, None))
+            await writer.drain()
 
     @staticmethod
     async def _respond(writer, status: int, payload: dict):

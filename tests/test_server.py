@@ -137,6 +137,22 @@ class TestHTTPSurface:
         status, _ = asyncio.run(go())
         assert status == 400
 
+    def test_streaming_sse(self, server_url):
+        async def go():
+            body = _chat_body(max_tokens=6)
+            body["stream"] = True
+            return await apost(f"{server_url}/v1/chat/completions", body)
+
+        status, raw = asyncio.run(go())
+        assert status == 200
+        text = raw.decode()
+        assert "chat.completion.chunk" in text
+        assert '"role": "assistant"' in text
+        assert "[DONE]" in text
+        # a finish_reason arrives before DONE
+        assert '"finish_reason": "stop"' in text or \
+            '"finish_reason": "length"' in text
+
     def test_unknown_route(self, server_url):
         async def go():
             return await aget(f"{server_url}/nope")
