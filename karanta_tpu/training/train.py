@@ -58,6 +58,10 @@ class ModelArguments:
     mesh_data: int = -1
     mesh_fsdp: int = 1
     mesh_model: int = 1
+    # multi-host (pod-slice) bootstrap; leave unset for single-process runs
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -117,6 +121,13 @@ def main(argv: Optional[list[str]] = None) -> dict:
         cfg = get_config(model_args.model_name_or_path)
         tokenizer = HFTokenizer(model_args.checkpoint_path
                                 or model_args.model_name_or_path)
+
+    if model_args.num_processes and model_args.num_processes > 1:
+        from karanta_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(model_args.coordinator_address,
+                               model_args.num_processes,
+                               model_args.process_id)
 
     dtype = jnp.bfloat16 if model_args.dtype == "bfloat16" else jnp.float32
     mesh = create_mesh(MeshConfig(model_args.mesh_data, model_args.mesh_fsdp,
