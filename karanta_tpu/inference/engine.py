@@ -147,7 +147,10 @@ class Engine:
 
         # guided decoding: token automaton tables live on device; dfa state 0
         # is FREE (unguided slots). One compiled regex active at a time.
+        import threading
+
         self.dfa_state = jnp.zeros((b,), jnp.int32)
+        self._automaton_lock = threading.Lock()
         self._guided_regex: Optional[str] = None
         vocab = cfg.text.vocab_size
         self._allowed = jnp.ones((1, vocab), jnp.bool_)
@@ -272,7 +275,12 @@ class Engine:
     def _ensure_automaton(self, regex: str) -> Optional[int]:
         """Compile/activate the token automaton for `regex`. Returns the DFA
         start state for the new slot, or None if guiding is unavailable
-        (different regex already active with live guided slots)."""
+        (different regex already active with live guided slots). Thread-safe:
+        prepare() may run in a worker pool."""
+        with self._automaton_lock:
+            return self._ensure_automaton_locked(regex)
+
+    def _ensure_automaton_locked(self, regex: str) -> Optional[int]:
         if regex == self._guided_regex:
             return self._automaton_start
         active_guided = bool(np.any(np.asarray(self.dfa_state) > 0)) and \
@@ -390,8 +398,16 @@ class Engine:
     # ------------------------------------------------------------------
 
     def generate(self, requests: list[GenRequest]) -> list[GenResult]:
-        """Synchronous batch generation (the server drives slots directly)."""
+        """Synchronous batch generation (the server drives slots directly).
+
+        Host-side request preparation (image decode/resize/layout planning)
+        runs in a thread pool so it overlaps the device's decode chunks."""
+        from concurrent.futures import ThreadPoolExecutor
+
         results: dict[int, GenResult] = {}
+        prep_pool = ThreadPoolExecutor(max_workers=4)
+        prep_futures = {i: prep_pool.submit(self.prepare, r)
+                        for i, r in enumerate(requests)}
         pending = list(enumerate(requests))
         # slot -> (req_idx, prepared, collected tokens, start time, first token)
         active: dict[int, list] = {}
@@ -399,7 +415,7 @@ class Engine:
         while pending or active:
             while pending and any(self.slot_free):
                 req_idx, request = pending.pop(0)
-                prepared = self.prepare(request)
+                prepared = prep_futures[req_idx].result()
                 # keep prompt + completion within the cache
                 prepared.max_tokens = min(
                     prepared.max_tokens,
@@ -443,6 +459,7 @@ class Engine:
                     del active[slot]
                     self.free_slot(slot)
 
+        prep_pool.shutdown(wait=False)
         return [results[i] for i in range(len(requests))]
 
     def _finish(self, prepared: _Prepared, collected: list[int],
