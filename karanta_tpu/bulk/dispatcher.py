@@ -17,8 +17,6 @@ import logging
 import os
 import time
 from dataclasses import dataclass
-from typing import Optional
-
 from karanta_tpu.bulk.database import JobDatabase
 from karanta_tpu.pipeline.http import aget, apost
 

@@ -19,7 +19,6 @@ scripts/start_*_vllm_servers.sh) with a JAX-native design:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import io
 import logging
 import time

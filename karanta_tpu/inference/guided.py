@@ -24,7 +24,7 @@ groups (...) / (?:...), alternation |, quantifiers * + ? {m} {m,} {m,n}.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ an HF-weight converter is provided for ViTForImageClassification checkpoints.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ pipeline's default engine model — karanta/pipeline.py:1128-1131).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,8 +25,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

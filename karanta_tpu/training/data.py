@@ -28,7 +28,7 @@ from karanta_tpu.inference.chat import (
 from karanta_tpu.inference.tokenizer import Tokenizer as TokenizerProto
 from karanta_tpu.models.qwen25_vl.config import VisionConfig
 from karanta_tpu.models.qwen25_vl.layout import build_vision_layout, mrope_positions
-from karanta_tpu.ops.image_prep import ImagePlan, bucket_side, plan_image
+from karanta_tpu.ops.image_prep import ImagePlan, bucket_side
 from karanta_tpu.pdf.anchor import get_anchor_text
 from karanta_tpu.pdf.primitives import render_pdf_to_base64png
 from karanta_tpu.prompts.templates import load_prompt_template

@@ -13,7 +13,7 @@ reduce-scatter/all-gathers DeepSpeed does by hand.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

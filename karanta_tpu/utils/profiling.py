@@ -15,7 +15,7 @@ import json
 import logging
 import os
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 logger = logging.getLogger(__name__)
 
