@@ -59,15 +59,19 @@ GUIDED_REGEX = (
 metrics = MetricsKeeper(window=300)
 tracker = WorkerTracker()
 
-# bounded host-side render concurrency (reference pipeline.py:94-96)
-_render_semaphore: Optional[asyncio.Semaphore] = None
+# bounded host-side render concurrency (reference pipeline.py:94-96);
+# one semaphore per event loop — asyncio primitives must not cross loops
+_render_semaphores: dict[int, asyncio.Semaphore] = {}
 
 
 def _render_sem() -> asyncio.Semaphore:
-    global _render_semaphore
-    if _render_semaphore is None:
-        _render_semaphore = asyncio.Semaphore(max(1, (os.cpu_count() or 4) - 2))
-    return _render_semaphore
+    loop_id = id(asyncio.get_running_loop())
+    sem = _render_semaphores.get(loop_id)
+    if sem is None:
+        _render_semaphores.clear()  # old loops are gone; drop their semaphores
+        sem = asyncio.Semaphore(max(1, (os.cpu_count() or 4) - 2))
+        _render_semaphores[loop_id] = sem
+    return sem
 
 
 @dataclass
