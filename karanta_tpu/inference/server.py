@@ -395,6 +395,15 @@ def main(argv: Optional[list[str]] = None):
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # honor an explicit CPU request even when a sitecustomize pinned a
+        # TPU platform (test harnesses spawn CPU servers)
+        jax.config.update("jax_platforms", "cpu")
+
     from karanta_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -282,9 +282,8 @@ def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, s, h, d = q.shape
     assert s % window == 0, (s, window)
     block = min(block, s)
-    while block % window != 0 or s % block != 0:
+    if block % window != 0 or s % block != 0:
         block = window  # fallback: one window per block
-        break
     if kv_mask is None:
         kv_mask = jnp.ones((b, s), jnp.float32)
     kv_mask = kv_mask.astype(jnp.float32)[:, None, :]

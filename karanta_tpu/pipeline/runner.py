@@ -93,6 +93,7 @@ class PipelineArgs:
     stats: bool = False
     serve_inproc: bool = False
     model_path: Optional[str] = None
+    server_extra_args: list[str] = field(default_factory=list)
 
 
 async def build_page_query(local_pdf_path: str, page: int,
@@ -505,6 +506,7 @@ async def _spawn_server(args: PipelineArgs):
            "--port", str(port)]
     if args.model_path:
         cmd += ["--model-path", args.model_path]
+    cmd += list(getattr(args, "server_extra_args", []) or [])
     logger.info("spawning inference server: %s", " ".join(cmd))
     return await asyncio.create_subprocess_exec(*cmd)
 
