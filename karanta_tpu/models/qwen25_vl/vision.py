@@ -126,8 +126,15 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
     k = x @ p["wk"] + p["bk"]
     v = x @ p["wv"] + p["bv"]
 
+    import os
+
     tw = cfg.window_patches ** 2
-    if not full and _use_pallas():
+    # Opt-in (KARANTA_WINDOW_KERNEL=1): correct and faster per-op, but on the
+    # remote-compile TPU service this kernel made end-to-end bench compiles
+    # stall (>20 min vs ~7); default path keeps the batched-windows layout
+    # until that is understood on-chip.
+    use_window_kernel = os.environ.get("KARANTA_WINDOW_KERNEL", "0") == "1"
+    if not full and _use_pallas() and use_window_kernel:
         # block-diagonal kernel: windows stay in-sequence, each 256-token
         # block computes only its own diagonal tile (4 windows per block)
         q = q.reshape(1, tokens, nh, hd)
