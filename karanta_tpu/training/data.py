@@ -301,7 +301,21 @@ class LocalDataset:
         fp = pipeline_fingerprint(self.step_specs, {"n": len(self.pairs)})
         return Path(self.cache_dir) / f"dataset_{fp}.npz.d"
 
-    def build(self) -> list[dict]:
+    def _process_pair(self, pair: tuple[str, str]) -> Optional[dict]:
+        pdf_path, json_path = pair
+        sample = SingleDatapoint(pdf_path=pdf_path, json_path=json_path)
+        try:
+            for step in self.steps:
+                sample = step(sample)
+        except Exception:
+            logger.exception("sample failed: %s", pdf_path)
+            return None
+        return sample.tensors
+
+    def build(self, num_workers: int = 4) -> list[dict]:
+        """Process all pairs (thread-parallel: rendering/PIL dominate and
+        release the GIL — the reference maps with num_proc=4,
+        data.py:168-176)."""
         if self._samples is not None:
             return self._samples
         cache = self._cache_path()
@@ -310,17 +324,14 @@ class LocalDataset:
             self._samples = _load_cache(cache)
             return self._samples
 
-        samples = []
-        for pdf_path, json_path in self.pairs:
-            sample = SingleDatapoint(pdf_path=pdf_path, json_path=json_path)
-            try:
-                for step in self.steps:
-                    sample = step(sample)
-            except Exception:
-                logger.exception("sample failed: %s", pdf_path)
-                continue
-            if sample.tensors is not None:
-                samples.append(sample.tensors)
+        if num_workers > 1 and len(self.pairs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_workers) as pool:
+                results = list(pool.map(self._process_pair, self.pairs))
+        else:
+            results = [self._process_pair(pair) for pair in self.pairs]
+        samples = [r for r in results if r is not None]
         self._samples = samples
         if cache:
             _save_cache(cache, samples)
