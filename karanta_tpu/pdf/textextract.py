@@ -8,11 +8,65 @@ XObject ops), implemented directly over our minipdf reader.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import os
+import re
+import sys
+from typing import Iterator, Optional
 
 from karanta_tpu.pdf.minipdf import (
     Name, Op, PdfDocument, Stream, _Lexer, _parse_object,
 )
+
+# native C++ lexer (native/pdflex.cpp, `make native`): one-pass tokenization
+# of content streams — the host hot loop at corpus scale
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+if _NATIVE_DIR not in sys.path:
+    sys.path.append(_NATIVE_DIR)
+try:
+    import pdflex as _pdflex
+except ImportError:
+    _pdflex = None
+
+_INLINE_IMAGE_RE = re.compile(rb"(?:^|(?<=[\s\x00]))BI[\s\x00][\s\S]*?"
+                              rb"[\s\x00]EI(?=[\s\x00]|$)")
+
+
+def _strip_inline_images(content: bytes) -> bytes:
+    """Remove BI..EI inline-image segments (binary payloads break lexing)."""
+    if b"BI" not in content:
+        return content
+    return _INLINE_IMAGE_RE.sub(b" ", content)
+
+
+def _convert_native(token):
+    kind, value = token
+    if kind == "num":
+        return value
+    if kind == "str":
+        return value
+    if kind == "name":
+        return Name(value)
+    if kind == "op":
+        return Op(value)
+    if kind == "arr":
+        return [_convert_native(v) for v in value]
+    return None
+
+
+def _iter_tokens(content: bytes, doc) -> Iterator:
+    """Token stream for one content stream: native lexer when built,
+    pure-Python otherwise."""
+    if _pdflex is not None:
+        for token in _pdflex.lex_content(content):
+            yield _convert_native(token)
+        return
+    lex = _Lexer(content, 0)
+    while True:
+        obj = _parse_object(lex, doc)
+        if obj is None and lex.peek() == b"":
+            return
+        yield obj
 
 
 @dataclasses.dataclass
@@ -146,8 +200,7 @@ def extract_page_report(doc: PdfDocument, page_index: int,
             font_cache[name] = _Font(doc, fd if isinstance(fd, dict) else {})
         return font_cache[name]
 
-    content = doc.page_content(page_index)
-    lex = _Lexer(content, 0)
+    content = _strip_inline_images(doc.page_content(page_index))
 
     texts: list[TextElement] = []
     images: list[ImageElement] = []
@@ -172,10 +225,9 @@ def extract_page_report(doc: PdfDocument, page_index: int,
         texts.append(TextElement(trm[4], trm[5], decoded))
 
     ops = 0
-    while ops < max_ops:
-        obj = _parse_object(lex, doc)
+    for obj in _iter_tokens(content, doc):
         ops += 1
-        if obj is None and lex.peek() == b"":
+        if ops > max_ops:
             break
         if not isinstance(obj, Op):
             operands.append(obj)
@@ -233,10 +285,7 @@ def extract_page_report(doc: PdfDocument, page_index: int,
                     x1, y1 = _apply(ctm, 1.0, 1.0)
                     images.append(ImageElement(
                         name, min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1)))
-            elif op == b"BI":
-                # inline image: skip to EI
-                end = content.find(b"EI", lex.pos)
-                lex.pos = end + 2 if end >= 0 else len(content)
+            # (inline BI..EI images are stripped before lexing)
         except (TypeError, ValueError, IndexError):
             pass
         operands = []

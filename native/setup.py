@@ -12,5 +12,10 @@ setup(
             sources=["fastlev.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "pdflex",
+            sources=["pdflex.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )
