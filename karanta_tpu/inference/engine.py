@@ -161,8 +161,11 @@ class Engine:
         self._prefill_jit = jax.jit(self._prefill_impl)
         self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
         self._decode_chunk_jit = jax.jit(
-            self._decode_chunk_impl, static_argnames=("steps",),
+            self._decode_chunk_impl, static_argnames=("steps", "use_top_p"),
             donate_argnums=(1,))
+        # static top-p gate: nucleus sort only compiles in when some active
+        # slot actually requests top_p < 1
+        self._slot_top_p = [1.0] * b
 
     # ------------------------------------------------------------------
     # device-side implementations
@@ -205,7 +208,7 @@ class Engine:
 
     def _decode_chunk_impl(self, params, cache, cache_len, next_pos,
                            last_token, temps, top_ps, dfa_state,
-                           allowed, next_state, key, *, steps):
+                           allowed, next_state, key, *, steps, use_top_p):
         m = cache.k.shape[2]
 
         def step(carry, step_key):
@@ -220,7 +223,8 @@ class Engine:
             # guided decoding: mask disallowed tokens for each slot's state
             mask = allowed[dfa_state]  # (B, V)
             logits = jnp.where(mask, logits, -jnp.inf)
-            tokens = sample_tokens(logits, step_key, temps, top_ps)
+            tokens = sample_tokens(logits, step_key, temps,
+                                   top_ps if use_top_p else None)
             dfa_state = next_state[dfa_state, tokens]
             cache_len = jnp.minimum(cache_len + 1, m - 1)
             next_pos = next_pos + 1
@@ -380,15 +384,20 @@ class Engine:
             jnp.asarray(prepared.top_p, jnp.float32),
             jnp.asarray(dfa_val, jnp.int32))
         self.slot_free[slot] = False
+        self._slot_top_p[slot] = float(prepared.top_p)
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
         steps = steps or self.ecfg.decode_chunk
+        use_top_p = any(
+            p < 1.0 for p, free in zip(self._slot_top_p, self.slot_free)
+            if not free)
         self._key, sub = jax.random.split(self._key)
         (self.cache, self.cache_len, self.next_pos, self.last_token,
          self.dfa_state, toks) = self._decode_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.temps, self.top_ps, self.dfa_state,
-            self._allowed, self._next_state, sub, steps=steps)
+            self._allowed, self._next_state, sub, steps=steps,
+            use_top_p=use_top_p)
         return np.asarray(toks)  # (K, B)
 
     def free_slot(self, slot: int):

@@ -17,7 +17,12 @@ def sample_tokens(logits: jnp.ndarray,       # (B, V) float
                   temperature: jnp.ndarray,  # (B,) float32; 0 = greedy
                   top_p: jnp.ndarray | None = None,  # (B,) float32; 1 = off
                   ) -> jnp.ndarray:
-    """Sample one token per row. Fully batched; per-row temperature."""
+    """Sample one token per row. Fully batched; per-row temperature.
+
+    Pass top_p=None when every row uses top_p >= 1: nucleus filtering costs
+    a full-vocabulary sort per step, which rivals the rest of the decode
+    step at 152k vocab. Callers should make that choice statically.
+    """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
 

@@ -85,7 +85,7 @@ class TestEngine:
             GenRequest(messages=_messages(with_image=False), max_tokens=6,
                        temperature=0.0, request_id="a"),
             GenRequest(messages=_messages(), max_tokens=9, temperature=0.7,
-                       request_id="b"),
+                       top_p=0.9, request_id="b"),
             GenRequest(messages=_messages(with_image=False), max_tokens=4,
                        temperature=0.0, request_id="c"),
         ]
