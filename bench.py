@@ -105,6 +105,7 @@ def main() -> None:
         quantize=args.quantize,
     )
     engine = Engine(params, cfg, tok, ecfg)
+    del params  # with --quantize the engine holds int8 copies; free the bf16
 
     page_b64 = make_page_png()
     messages = [{

@@ -22,11 +22,17 @@ class VisionConfig:
     temporal_patch_size: int = 2
     spatial_merge_size: int = 2
     window_size: int = 112  # pixels; 8 pre-merge patches
-    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    # None = full attention in every block (Qwen2-VL style)
+    fullatt_block_indexes: "Tuple[int, ...] | None" = (7, 15, 23, 31)
     out_hidden_size: int = 2048
     in_channels: int = 3
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1e4
+    # architecture family knobs: Qwen2.5-VL = rmsnorm + gated silu MLP;
+    # Qwen2-VL = layernorm + plain quick-gelu MLP
+    norm_type: str = "rmsnorm"          # rmsnorm | layernorm
+    mlp_type: str = "gated"             # gated | plain
+    hidden_act: str = "silu"            # silu | quick_gelu | gelu
 
     @property
     def head_dim(self) -> int:
@@ -91,6 +97,40 @@ def qwen25_vl_7b() -> VLMConfig:
     )
 
 
+def qwen2_vl_7b() -> VLMConfig:
+    """Qwen2-VL-7B architecture (base of allenai/olmOCR-7B-0725 — the
+    reference's Model enum, karanta/constants.py:17-24)."""
+    return VLMConfig(
+        name="qwen2-vl-7b",
+        vision=VisionConfig(
+            intermediate_size=5120, out_hidden_size=3584,
+            fullatt_block_indexes=None, norm_type="layernorm",
+            mlp_type="plain", hidden_act="quick_gelu",
+        ),
+        text=TextConfig(
+            vocab_size=152064, hidden_size=3584, num_layers=28, num_heads=28,
+            num_kv_heads=4, head_dim=128, intermediate_size=18944,
+            tie_word_embeddings=False,
+        ),
+    )
+
+
+def qwen2_vl_2b() -> VLMConfig:
+    return VLMConfig(
+        name="qwen2-vl-2b",
+        vision=VisionConfig(
+            intermediate_size=5120, out_hidden_size=1536,
+            fullatt_block_indexes=None, norm_type="layernorm",
+            mlp_type="plain", hidden_act="quick_gelu",
+        ),
+        text=TextConfig(
+            vocab_size=151936, hidden_size=1536, num_layers=28, num_heads=12,
+            num_kv_heads=2, head_dim=128, intermediate_size=8960,
+            tie_word_embeddings=True,
+        ),
+    )
+
+
 def tiny_config(vocab_size: int = 1024) -> VLMConfig:
     """Small random-init config for tests: same topology, tiny dims."""
     return VLMConfig(
@@ -112,6 +152,10 @@ def tiny_config(vocab_size: int = 1024) -> VLMConfig:
 PRESETS = {
     "qwen2.5-vl-3b": qwen25_vl_3b,
     "qwen2.5-vl-7b": qwen25_vl_7b,
+    "qwen2-vl-7b": qwen2_vl_7b,
+    "qwen2-vl-2b": qwen2_vl_2b,
+    "olmocr-2": qwen25_vl_7b,   # olmOCR-2-7B is a Qwen2.5-VL-7B fine-tune
+    "olmocr": qwen2_vl_7b,      # olmOCR-7B-0725 is a Qwen2-VL-7B fine-tune
     "tiny": tiny_config,
 }
 

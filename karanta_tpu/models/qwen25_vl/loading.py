@@ -81,6 +81,23 @@ def convert_state_dict(state: Mapping[str, Any], cfg: VLMConfig,
         b = get(vb.format(i) + "attn.qkv.bias")
         return b[part * h:(part + 1) * h]
 
+    if v.mlp_type == "gated":
+        vision_mlp = {
+            "gate": vstack(lambda i: lin(vb.format(i) + "mlp.gate_proj.weight")),
+            "gate_b": vstack(lambda i: get(vb.format(i) + "mlp.gate_proj.bias")),
+            "up": vstack(lambda i: lin(vb.format(i) + "mlp.up_proj.weight")),
+            "up_b": vstack(lambda i: get(vb.format(i) + "mlp.up_proj.bias")),
+            "down": vstack(lambda i: lin(vb.format(i) + "mlp.down_proj.weight")),
+            "down_b": vstack(lambda i: get(vb.format(i) + "mlp.down_proj.bias")),
+        }
+    else:  # Qwen2-VL plain MLP
+        vision_mlp = {
+            "fc1": vstack(lambda i: lin(vb.format(i) + "mlp.fc1.weight")),
+            "fc1_b": vstack(lambda i: get(vb.format(i) + "mlp.fc1.bias")),
+            "fc2": vstack(lambda i: lin(vb.format(i) + "mlp.fc2.weight")),
+            "fc2_b": vstack(lambda i: get(vb.format(i) + "mlp.fc2.bias")),
+        }
+
     visual = {
         "patch_embed": {
             # Conv3d weight (out, C, T, P, P) -> (C*T*P*P, out); feature order
@@ -102,14 +119,7 @@ def convert_state_dict(state: Mapping[str, Any], cfg: VLMConfig,
                 "wo": vstack(lambda i: lin(vb.format(i) + "attn.proj.weight")),
                 "bo": vstack(lambda i: get(vb.format(i) + "attn.proj.bias")),
             },
-            "mlp": {
-                "gate": vstack(lambda i: lin(vb.format(i) + "mlp.gate_proj.weight")),
-                "gate_b": vstack(lambda i: get(vb.format(i) + "mlp.gate_proj.bias")),
-                "up": vstack(lambda i: lin(vb.format(i) + "mlp.up_proj.weight")),
-                "up_b": vstack(lambda i: get(vb.format(i) + "mlp.up_proj.bias")),
-                "down": vstack(lambda i: lin(vb.format(i) + "mlp.down_proj.weight")),
-                "down_b": vstack(lambda i: get(vb.format(i) + "mlp.down_proj.bias")),
-            },
+            "mlp": vision_mlp,
         },
         "merger": {
             "ln_q": jnp.asarray(get("model.visual.merger.ln_q.weight"), dtype),
@@ -119,6 +129,13 @@ def convert_state_dict(state: Mapping[str, Any], cfg: VLMConfig,
             "b2": jnp.asarray(get("model.visual.merger.mlp.2.bias"), dtype),
         },
     }
+    if v.norm_type == "layernorm":
+        visual["blocks"]["norm1_b"] = vstack(
+            lambda i: get(vb.format(i) + "norm1.bias"))
+        visual["blocks"]["norm2_b"] = vstack(
+            lambda i: get(vb.format(i) + "norm2.bias"))
+        visual["merger"]["ln_q_b"] = jnp.asarray(
+            get("model.visual.merger.ln_q.bias"), dtype)
 
     tb = "model.language_model.layers.{}."
     text = {

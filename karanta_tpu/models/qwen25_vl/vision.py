@@ -46,7 +46,24 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array,
         scale = scale or (1.0 / np.sqrt(shape[0]))
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
-    return {
+    if cfg.mlp_type == "gated":
+        mlp = {
+            "gate": dense(next(keys), (h, inter))[None].repeat(d, 0),
+            "gate_b": jnp.zeros((d, inter), dtype),
+            "up": dense(next(keys), (h, inter))[None].repeat(d, 0),
+            "up_b": jnp.zeros((d, inter), dtype),
+            "down": dense(next(keys), (inter, h))[None].repeat(d, 0),
+            "down_b": jnp.zeros((d, h), dtype),
+        }
+    else:
+        mlp = {
+            "fc1": dense(next(keys), (h, inter))[None].repeat(d, 0),
+            "fc1_b": jnp.zeros((d, inter), dtype),
+            "fc2": dense(next(keys), (inter, h))[None].repeat(d, 0),
+            "fc2_b": jnp.zeros((d, h), dtype),
+        }
+
+    params = {
         "patch_embed": {"kernel": dense(next(keys), (cfg.patch_input_dim, h))},
         "blocks": {
             "norm1": jnp.ones((d, h), dtype),
@@ -61,14 +78,7 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array,
                 "wo": dense(next(keys), (h, h))[None].repeat(d, 0),
                 "bo": jnp.zeros((d, h), dtype),
             },
-            "mlp": {
-                "gate": dense(next(keys), (h, inter))[None].repeat(d, 0),
-                "gate_b": jnp.zeros((d, inter), dtype),
-                "up": dense(next(keys), (h, inter))[None].repeat(d, 0),
-                "up_b": jnp.zeros((d, inter), dtype),
-                "down": dense(next(keys), (inter, h))[None].repeat(d, 0),
-                "down_b": jnp.zeros((d, h), dtype),
-            },
+            "mlp": mlp,
         },
         "merger": {
             "ln_q": jnp.ones((h,), dtype),
@@ -78,11 +88,32 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array,
             "b2": jnp.zeros((cfg.out_hidden_size,), dtype),
         },
     }
+    if cfg.norm_type == "layernorm":
+        params["blocks"]["norm1_b"] = jnp.zeros((d, h), dtype)
+        params["blocks"]["norm2_b"] = jnp.zeros((d, h), dtype)
+        params["merger"]["ln_q_b"] = jnp.zeros((h,), dtype)
+    return params
 
 
 def vision_param_axes(cfg: VisionConfig) -> Params:
     """Logical sharding axes matching init_vision_params structure."""
-    return {
+    if cfg.mlp_type == "gated":
+        mlp = {
+            "gate": ("layers", "vit_embed", "vit_mlp"),
+            "gate_b": ("layers", "vit_mlp"),
+            "up": ("layers", "vit_embed", "vit_mlp"),
+            "up_b": ("layers", "vit_mlp"),
+            "down": ("layers", "vit_mlp", "vit_embed"),
+            "down_b": ("layers", "vit_embed"),
+        }
+    else:
+        mlp = {
+            "fc1": ("layers", "vit_embed", "vit_mlp"),
+            "fc1_b": ("layers", "vit_mlp"),
+            "fc2": ("layers", "vit_mlp", "vit_embed"),
+            "fc2_b": ("layers", "vit_embed"),
+        }
+    axes = {
         "patch_embed": {"kernel": ("patch", "vit_embed")},
         "blocks": {
             "norm1": ("layers", "vit_embed"),
@@ -97,14 +128,7 @@ def vision_param_axes(cfg: VisionConfig) -> Params:
                 "wo": ("layers", "vit_heads", "vit_embed"),
                 "bo": ("layers", "vit_embed"),
             },
-            "mlp": {
-                "gate": ("layers", "vit_embed", "vit_mlp"),
-                "gate_b": ("layers", "vit_mlp"),
-                "up": ("layers", "vit_embed", "vit_mlp"),
-                "up_b": ("layers", "vit_mlp"),
-                "down": ("layers", "vit_mlp", "vit_embed"),
-                "down_b": ("layers", "vit_embed"),
-            },
+            "mlp": mlp,
         },
         "merger": {
             "ln_q": ("vit_embed",),
@@ -114,6 +138,32 @@ def vision_param_axes(cfg: VisionConfig) -> Params:
             "b2": ("vit_mlp",),
         },
     }
+    if cfg.norm_type == "layernorm":
+        axes["blocks"]["norm1_b"] = ("layers", "vit_embed")
+        axes["blocks"]["norm2_b"] = ("layers", "vit_embed")
+        axes["merger"]["ln_q_b"] = ("vit_embed",)
+    return axes
+
+
+def _vnorm(cfg: VisionConfig, x, scale, bias=None):
+    if cfg.norm_type == "layernorm":
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+        out = out * scale.astype(jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+    return rms_norm(x, scale, cfg.rms_norm_eps)
+
+
+def _activation(cfg: VisionConfig, x):
+    if cfg.hidden_act == "quick_gelu":
+        return x * jax.nn.sigmoid(1.702 * x)
+    if cfg.hidden_act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    return jax.nn.silu(x)
 
 
 def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
@@ -165,8 +215,10 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
     return out @ p["wo"] + p["bo"]
 
 
-def _mlp(x, p):
-    gate = jax.nn.silu(x @ p["gate"] + p["gate_b"])
+def _mlp(cfg: VisionConfig, x, p):
+    if cfg.mlp_type == "plain":
+        return _activation(cfg, x @ p["fc1"] + p["fc1_b"]) @ p["fc2"] + p["fc2_b"]
+    gate = _activation(cfg, x @ p["gate"] + p["gate_b"])
     up = x @ p["up"] + p["up_b"]
     return (gate * up) @ p["down"] + p["down_b"]
 
@@ -187,7 +239,11 @@ def encode_image(params: Params, cfg: VisionConfig,
     sin = sin.astype(x.dtype)
 
     blocks = params["blocks"]
-    full_flags = tuple(i in cfg.fullatt_block_indexes for i in range(cfg.depth))
+    if cfg.fullatt_block_indexes is None:
+        full_flags = tuple(True for _ in range(cfg.depth))
+    else:
+        full_flags = tuple(i in cfg.fullatt_block_indexes
+                           for i in range(cfg.depth))
 
     # Static per-layer branch: group consecutive layers sharing the same
     # window/full mode and scan each group (fullatt_block_indexes is static).
@@ -195,10 +251,12 @@ def encode_image(params: Params, cfg: VisionConfig,
         def body(carry, layer_params):
             y = carry
             attn_out = _attn_block(
-                rms_norm(y, layer_params["norm1"], cfg.rms_norm_eps),
+                _vnorm(cfg, y, layer_params["norm1"],
+                       layer_params.get("norm1_b")),
                 layer_params["attn"], cos, sin, valid, n_windows, cfg, full)
             y = y + attn_out
-            y = y + _mlp(rms_norm(y, layer_params["norm2"], cfg.rms_norm_eps),
+            y = y + _mlp(cfg, _vnorm(cfg, y, layer_params["norm2"],
+                                     layer_params.get("norm2_b")),
                          layer_params["mlp"])
             return y, None
         return body
@@ -213,9 +271,9 @@ def encode_image(params: Params, cfg: VisionConfig,
         x, _ = jax.lax.scan(make_body(mode), x, group)
         idx = end
 
-    # merger: RMSNorm per token, merge 2x2 units, 2-layer GELU MLP
+    # merger: norm per token, merge 2x2 units, 2-layer GELU MLP
     m = params["merger"]
-    x = rms_norm(x, m["ln_q"], cfg.rms_norm_eps)
+    x = _vnorm(cfg, x, m["ln_q"], m.get("ln_q_b"))
     x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
     x = jax.nn.gelu(x @ m["w1"] + m["b1"], approximate=False)
     return x @ m["w2"] + m["b2"]

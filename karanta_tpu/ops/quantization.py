@@ -18,13 +18,28 @@ import jax.numpy as jnp
 QUANT_KEY = "int8_q"  # marker key distinguishing quantized leaves
 
 
-def quantize_weight(w: jnp.ndarray) -> dict:
-    """(…, in, out) bf16/f32 -> {int8_q, scale (…, 1, out) f32}."""
+def _quantize_impl(w: jnp.ndarray) -> dict:
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(amax / 127.0, 1e-8)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return {QUANT_KEY: q, "scale": scale.astype(jnp.float32)}
+
+
+# jitted per-leaf: the f32 upcast fuses into the rounding computation instead
+# of materializing a full-precision copy of every weight (eager quantization
+# of a 3B model OOMed a 16GB chip)
+_quantize_jit = None
+
+
+def quantize_weight(w: jnp.ndarray) -> dict:
+    """(…, in, out) bf16/f32 -> {int8_q, scale (…, 1, out) f32}."""
+    global _quantize_jit
+    if _quantize_jit is None:
+        import jax
+
+        _quantize_jit = jax.jit(_quantize_impl)
+    return _quantize_jit(w)
 
 
 def is_quantized(w: Any) -> bool:
