@@ -48,17 +48,29 @@ def to_hf_state_dict(params: Any, cfg: VLMConfig) -> dict[str, np.ndarray]:
             for b in ("bq", "bk", "bv")])
         put(pre + "attn.proj.weight", blocks["attn"]["wo"][i], transpose=True)
         put(pre + "attn.proj.bias", blocks["attn"]["bo"][i])
-        put(pre + "mlp.gate_proj.weight", blocks["mlp"]["gate"][i],
-            transpose=True)
-        put(pre + "mlp.gate_proj.bias", blocks["mlp"]["gate_b"][i])
-        put(pre + "mlp.up_proj.weight", blocks["mlp"]["up"][i], transpose=True)
-        put(pre + "mlp.up_proj.bias", blocks["mlp"]["up_b"][i])
-        put(pre + "mlp.down_proj.weight", blocks["mlp"]["down"][i],
-            transpose=True)
-        put(pre + "mlp.down_proj.bias", blocks["mlp"]["down_b"][i])
+        if v.mlp_type == "gated":
+            put(pre + "mlp.gate_proj.weight", blocks["mlp"]["gate"][i],
+                transpose=True)
+            put(pre + "mlp.gate_proj.bias", blocks["mlp"]["gate_b"][i])
+            put(pre + "mlp.up_proj.weight", blocks["mlp"]["up"][i],
+                transpose=True)
+            put(pre + "mlp.up_proj.bias", blocks["mlp"]["up_b"][i])
+            put(pre + "mlp.down_proj.weight", blocks["mlp"]["down"][i],
+                transpose=True)
+            put(pre + "mlp.down_proj.bias", blocks["mlp"]["down_b"][i])
+        else:
+            put(pre + "mlp.fc1.weight", blocks["mlp"]["fc1"][i], transpose=True)
+            put(pre + "mlp.fc1.bias", blocks["mlp"]["fc1_b"][i])
+            put(pre + "mlp.fc2.weight", blocks["mlp"]["fc2"][i], transpose=True)
+            put(pre + "mlp.fc2.bias", blocks["mlp"]["fc2_b"][i])
+        if v.norm_type == "layernorm":
+            put(pre + "norm1.bias", blocks["norm1_b"][i])
+            put(pre + "norm2.bias", blocks["norm2_b"][i])
 
     merger = visual["merger"]
     put("model.visual.merger.ln_q.weight", merger["ln_q"])
+    if v.norm_type == "layernorm":
+        put("model.visual.merger.ln_q.bias", merger["ln_q_b"])
     put("model.visual.merger.mlp.0.weight", merger["w1"], transpose=True)
     put("model.visual.merger.mlp.0.bias", merger["b1"])
     put("model.visual.merger.mlp.2.weight", merger["w2"], transpose=True)

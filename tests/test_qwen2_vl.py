@@ -73,6 +73,21 @@ def hf_model():
     return Qwen2VLForConditionalGeneration(hf_cfg).eval().float()
 
 
+def test_qwen2vl_export_roundtrip():
+    from karanta_tpu.models.qwen25_vl.exporting import to_hf_state_dict
+    from karanta_tpu.models.qwen25_vl.model import init_params
+
+    params = init_params(CFG, jax.random.PRNGKey(4), dtype=jnp.float32)
+    state = to_hf_state_dict(params, CFG)
+    back = convert_state_dict(state, CFG, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(back["visual"]["blocks"]["mlp"]["fc1"]),
+        np.asarray(params["visual"]["blocks"]["mlp"]["fc1"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(back["visual"]["merger"]["ln_q_b"]),
+        np.asarray(params["visual"]["merger"]["ln_q_b"]), atol=1e-6)
+
+
 def test_get_config_families():
     assert get_config("allenai/olmOCR-7B-0725").vision.norm_type == "layernorm"
     assert get_config("allenai/olmOCR-2-7B-1025").vision.norm_type == "rmsnorm"
