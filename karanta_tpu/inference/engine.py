@@ -52,6 +52,11 @@ class EngineConfig:
     max_pixels: int = 14 * 14 * 4 * 1280
     dtype: Any = jnp.bfloat16
     quantize: Optional[str] = None       # None | "int8" (decoder weights)
+    # prefix KV caching: reuse the cached KV of a shared instruction prefix
+    # (every OCR page shares one) so prefill runs only over the suffix
+    prefix_cache: bool = False
+    prefix_min_tokens: int = 256
+    prefix_cache_entries: int = 4
 
 
 @dataclasses.dataclass
@@ -86,6 +91,7 @@ class _Prepared:
     top_p: float
     request_id: str
     guide: Optional[Any] = None          # guided-decoding automaton state
+    prefix_len: int = 0                  # shared-prefix tokens (0 = no reuse)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -155,10 +161,16 @@ class Engine:
         self._allowed = jnp.ones((1, vocab), jnp.bool_)
         self._next_state = jnp.zeros((1, vocab), jnp.int32)
 
+        # prefix KV cache: prefix-id bytes -> (KVCache (L,1,P,KVH,D), P)
+        from collections import OrderedDict
+
+        self._prefix_kv: "OrderedDict[bytes, Any]" = OrderedDict()
+
         # ---- jitted stage functions (cached per shape bucket) ----
         self._encode_image_jit = jax.jit(
             self._encode_image_impl, static_argnames=("n_windows",))
         self._prefill_jit = jax.jit(self._prefill_impl)
+        self._prefill_prefix_jit = jax.jit(self._prefill_prefix_impl)
         self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk_impl, static_argnames=("steps", "use_top_p"),
@@ -187,6 +199,23 @@ class Engine:
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
             kv_mask=kv_mask[None])
         last = hidden[0, true_len - 1]
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        return logits, cache
+
+    def _prefill_prefix_impl(self, params, ids, positions, kv_mask,
+                             img_tokens, img_positions, true_suffix_len,
+                             prefix_k, prefix_v, prefix_mask):
+        """Continuation prefill: ids/positions cover only the suffix; the
+        prefix KV (L, 1, P, KVH, D) is reused. Returns (last_logits,
+        full cache over prefix+suffix)."""
+        emb = dec.embed_tokens(params["text"], ids)
+        emb = emb.at[img_positions].set(img_tokens.astype(emb.dtype),
+                                        mode="drop")
+        hidden, cache = dec.prefill_with_prefix(
+            params["text"], self.cfg.text, emb[None], positions[:, None, :],
+            dec.KVCache(prefix_k, prefix_v), prefix_mask[None],
+            kv_mask=kv_mask[None])
+        last = hidden[0, true_suffix_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
         return logits, cache
 
@@ -269,11 +298,18 @@ class Engine:
         guide = None
         if request.guided_regex:
             guide = self._ensure_automaton(request.guided_regex)
+
+        prefix_len = 0
+        if self.ecfg.prefix_cache and img_token_counts:
+            img_idx = np.flatnonzero(ids == self.tok.image_pad_id)
+            if len(img_idx) and img_idx[0] >= self.ecfg.prefix_min_tokens:
+                prefix_len = int(img_idx[0])
+
         return _Prepared(
             ids=ids, positions=positions, image_feeds=image_feeds,
             img_token_counts=img_token_counts, max_tokens=request.max_tokens,
             temperature=request.temperature, top_p=request.top_p,
-            request_id=request.request_id, guide=guide)
+            request_id=request.request_id, guide=guide, prefix_len=prefix_len)
 
     def _ensure_automaton(self, regex: str) -> Optional[int]:
         """Compile/activate the token automaton for `regex`. Returns the DFA
@@ -337,25 +373,78 @@ class Engine:
             offset += layout.num_merged
         return jnp.concatenate(all_tokens, 0), np.concatenate(all_positions)
 
+    def _get_prefix_cache(self, prefix_ids: np.ndarray):
+        """KV for a shared text prefix, built once and LRU-cached."""
+        key = prefix_ids.tobytes()
+        if key in self._prefix_kv:
+            self._prefix_kv.move_to_end(key)
+            return self._prefix_kv[key]
+        p = len(prefix_ids)
+        s_pad = _bucket(p, self.ecfg.prefill_buckets)
+        ids = np.zeros((s_pad,), np.int32)
+        ids[:p] = prefix_ids
+        positions = np.zeros((3, s_pad), np.int32)
+        positions[:, :p] = mrope_positions(prefix_ids, [],
+                                           self.tok.image_pad_id)
+        kv_mask = np.zeros((s_pad,), np.float32)
+        kv_mask[:p] = 1.0
+        dummy_tokens = jnp.zeros((1, self.cfg.vision.out_hidden_size),
+                                 self.ecfg.dtype)
+        _, cache = self._prefill_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(positions),
+            jnp.asarray(kv_mask), dummy_tokens,
+            jnp.asarray(np.full((1,), s_pad, np.int32)),
+            jnp.asarray(p, jnp.int32))
+        trimmed = dec.KVCache(cache.k[:, :, :p], cache.v[:, :, :p])
+        self._prefix_kv[key] = trimmed
+        while len(self._prefix_kv) > self.ecfg.prefix_cache_entries:
+            self._prefix_kv.popitem(last=False)
+        logger.info("cached prompt prefix of %d tokens", p)
+        return trimmed
+
     def prefill(self, prepared: _Prepared):
         """Run prefill; returns (cache, first_token_array, true_len, next_pos)."""
         img_tokens, img_positions = self._encode_images(prepared)
         s = len(prepared.ids)
-        s_pad = _bucket(s, self.ecfg.prefill_buckets)
-        ids = np.zeros((s_pad,), np.int32)
-        ids[:s] = prepared.ids
-        positions = np.zeros((3, s_pad), np.int32)
-        positions[:, :s] = prepared.positions
-        kv_mask = np.zeros((s_pad,), np.float32)
-        kv_mask[:s] = 1.0
-        # clamp out-of-bucket image positions to the drop sentinel
-        img_positions = np.where(img_positions < s_pad, img_positions, s_pad)
 
-        logits, cache = self._prefill_jit(
-            self.params, jnp.asarray(ids), jnp.asarray(positions),
-            jnp.asarray(kv_mask), img_tokens,
-            jnp.asarray(img_positions.astype(np.int32)),
-            jnp.asarray(s, jnp.int32))
+        if prepared.prefix_len:
+            p = prepared.prefix_len
+            prefix_kv = self._get_prefix_cache(prepared.ids[:p])
+            suffix = prepared.ids[p:]
+            n_sfx = len(suffix)
+            s_pad = _bucket(n_sfx, self.ecfg.prefill_buckets)
+            ids = np.zeros((s_pad,), np.int32)
+            ids[:n_sfx] = suffix
+            positions = np.zeros((3, s_pad), np.int32)
+            positions[:, :n_sfx] = prepared.positions[:, p:]
+            kv_mask = np.zeros((s_pad,), np.float32)
+            kv_mask[:n_sfx] = 1.0
+            img_pos_sfx = np.where(img_positions < s, img_positions - p,
+                                   s_pad).astype(np.int32)
+            img_pos_sfx = np.where(img_pos_sfx < s_pad, img_pos_sfx, s_pad)
+            prefix_mask = jnp.ones((p,), jnp.float32)
+            logits, cache = self._prefill_prefix_jit(
+                self.params, jnp.asarray(ids), jnp.asarray(positions),
+                jnp.asarray(kv_mask), img_tokens, jnp.asarray(img_pos_sfx),
+                jnp.asarray(n_sfx, jnp.int32),
+                prefix_kv.k, prefix_kv.v, prefix_mask)
+        else:
+            s_pad = _bucket(s, self.ecfg.prefill_buckets)
+            ids = np.zeros((s_pad,), np.int32)
+            ids[:s] = prepared.ids
+            positions = np.zeros((3, s_pad), np.int32)
+            positions[:, :s] = prepared.positions
+            kv_mask = np.zeros((s_pad,), np.float32)
+            kv_mask[:s] = 1.0
+            # clamp out-of-bucket image positions to the drop sentinel
+            img_positions = np.where(img_positions < s_pad, img_positions,
+                                     s_pad)
+
+            logits, cache = self._prefill_jit(
+                self.params, jnp.asarray(ids), jnp.asarray(positions),
+                jnp.asarray(kv_mask), img_tokens,
+                jnp.asarray(img_positions.astype(np.int32)),
+                jnp.asarray(s, jnp.int32))
 
         state0 = prepared.guide if prepared.guide is not None else 0
         if prepared.guide is not None:

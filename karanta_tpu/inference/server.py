@@ -341,6 +341,7 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         decode_chunk=args.decode_chunk,
         dtype=dtype,
         quantize=getattr(args, "quantize", None),
+        prefix_cache=getattr(args, "prefix_cache", False),
     )
 
     mesh = None
@@ -391,6 +392,9 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--tensor-parallel-size", type=int, default=1)
     parser.add_argument("--data-parallel-size", type=int, default=1)
     parser.add_argument("--quantize", default=None, choices=["int8"])
+    parser.add_argument("--prefix-cache", dest="prefix_cache",
+                        action="store_true",
+                        help="reuse cached KV for shared prompt prefixes")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,

@@ -164,6 +164,53 @@ def prefill_forward(params: Params, cfg: TextConfig,
     return x, KVCache(ks, vs)
 
 
+def prefill_with_prefix(params: Params, cfg: TextConfig,
+                        embeds: jnp.ndarray,          # (B, S, hidden) suffix
+                        positions: jnp.ndarray,       # (3, B, S) absolute
+                        prefix: KVCache,              # (L, B, P, KVH, D)
+                        prefix_mask: jnp.ndarray,     # (B, P) 1=valid
+                        kv_mask: Optional[jnp.ndarray] = None,  # (B, S)
+                        ) -> tuple[jnp.ndarray, KVCache]:
+    """Continuation prefill over a cached prompt prefix.
+
+    The prefix KV (already rope-rotated at absolute positions 0..P-1) is
+    reused across requests sharing the same instruction prefix — every OCR
+    page shares one — so prefill cost drops to the suffix. Returns hidden
+    states for the suffix and the FULL (prefix + suffix) cache for decode.
+    """
+    b, s, _ = embeds.shape
+    p = prefix.k.shape[2]
+    cos, sin = jax.vmap(
+        lambda q: mrope_cos_sin(q, cfg.head_dim, cfg.mrope_section,
+                                cfg.rope_theta),
+        in_axes=1, out_axes=0)(positions)
+    cos = cos.astype(embeds.dtype)
+    sin = sin.astype(embeds.dtype)
+
+    suffix_mask = kv_mask if kv_mask is not None else jnp.ones((b, s),
+                                                               jnp.float32)
+    full_mask = jnp.concatenate(
+        [prefix_mask.astype(jnp.float32), suffix_mask.astype(jnp.float32)], 1)
+
+    def body(x, layer_and_prefix):
+        layer, pk, pv = layer_and_prefix
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(xn, layer["attn"], cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        k_full = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
+        v_full = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+        attn = attention(q, k_full, v_full, kv_mask=full_mask, causal=True,
+                         q_offset=p)
+        x = x + qmm(attn.reshape(b, s, -1), layer["attn"]["wo"])
+        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
+        return x, (k_full, v_full)
+
+    x, (ks, vs) = jax.lax.scan(body, embeds,
+                               (params["layers"], prefix.k, prefix.v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(ks, vs)
+
+
 def decode_step(params: Params, cfg: TextConfig,
                 embeds: jnp.ndarray,        # (B, 1, hidden)
                 positions: jnp.ndarray,     # (3, B) int32

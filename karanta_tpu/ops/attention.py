@@ -49,6 +49,7 @@ def mha_reference(
     kv_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    q_offset: int = 0,
 ) -> jnp.ndarray:
     """Dense attention in plain jnp. Shapes: q (B,Sq,H,D), k/v (B,Sk,KVH,D)."""
     b, sq, h, d = q.shape
@@ -61,7 +62,7 @@ def mha_reference(
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
     s = s * scale
     if causal:
-        qpos = jnp.arange(sq)[:, None]
+        qpos = q_offset + jnp.arange(sq)[:, None]
         kpos = jnp.arange(sk)[None, :]
         s = jnp.where((qpos >= kpos)[None, None], s, NEG_INF)
     if kv_mask is not None:
@@ -101,7 +102,7 @@ def decode_attention(
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                   acc_ref, m_ref, l_ref, *,
                   scale: float, causal: bool, block_q: int, block_k: int,
-                  has_mask: bool):
+                  has_mask: bool, q_offset: int = 0):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -122,7 +123,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if causal:
-            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            rows = (q_offset + q_start
+                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
             cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             s = jnp.where(rows >= cols, s, NEG_INF)
         if has_mask:
@@ -142,7 +144,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
 
     if causal:
         # Skip kv blocks entirely above the causal diagonal for this q block.
-        @pl.when(k_start < q_start + block_q)
+        @pl.when(k_start < q_offset + q_start + block_q)
         def _():
             body()
     else:
@@ -167,7 +169,8 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"))
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret",
+                     "q_offset"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -178,8 +181,13 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    q_offset: int = 0,
 ) -> jnp.ndarray:
-    """Pallas flash attention. q (B,Sq,H,D), k/v (B,Sk,KVH,D), kv_mask (B,Sk)."""
+    """Pallas flash attention. q (B,Sq,H,D), k/v (B,Sk,KVH,D), kv_mask (B,Sk).
+
+    q_offset shifts query positions for causal masking: query row i sits at
+    global position q_offset + i while kv rows start at 0 (prefix-cache
+    continuation prefill)."""
     b, sq, h, d = q.shape
     _, sk, kvh, _ = k.shape
     assert h % kvh == 0, (h, kvh)
@@ -207,7 +215,8 @@ def flash_attention(
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, has_mask=has_mask),
+            block_q=block_q, block_k=block_k, has_mask=has_mask,
+            q_offset=q_offset),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, qi, ki: (bb, hh, qi, 0),
@@ -323,8 +332,11 @@ def attention(
     kv_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    q_offset: int = 0,
 ) -> jnp.ndarray:
     """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere (tests)."""
     if _use_pallas():
-        return flash_attention(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale)
-    return mha_reference(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale)
+        return flash_attention(q, k, v, kv_mask=kv_mask, causal=causal,
+                               scale=scale, q_offset=q_offset)
+    return mha_reference(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
+                         q_offset=q_offset)
