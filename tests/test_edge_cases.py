@@ -57,6 +57,29 @@ class TestEngineEdges:
             messages=[{"role": "user", "content": ""}], max_tokens=4)])
         assert res.completion_tokens >= 1
 
+    def test_grayscale_png_input(self, engine):
+        """The pipeline sends L-mode (grayscale) PNGs (convert_to_grayscale);
+        the engine must normalize them to RGB."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        img = Image.fromarray(
+            np.random.default_rng(3).integers(0, 255, (56, 56), dtype=np.uint8),
+            mode="L")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        (res,) = engine.generate([GenRequest(messages=[{
+            "role": "user",
+            "content": [
+                {"type": "text", "text": "read"},
+                {"type": "image_url",
+                 "image_url": {"url": f"data:image/png;base64,{b64}"}},
+            ]}], max_tokens=4)])
+        assert res.prompt_tokens > 10
+
 
 class TestMultiPagePipeline:
     def test_two_page_scanned_doc(self, tmp_path):
