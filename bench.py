@@ -120,8 +120,10 @@ def main() -> None:
     }]
 
     def run(n_pages: int):
+        # temperature 0 matches the pipeline's production operating point
+        # (reference pipeline.py:170: first-attempt temperature is 0.0)
         reqs = [GenRequest(messages=messages, max_tokens=args.decode_tokens,
-                           temperature=1.0, request_id=f"page-{i}")
+                           temperature=0.0, request_id=f"page-{i}")
                 for i in range(n_pages)]
         start = time.time()
         results = engine.generate(reqs)

@@ -173,11 +173,13 @@ class Engine:
         self._prefill_prefix_jit = jax.jit(self._prefill_prefix_impl)
         self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
         self._decode_chunk_jit = jax.jit(
-            self._decode_chunk_impl, static_argnames=("steps", "use_top_p"),
+            self._decode_chunk_impl,
+            static_argnames=("steps", "use_top_p", "use_sampling"),
             donate_argnums=(1,))
-        # static top-p gate: nucleus sort only compiles in when some active
-        # slot actually requests top_p < 1
+        # static sampling gates: the nucleus sort / gumbel sampling only
+        # compile in when some active slot actually needs them
         self._slot_top_p = [1.0] * b
+        self._slot_temp = [0.0] * b
 
     # ------------------------------------------------------------------
     # device-side implementations
@@ -237,7 +239,8 @@ class Engine:
 
     def _decode_chunk_impl(self, params, cache, cache_len, next_pos,
                            last_token, temps, top_ps, dfa_state,
-                           allowed, next_state, key, *, steps, use_top_p):
+                           allowed, next_state, key, *, steps, use_top_p,
+                           use_sampling):
         m = cache.k.shape[2]
 
         def step(carry, step_key):
@@ -252,7 +255,8 @@ class Engine:
             # guided decoding: mask disallowed tokens for each slot's state
             mask = allowed[dfa_state]  # (B, V)
             logits = jnp.where(mask, logits, -jnp.inf)
-            tokens = sample_tokens(logits, step_key, temps,
+            tokens = sample_tokens(logits, step_key,
+                                   temps if use_sampling else None,
                                    top_ps if use_top_p else None)
             dfa_state = next_state[dfa_state, tokens]
             cache_len = jnp.minimum(cache_len + 1, m - 1)
@@ -474,19 +478,21 @@ class Engine:
             jnp.asarray(dfa_val, jnp.int32))
         self.slot_free[slot] = False
         self._slot_top_p[slot] = float(prepared.top_p)
+        self._slot_temp[slot] = float(prepared.temperature)
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
         steps = steps or self.ecfg.decode_chunk
-        use_top_p = any(
-            p < 1.0 for p, free in zip(self._slot_top_p, self.slot_free)
-            if not free)
+        active = [i for i, free in enumerate(self.slot_free) if not free]
+        use_sampling = any(self._slot_temp[i] > 0.0 for i in active)
+        use_top_p = use_sampling and any(
+            self._slot_top_p[i] < 1.0 for i in active)
         self._key, sub = jax.random.split(self._key)
         (self.cache, self.cache_len, self.next_pos, self.last_token,
          self.dfa_state, toks) = self._decode_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.temps, self.top_ps, self.dfa_state,
             self._allowed, self._next_state, sub, steps=steps,
-            use_top_p=use_top_p)
+            use_top_p=use_top_p, use_sampling=use_sampling)
         return np.asarray(toks)  # (K, B)
 
     def free_slot(self, slot: int):

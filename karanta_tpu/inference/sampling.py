@@ -25,6 +25,8 @@ def sample_tokens(logits: jnp.ndarray,       # (B, V) float
     """
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
+    if temperature is None:  # statically greedy batch
+        return greedy
 
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
