@@ -59,8 +59,11 @@ def main() -> None:
     parser.add_argument("--baseline", type=float, default=1.0,
                         help="baseline pages/sec/chip (A100+vLLM 7B class)")
     parser.add_argument("--quantize", default=os.environ.get(
-        "KARANTA_BENCH_QUANTIZE") or None, choices=[None, "int8"],
-        help="decoder weight quantization (reference serves FP8 checkpoints)")
+        "KARANTA_BENCH_QUANTIZE", "int8"), choices=["none", "int8"],
+        help="decoder weight quantization; default int8 — the reference "
+             "pipeline's default engine model is an FP8 checkpoint "
+             "(pipeline.py:1128), so quantized serving is the like-for-like "
+             "operating point. Pass 'none' for bf16.")
     args = parser.parse_args()
 
     import jax
@@ -95,6 +98,9 @@ def main() -> None:
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
 
+    quantize = args.quantize if args.quantize != "none" else None
+    if jax.default_backend() != "tpu":
+        quantize = None  # int8 fusion targets the TPU path
     ecfg = EngineConfig(
         max_batch_size=args.batch,
         max_seq_len=4096,
@@ -102,7 +108,7 @@ def main() -> None:
         prefill_buckets=(2048, 4096),
         image_token_buckets=(2048,),
         dtype=dtype,
-        quantize=args.quantize,
+        quantize=quantize,
     )
     engine = Engine(params, cfg, tok, ecfg)
     del params  # with --quantize the engine holds int8 copies; free the bf16
@@ -154,7 +160,7 @@ def main() -> None:
             "backend": jax.default_backend(),
             "chips": n_chips,
             "batch": args.batch,
-            "quantize": args.quantize,
+            "quantize": quantize,
         },
     }))
 
