@@ -249,6 +249,8 @@ def decode_step(params: Params, cfg: TextConfig,
 
 def logits_from_hidden(params: Params, cfg: TextConfig,
                        hidden: jnp.ndarray) -> jnp.ndarray:
+    if "logits_head" in params:  # int8 table for tied embeddings
+        return qmm(hidden, params["logits_head"])
     if cfg.tie_word_embeddings:
         return hidden @ params["embed"].T
     return qmm(hidden, params["lm_head"])

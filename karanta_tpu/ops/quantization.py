@@ -56,16 +56,20 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
         return x @ w
     acc = jnp.matmul(x, w[QUANT_KEY].astype(x.dtype),
                      preferred_element_type=jnp.float32)
-    out = acc * w["scale"]
+    scale = w["scale"]
+    if acc.ndim < scale.ndim:  # 1-D x: drop the broadcast row axis
+        scale = jnp.squeeze(scale, axis=-2)
+    out = acc * scale
     return out.astype(x.dtype)
 
 
 def quantize_decoder_params(text_params: dict) -> dict:
-    """Quantize the decoder's large matrices (attn + mlp + lm_head).
+    """Quantize the decoder's large matrices (attn + mlp + logits head).
 
-    Embedding stays bf16 (it is gathered, not matmul'd, on the input side;
-    with tied embeddings the logits matmul still reads it in bf16 — quantize
-    lm_head only when untied). Norms and biases stay as-is.
+    The input embedding stays bf16 (it is gathered, not matmul'd); for tied
+    embeddings a separate int8 "logits_head" table (embed transposed) serves
+    the per-step logits matmul, which otherwise re-reads the full bf16
+    embedding every decode step. Norms and biases stay as-is.
     """
     layers = text_params["layers"]
     new_attn = dict(layers["attn"])
@@ -80,4 +84,7 @@ def quantize_decoder_params(text_params: dict) -> dict:
     out["layers"] = new_layers
     if "lm_head" in text_params:
         out["lm_head"] = quantize_weight(text_params["lm_head"])
+    else:
+        out["logits_head"] = quantize_weight(
+            jnp.swapaxes(text_params["embed"], 0, 1))
     return out
