@@ -171,6 +171,8 @@ class Engine:
             self._encode_image_impl, static_argnames=("n_windows",))
         self._prefill_jit = jax.jit(self._prefill_impl)
         self._prefill_prefix_jit = jax.jit(self._prefill_prefix_impl)
+        self._prefill_fused_jit = jax.jit(self._prefill_fused_impl,
+                                          static_argnames=("n_windows",))
         self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk_impl,
@@ -197,6 +199,27 @@ class Engine:
         emb = dec.embed_tokens(params["text"], ids)
         emb = emb.at[img_positions].set(
             img_tokens.astype(emb.dtype), mode="drop")
+        hidden, cache = dec.prefill_forward(
+            params["text"], self.cfg.text, emb[None], positions[:, None, :],
+            kv_mask=kv_mask[None])
+        last = hidden[0, true_len - 1]
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        return logits, cache
+
+    def _prefill_fused_impl(self, params, pixel_values, perm, valid, pos_hw,
+                            extract, ids, positions, kv_mask, img_positions,
+                            true_len, *, n_windows):
+        """Single-image fast path: patch encoding, vision encoder, embedding
+        merge, and decoder prefill in ONE executable — one host round-trip
+        per page instead of three (dispatch latency is material on
+        remote/tunneled TPUs)."""
+        encoded = vis.encode_image(params["visual"], self.cfg.vision,
+                                   pixel_values, perm, valid, pos_hw,
+                                   n_windows)
+        img_tokens = jnp.take(encoded, extract, axis=0)
+        emb = dec.embed_tokens(params["text"], ids)
+        emb = emb.at[img_positions].set(img_tokens.astype(emb.dtype),
+                                        mode="drop")
         hidden, cache = dec.prefill_forward(
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
             kv_mask=kv_mask[None])
@@ -408,8 +431,38 @@ class Engine:
 
     def prefill(self, prepared: _Prepared):
         """Run prefill; returns (cache, first_token_array, true_len, next_pos)."""
-        img_tokens, img_positions = self._encode_images(prepared)
         s = len(prepared.ids)
+
+        if len(prepared.image_feeds) == 1 and not prepared.prefix_len:
+            # single-image fast path: one fused executable per page
+            feed = prepared.image_feeds[0]
+            plan, layout = feed["plan"], feed["layout"]
+            pix = patchify(jnp.asarray(feed["image_u8"]),
+                           grid_h=plan.grid_h, grid_w=plan.grid_w,
+                           pad_grid_h=plan.pad_grid_h,
+                           pad_grid_w=plan.pad_grid_w,
+                           out_dtype=self.ecfg.dtype)
+            s_pad = _bucket(s, self.ecfg.prefill_buckets)
+            ids = np.zeros((s_pad,), np.int32)
+            ids[:s] = prepared.ids
+            positions = np.zeros((3, s_pad), np.int32)
+            positions[:, :s] = prepared.positions
+            kv_mask = np.zeros((s_pad,), np.float32)
+            kv_mask[:s] = 1.0
+            img_pos = np.full((feed["n_pad"],), s_pad, np.int32)
+            prompt_img_idx = np.flatnonzero(
+                prepared.ids == self.tok.image_pad_id)
+            img_pos[: layout.num_merged] = prompt_img_idx
+            logits, cache = self._prefill_fused_jit(
+                self.params, pix,
+                jnp.asarray(layout.perm), jnp.asarray(layout.valid),
+                jnp.asarray(layout.pos_hw), jnp.asarray(feed["extract"]),
+                jnp.asarray(ids), jnp.asarray(positions),
+                jnp.asarray(kv_mask), jnp.asarray(img_pos),
+                jnp.asarray(s, jnp.int32), n_windows=layout.n_windows)
+            return self._sample_first(prepared, logits, cache, s)
+
+        img_tokens, img_positions = self._encode_images(prepared)
 
         if prepared.prefix_len:
             p = prepared.prefix_len
@@ -450,6 +503,10 @@ class Engine:
                 jnp.asarray(img_positions.astype(np.int32)),
                 jnp.asarray(s, jnp.int32))
 
+        return self._sample_first(prepared, logits, cache, s)
+
+    def _sample_first(self, prepared: _Prepared, logits, cache, s: int):
+        """Shared prefill tail: guided mask, first-token sample, dfa advance."""
         state0 = prepared.guide if prepared.guide is not None else 0
         if prepared.guide is not None:
             logits = jnp.where(self._allowed[state0], logits, -jnp.inf)
