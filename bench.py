@@ -52,10 +52,13 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default=os.environ.get(
         "KARANTA_BENCH_PRESET", "qwen2.5-vl-3b"))
-    parser.add_argument("--pages", type=int, default=16)
+    parser.add_argument("--pages", type=int, default=None,
+                        help="default: 2x batch (two full decode waves)")
     parser.add_argument("--decode-tokens", type=int, default=512,
                         help="fixed completion budget per page")
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=16,
+                        help="decode slots; 16 measured best on v5e at 4k "
+                             "context (32 regresses: full-bucket cache reads)")
     parser.add_argument("--baseline", type=float, default=1.0,
                         help="baseline pages/sec/chip (A100+vLLM 7B class)")
     parser.add_argument("--quantize", default=os.environ.get(
@@ -65,6 +68,8 @@ def main() -> None:
              "(pipeline.py:1128), so quantized serving is the like-for-like "
              "operating point. Pass 'none' for bf16.")
     args = parser.parse_args()
+    if args.pages is None:
+        args.pages = max(16, 2 * args.batch)
 
     import jax
 
