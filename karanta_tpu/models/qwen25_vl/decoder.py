@@ -230,21 +230,30 @@ def decode_step(params: Params, cfg: TextConfig,
     batch_idx = jnp.arange(b)
     kv_valid = (jnp.arange(m)[None, :] <= cache_len[:, None]).astype(jnp.float32)
 
-    def body(x, layer_and_cache):
-        layer, k_cache, v_cache = layer_and_cache
+    # The cache rides in the scan CARRY and is updated with a one-row scatter
+    # per layer: XLA aliases loop carries in place, so the multi-GB buffers
+    # are never copied. (Routing them through scan xs/ys stacks a fresh copy
+    # of the whole cache every step — measured as the dominant decode cost.)
+    def body(carry, layer_and_idx):
+        x, k_all, v_all = carry
+        layer, idx = layer_and_idx
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _project_qkv(xn, layer["attn"], cfg)
         q, k = apply_rope(q, k, cos, sin)
-        k_cache = k_cache.at[batch_idx, cache_len].set(k[:, 0])
-        v_cache = v_cache.at[batch_idx, cache_len].set(v[:, 0])
-        attn = decode_attention(q, k_cache, v_cache, kv_mask=kv_valid)
+        k_all = k_all.at[idx, batch_idx, cache_len].set(k[:, 0])
+        v_all = v_all.at[idx, batch_idx, cache_len].set(v[:, 0])
+        k_layer = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        attn = decode_attention(q, k_layer, v_layer, kv_mask=kv_valid)
         x = x + qmm(attn.reshape(b, 1, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
-        return x, (k_cache, v_cache)
+        return (x, k_all, v_all), None
 
-    x, (ks, vs) = jax.lax.scan(body, embeds, (params["layers"], cache.k, cache.v))
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (embeds, cache.k, cache.v),
+        (params["layers"], jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, KVCache(ks, vs)
+    return x, KVCache(k_new, v_new)
 
 
 def logits_from_hidden(params: Params, cfg: TextConfig,
