@@ -382,18 +382,41 @@ def build_token_automaton(pattern: str, token_bytes: list[bytes],
                           start=1 + dfa.start)
 
 
+def _gpt2_byte_decoder() -> dict[str, int]:
+    """Inverse of the GPT-2/Qwen ByteLevel bytes->unicode table."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
 def token_bytes_from_tokenizer(tok, vocab_size: int) -> list[bytes]:
-    """Per-token byte strings for mask building. Uses the tokenizer's own
-    byte mapping when available (HF fast tokenizers); falls back to decoding
-    single ids (adequate for the byte-level test tokenizer)."""
-    if hasattr(tok, "_tok"):  # HFTokenizer wrapper
-        inner = tok._tok
+    """Per-token byte strings for mask building.
+
+    HF byte-level BPE tokenizers (Qwen's) represent raw bytes as mapped
+    unicode chars in the token string; decoding single ids mangles
+    multi-byte UTF-8, so tokens are recovered through the ByteLevel inverse
+    map. Falls back to per-id decode for simple tokenizers (the byte-level
+    test tokenizer)."""
+    inner = getattr(tok, "_tok", None)
+    if inner is not None and hasattr(inner, "convert_ids_to_tokens"):
+        byte_decoder = _gpt2_byte_decoder()
         out = []
         for i in range(vocab_size):
-            try:
-                text = inner.decode([i], skip_special_tokens=False)
-            except Exception:
-                text = ""
-            out.append(text.encode("utf-8"))
+            token = inner.convert_ids_to_tokens(i)
+            if token is None:
+                out.append(b"")
+                continue
+            if all(c in byte_decoder for c in token):
+                out.append(bytes(byte_decoder[c] for c in token))
+            else:
+                # special/added token: its literal text
+                out.append(token.encode("utf-8"))
         return out
     return [tok.decode([i]).encode("utf-8") for i in range(vocab_size)]
