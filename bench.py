@@ -56,9 +56,9 @@ def main() -> None:
                         help="default: 2x batch (two full decode waves)")
     parser.add_argument("--decode-tokens", type=int, default=512,
                         help="fixed completion budget per page")
-    parser.add_argument("--batch", type=int, default=16,
-                        help="decode slots; 16 measured best on v5e at 4k "
-                             "context (32 regresses: full-bucket cache reads)")
+    parser.add_argument("--batch", type=int, default=32,
+                        help="decode slots (32 measured best on v5e at 4k "
+                             "context once cache copies/reads were fixed)")
     parser.add_argument("--baseline", type=float, default=1.0,
                         help="baseline pages/sec/chip (A100+vLLM 7B class)")
     parser.add_argument("--quantize", default=os.environ.get(

@@ -176,12 +176,18 @@ class Engine:
         self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk_impl,
-            static_argnames=("steps", "use_top_p", "use_sampling"),
+            static_argnames=("steps", "use_top_p", "use_sampling",
+                             "attend_len"),
             donate_argnums=(1,))
         # static sampling gates: the nucleus sort / gumbel sampling only
         # compile in when some active slot actually needs them
         self._slot_top_p = [1.0] * b
         self._slot_temp = [0.0] * b
+        # host mirror of per-slot lengths drives the static attend horizon
+        self._slot_len = [0] * b
+        self._attend_buckets = tuple(
+            n for n in (1024, 2048, 4096, 8192, 16384)
+            if n <= engine_cfg.max_seq_len) or (engine_cfg.max_seq_len,)
 
     # ------------------------------------------------------------------
     # device-side implementations
@@ -263,7 +269,7 @@ class Engine:
     def _decode_chunk_impl(self, params, cache, cache_len, next_pos,
                            last_token, temps, top_ps, dfa_state,
                            allowed, next_state, key, *, steps, use_top_p,
-                           use_sampling):
+                           use_sampling, attend_len):
         m = cache.k.shape[2]
 
         def step(carry, step_key):
@@ -272,7 +278,7 @@ class Engine:
             pos = jnp.broadcast_to(next_pos[None, :], (3,) + next_pos.shape)
             hidden, cache = dec.decode_step(
                 params["text"], self.cfg.text, emb, pos, cache,
-                jnp.minimum(cache_len, m - 1))
+                jnp.minimum(cache_len, m - 1), attend_len=attend_len)
             logits = dec.logits_from_hidden(
                 params["text"], self.cfg.text, hidden[:, 0])
             # guided decoding: mask disallowed tokens for each slot's state
@@ -536,6 +542,7 @@ class Engine:
         self.slot_free[slot] = False
         self._slot_top_p[slot] = float(prepared.top_p)
         self._slot_temp[slot] = float(prepared.temperature)
+        self._slot_len[slot] = true_len
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
         steps = steps or self.ecfg.decode_chunk
@@ -543,13 +550,22 @@ class Engine:
         use_sampling = any(self._slot_temp[i] > 0.0 for i in active)
         use_top_p = use_sampling and any(
             self._slot_top_p[i] < 1.0 for i in active)
+        # static read horizon: smallest bucket covering every live slot
+        # through this chunk (full-bucket reads dominated decode at large M)
+        needed = max((self._slot_len[i] for i in active), default=0) + steps + 1
+        attend_len = next((b for b in self._attend_buckets if b >= needed),
+                          self.ecfg.max_seq_len)
+        for i in active:
+            self._slot_len[i] = min(self._slot_len[i] + steps,
+                                    self.ecfg.max_seq_len - 1)
         self._key, sub = jax.random.split(self._key)
         (self.cache, self.cache_len, self.next_pos, self.last_token,
          self.dfa_state, toks) = self._decode_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.temps, self.top_ps, self.dfa_state,
             self._allowed, self._next_state, sub, steps=steps,
-            use_top_p=use_top_p, use_sampling=use_sampling)
+            use_top_p=use_top_p, use_sampling=use_sampling,
+            attend_len=attend_len)
         return np.asarray(toks)  # (K, B)
 
     def free_slot(self, slot: int):

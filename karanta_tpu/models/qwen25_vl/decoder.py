@@ -216,10 +216,16 @@ def decode_step(params: Params, cfg: TextConfig,
                 positions: jnp.ndarray,     # (3, B) int32
                 cache: KVCache,             # max_len M
                 cache_len: jnp.ndarray,     # (B,) int32 — tokens already in cache
+                attend_len: Optional[int] = None,  # static read horizon <= M
                 ) -> tuple[jnp.ndarray, KVCache]:
-    """One decode step: append kv at cache_len, attend over cache_len+1 keys."""
+    """One decode step: append kv at cache_len, attend over cache_len+1 keys.
+
+    attend_len statically bounds how much of each slot's cache the attention
+    reads (every cache_len must stay below it); the full buffers are still
+    carried and written, but the HBM read stream shrinks to the live prefix.
+    """
     b = embeds.shape[0]
-    m = cache.k.shape[2]
+    m = attend_len or cache.k.shape[2]
     cos, sin = jax.vmap(
         lambda p: mrope_cos_sin(p[:, None], cfg.head_dim, cfg.mrope_section,
                                 cfg.rope_theta),
@@ -242,8 +248,10 @@ def decode_step(params: Params, cfg: TextConfig,
         q, k = apply_rope(q, k, cos, sin)
         k_all = k_all.at[idx, batch_idx, cache_len].set(k[:, 0])
         v_all = v_all.at[idx, batch_idx, cache_len].set(v[:, 0])
-        k_layer = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-        v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        k_layer = jax.lax.dynamic_index_in_dim(k_all, idx, 0,
+                                               keepdims=False)[:, :m]
+        v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
+                                               keepdims=False)[:, :m]
         attn = decode_attention(q, k_layer, v_layer, kv_mask=kv_valid)
         x = x + qmm(attn.reshape(b, 1, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
