@@ -162,6 +162,34 @@ class TestDecoderParity:
                                    atol=1e-3, rtol=1e-3)
 
 
+class TestAttendHorizon:
+    def test_bounded_reads_match_full(self, our_params):
+        """decode_step with a static attend_len must equal the full-M read
+        when every cache_len fits under the horizon."""
+        rng = np.random.default_rng(11)
+        ids = rng.integers(0, 500, size=(2, 6))
+        pos = np.stack([mrope_positions(row, [], CFG.image_token_id)
+                        for row in ids], axis=1)
+        emb = jax.vmap(lambda r: dec.embed_tokens(our_params["text"], r))(
+            jnp.asarray(ids))
+        _, pre = dec.prefill_forward(our_params["text"], CFG.text, emb,
+                                     jnp.asarray(pos))
+        cache = dec.KVCache.zeros(CFG.text, 2, 32, dtype=jnp.float32)
+        cache = dec.KVCache(cache.k.at[:, :, :6].set(pre.k),
+                            cache.v.at[:, :, :6].set(pre.v))
+        cache_len = jnp.full((2,), 6, jnp.int32)
+        step_emb = emb[:, -1:]
+        step_pos = jnp.asarray(pos)[:, :, -1] + 1
+
+        h_full, _ = dec.decode_step(our_params["text"], CFG.text, step_emb,
+                                    step_pos, cache, cache_len)
+        h_bound, _ = dec.decode_step(our_params["text"], CFG.text, step_emb,
+                                     step_pos, cache, cache_len,
+                                     attend_len=16)
+        np.testing.assert_allclose(np.asarray(h_bound), np.asarray(h_full),
+                                   atol=1e-5)
+
+
 class TestDecodeConsistency:
     def test_incremental_matches_prefill(self, our_params):
         """Greedy decode via decode_step must reproduce prefill logits."""
