@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import os
 import logging
 import time
 from typing import Any, Optional, Sequence
@@ -550,11 +551,19 @@ class Engine:
         use_sampling = any(self._slot_temp[i] > 0.0 for i in active)
         use_top_p = use_sampling and any(
             self._slot_top_p[i] < 1.0 for i in active)
-        # static read horizon: smallest bucket covering every live slot
-        # through this chunk (full-bucket reads dominated decode at large M)
-        needed = max((self._slot_len[i] for i in active), default=0) + steps + 1
-        attend_len = next((b for b in self._attend_buckets if b >= needed),
-                          self.ecfg.max_seq_len)
+        # Static read horizon: measured SLOWER on v5e (the bounded slice of
+        # the carried cache materializes a copy, costing more than the saved
+        # reads), so the full buffer is read by default. The plumbing stays
+        # for a future pallas decode kernel that can honor the bound without
+        # a copy (set KARANTA_ATTEND_BUCKETS=1 to re-enable).
+        if os.environ.get("KARANTA_ATTEND_BUCKETS") == "1":
+            needed = max((self._slot_len[i] for i in active),
+                         default=0) + steps + 1
+            attend_len = next(
+                (b for b in self._attend_buckets if b >= needed),
+                self.ecfg.max_seq_len)
+        else:
+            attend_len = self.ecfg.max_seq_len
         for i in active:
             self._slot_len[i] = min(self._slot_len[i] + steps,
                                     self.ecfg.max_seq_len - 1)
