@@ -125,6 +125,17 @@ jax.tree_util.register_pytree_node(
     KVCache, lambda c: ((c.k, c.v), None), lambda _, kv: KVCache(*kv))
 
 
+def _use_paged_decode() -> bool:
+    """Opt-in pallas decode kernel (length-bounded HBM reads); measured
+    per-deployment before becoming default (KARANTA_PAGED_DECODE=1)."""
+    import os
+
+    import jax
+
+    return (os.environ.get("KARANTA_PAGED_DECODE") == "1"
+            and jax.default_backend() == "tpu")
+
+
 def _project_qkv(x, p, cfg: TextConfig):
     b, s, _ = x.shape
     q = (qmm(x, p["wq"]) + p["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
@@ -252,7 +263,12 @@ def decode_step(params: Params, cfg: TextConfig,
                                                keepdims=False)[:, :m]
         v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
                                                keepdims=False)[:, :m]
-        attn = decode_attention(q, k_layer, v_layer, kv_mask=kv_valid)
+        if _use_paged_decode():
+            from karanta_tpu.ops.decode_attention import paged_decode_attention
+
+            attn = paged_decode_attention(q, k_layer, v_layer, cache_len)
+        else:
+            attn = decode_attention(q, k_layer, v_layer, kv_mask=kv_valid)
         x = x + qmm(attn.reshape(b, 1, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
         return (x, k_all, v_all), None
