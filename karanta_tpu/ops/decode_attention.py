@@ -35,7 +35,10 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
                    *, block: int, max_len: int, scale: float):
     slot = pl.program_id(0)
     seq_len = len_ref[slot] + 1          # +1: the new token was just written
-    num_blocks = pl.cdiv(seq_len, block)
+    # lax.div instead of //-based cdiv: jnp's sign-correct floor-div carries a
+    # nested `where` jaxpr that trips an MLIR lowering-cache bug inside
+    # pallas kernels on this jax version
+    num_blocks = jax.lax.div(seq_len + (block - 1), block)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
@@ -58,8 +61,8 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
     q = q_ref[0, 0]                      # (G, D)
 
     def body(i, _):
-        cur = i % 2
-        nxt = (i + 1) % 2
+        cur = jax.lax.bitwise_and(i, 1)
+        nxt = jax.lax.bitwise_and(i + 1, 1)
 
         @pl.when(i + 1 < num_blocks)
         def _():
