@@ -7,9 +7,10 @@ online-softmax accumulator across blocks: HBM traffic tracks actual context
 lengths instead of the bucket, which is the big remaining decode stream at
 large batch.
 
-Layout: grid (B, KVH); each program handles one (slot, kv-head) pair,
-double-buffering k/v block DMAs and computing GQA scores for that head's
-query group.
+Layout notes (TPU tiling): the grid is (B,) and KV heads are a static
+python loop inside the kernel — a KVH-sized block dimension (2 on the 3B)
+violates the (sublane, lane) tiling rules, so per-head DMA slices of
+(block, head_dim) are used instead.
 """
 
 from __future__ import annotations
@@ -26,17 +27,17 @@ NEG_INF = -1e30
 
 
 def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
-                   q_ref,                   # VMEM (1, 1, G, D)
-                   k_hbm, v_hbm,            # ANY (1, M, 1, D) block slices
-                   o_ref,                   # VMEM (1, 1, G, D)
-                   k_buf, v_buf,            # VMEM scratch (2, BLK, D)
+                   q_ref,                   # VMEM (1, KVH*G, D)
+                   k_hbm, v_hbm,            # ANY (1, M, KVH, D)
+                   o_ref,                   # VMEM (1, KVH*G, D)
+                   k_buf, v_buf,            # VMEM scratch (2, KVH, BLK, D)
                    acc_ref, m_ref, l_ref,   # VMEM scratch
-                   sems,                    # DMA semaphores (2, 2)
-                   *, block: int, max_len: int, scale: float):
+                   sems,                    # DMA semaphores (2, 2, KVH)
+                   *, block: int, kvh: int, group: int, scale: float):
     slot = pl.program_id(0)
     seq_len = len_ref[slot] + 1          # +1: the new token was just written
-    # lax.div instead of //-based cdiv: jnp's sign-correct floor-div carries a
-    # nested `where` jaxpr that trips an MLIR lowering-cache bug inside
+    # lax.div instead of //-based cdiv: jnp's sign-correct floor-div carries
+    # a nested `where` jaxpr that trips an MLIR lowering-cache bug inside
     # pallas kernels on this jax version
     num_blocks = jax.lax.div(seq_len + (block - 1), block)
 
@@ -44,21 +45,22 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    def k_dma(i, slot_idx):
-        return pltpu.make_async_copy(
-            k_hbm.at[0, pl.ds(i * block, block), 0],
-            k_buf.at[slot_idx], sems.at[0, slot_idx])
+    def dmas(i, buf_slot):
+        # whole (block, KVH, D) slices: slicing the KVH dim in a DMA breaks
+        # its (2, 128) tile; heads are split on the loaded VALUE instead
+        return [
+            pltpu.make_async_copy(
+                k_hbm.at[slot, pl.ds(i * block, block)],
+                k_buf.at[buf_slot], sems.at[0, buf_slot]),
+            pltpu.make_async_copy(
+                v_hbm.at[slot, pl.ds(i * block, block)],
+                v_buf.at[buf_slot], sems.at[1, buf_slot]),
+        ]
 
-    def v_dma(i, slot_idx):
-        return pltpu.make_async_copy(
-            v_hbm.at[0, pl.ds(i * block, block), 0],
-            v_buf.at[slot_idx], sems.at[1, slot_idx])
+    for dma in dmas(0, 0):
+        dma.start()
 
-    # warm up: first block
-    k_dma(0, 0).start()
-    v_dma(0, 0).start()
-
-    q = q_ref[0, 0]                      # (G, D)
+    q = q_ref[0]                         # (KVH*G, D)
 
     def body(i, _):
         cur = jax.lax.bitwise_and(i, 1)
@@ -66,36 +68,44 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
 
         @pl.when(i + 1 < num_blocks)
         def _():
-            k_dma(i + 1, nxt).start()
-            v_dma(i + 1, nxt).start()
+            for dma in dmas(i + 1, nxt):
+                dma.start()
 
-        k_dma(i, cur).wait()
-        v_dma(i, cur).wait()
+        for dma in dmas(i, cur):
+            dma.wait()
 
-        k = k_buf[cur]                   # (BLK, D)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
         cols = i * block + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1)
-        s = jnp.where(cols < seq_len, s, NEG_INF)
+            jnp.int32, (group, block), 1)
+        valid = cols < seq_len
 
-        m_prev = m_ref[:, 0:1]
-        l_prev = l_ref[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:, 0:1] = m_new
-        pv = jax.lax.dot_general(p.astype(v_buf.dtype), v_buf[cur],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        kb = k_buf[cur]                                # (BLK, KVH, D) value
+        vb = v_buf[cur]
+        for h in range(kvh):
+            qh = q[h * group:(h + 1) * group]          # (G, D)
+            k = kb[:, h, :]                            # (BLK, D)
+            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s * scale, NEG_INF)
+
+            rows = slice(h * group, (h + 1) * group)
+            m_prev = m_ref[rows, 0:1]
+            l_prev = l_ref[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+            m_ref[rows, 0:1] = m_new
+            pv = jax.lax.dot_general(p.astype(vb.dtype), vb[:, h, :],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
         return ()
 
     jax.lax.fori_loop(0, num_blocks, body, ())
 
     l = jnp.where(l_ref[:, 0:1] == 0.0, 1.0, l_ref[:, 0:1])
-    o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+    o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "scale", "interpret"))
@@ -105,7 +115,7 @@ def paged_decode_attention(
     v_cache: jnp.ndarray,  # (B, M, KVH, D)
     cache_len: jnp.ndarray,  # (B,) int32: the new token sits AT this index
     scale: Optional[float] = None,
-    block: int = 256,
+    block: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Length-bounded decode attention over per-slot caches."""
@@ -116,36 +126,36 @@ def paged_decode_attention(
     scale = float(d ** -0.5 if scale is None else scale)
     block = min(block, m)
 
-    qg = q.reshape(b, kvh, group, d)
+    # group queries by kv head: rows [h*G:(h+1)*G] share kv head h
+    qg = q.reshape(b, kvh * group, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, kvh),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, group, d), lambda bb, hh, lens: (bb, hh, 0, 0),
+            pl.BlockSpec((1, kvh * group, d), lambda bb, lens: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, 1, d), lambda bb, hh, lens: (bb, 0, hh, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((1, m, 1, d), lambda bb, hh, lens: (bb, 0, hh, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, group, d),
-                               lambda bb, hh, lens: (bb, hh, 0, 0),
+        out_specs=pl.BlockSpec((1, kvh * group, d),
+                               lambda bb, lens: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block, d), k_cache.dtype),
-            pltpu.VMEM((2, block, d), v_cache.dtype),
-            pltpu.VMEM((group, d), jnp.float32),
-            pltpu.VMEM((group, 128), jnp.float32),
-            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((2, block, kvh, d), k_cache.dtype),
+            pltpu.VMEM((2, block, kvh, d), v_cache.dtype),
+            pltpu.VMEM((kvh * group, d), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, block=block, max_len=m, scale=scale),
+        functools.partial(_decode_kernel, block=block, kvh=kvh, group=group,
+                          scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kvh, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),
         interpret=interpret,
     )(cache_len.astype(jnp.int32), qg, k_cache, v_cache)
 
