@@ -123,7 +123,7 @@ class Engine:
 
             params = shard_pytree(params, param_axes(cfg), mesh, DEFAULT_RULES)
             self._cache_sharding = logical_to_named_sharding(
-                mesh, ("layers", "batch", "kv_seq", "kv_heads", "head_dim"),
+                mesh, ("layers", "batch", "kv_heads", "kv_seq", "head_dim"),
                 DEFAULT_RULES)
         if engine_cfg.quantize == "int8":
             from karanta_tpu.ops.quantization import quantize_decoder_params
@@ -254,9 +254,9 @@ class Engine:
     def _insert_impl(self, prefill_cache, cache, cache_len, next_pos,
                      last_token, temps, top_ps, dfa_state, slot, true_len,
                      first_token, pos_after, temp, top_p, dfa_val):
-        s = prefill_cache.k.shape[2]
-        k = cache.k.at[:, slot, :s].set(prefill_cache.k[:, 0])
-        v = cache.v.at[:, slot, :s].set(prefill_cache.v[:, 0])
+        s = prefill_cache.k.shape[3]
+        k = cache.k.at[:, slot, :, :s].set(prefill_cache.k[:, 0])
+        v = cache.v.at[:, slot, :, :s].set(prefill_cache.v[:, 0])
         return (
             dec.KVCache(k, v),
             cache_len.at[slot].set(true_len),
@@ -271,7 +271,7 @@ class Engine:
                            last_token, temps, top_ps, dfa_state,
                            allowed, next_state, key, *, steps, use_top_p,
                            use_sampling, attend_len):
-        m = cache.k.shape[2]
+        m = cache.k.shape[3]
 
         def step(carry, step_key):
             cache, cache_len, next_pos, last_token, dfa_state = carry
@@ -429,7 +429,7 @@ class Engine:
             jnp.asarray(kv_mask), dummy_tokens,
             jnp.asarray(np.full((1,), s_pad, np.int32)),
             jnp.asarray(p, jnp.int32))
-        trimmed = dec.KVCache(cache.k[:, :, :p], cache.v[:, :, :p])
+        trimmed = dec.KVCache(cache.k[:, :, :, :p], cache.v[:, :, :, :p])
         self._prefix_kv[key] = trimmed
         while len(self._prefix_kv) > self.ecfg.prefix_cache_entries:
             self._prefix_kv.popitem(last=False)

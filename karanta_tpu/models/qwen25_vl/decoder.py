@@ -8,7 +8,7 @@ biases, SwiGLU MLP, RMSNorm, M-RoPE), redesigned for XLA:
   - Prefill uses the Pallas flash-attention kernel (causal); decode reads the
     KV cache with a length mask. Both are static-shaped; sequence lengths are
     bucketed by the serving engine.
-  - The KV cache is a pytree of (layers, batch, max_len, kv_heads, head_dim)
+  - The KV cache is a pytree of (layers, batch, kv_heads, max_len, head_dim)
     buffers threaded through the scan as per-layer xs — appended in place via
     scatter at per-slot write offsets (continuous batching writes at a
     different offset per row).
@@ -109,7 +109,7 @@ def decoder_param_axes(cfg: TextConfig) -> Params:
 
 @dataclasses.dataclass
 class KVCache:
-    """Per-layer key/value buffers: (layers, batch, max_len, kv_heads, head_dim)."""
+    """Per-layer key/value buffers: (layers, batch, kv_heads, max_len, head_dim).\n\n    The per-head max_len x head_dim slab is contiguous, so decode reads the\n    cache at full stride (the (..., max_len, kv_heads, ...) layout interleaved\n    heads and crippled read bandwidth)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -117,7 +117,7 @@ class KVCache:
     @classmethod
     def zeros(cls, cfg: TextConfig, batch: int, max_len: int,
               dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -168,7 +168,8 @@ def prefill_forward(params: Params, cfg: TextConfig,
         attn = attention(q, k, v, kv_mask=kv_mask, causal=True)
         x = x + qmm(attn.reshape(b, s, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
-        return x, (k, v)
+        # store (B, KVH, S, D): contiguous per-head slabs for decode reads
+        return x, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
     x, (ks, vs) = jax.lax.scan(body, embeds, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -178,7 +179,7 @@ def prefill_forward(params: Params, cfg: TextConfig,
 def prefill_with_prefix(params: Params, cfg: TextConfig,
                         embeds: jnp.ndarray,          # (B, S, hidden) suffix
                         positions: jnp.ndarray,       # (3, B, S) absolute
-                        prefix: KVCache,              # (L, B, P, KVH, D)
+                        prefix: KVCache,              # (L, B, KVH, P, D)
                         prefix_mask: jnp.ndarray,     # (B, P) 1=valid
                         kv_mask: Optional[jnp.ndarray] = None,  # (B, S)
                         ) -> tuple[jnp.ndarray, KVCache]:
@@ -190,7 +191,7 @@ def prefill_with_prefix(params: Params, cfg: TextConfig,
     states for the suffix and the FULL (prefix + suffix) cache for decode.
     """
     b, s, _ = embeds.shape
-    p = prefix.k.shape[2]
+    p = prefix.k.shape[3]
     cos, sin = jax.vmap(
         lambda q: mrope_cos_sin(q, cfg.head_dim, cfg.mrope_section,
                                 cfg.rope_theta),
@@ -208,13 +209,15 @@ def prefill_with_prefix(params: Params, cfg: TextConfig,
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _project_qkv(xn, layer["attn"], cfg)
         q, k = apply_rope(q, k, cos, sin)
-        k_full = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
-        v_full = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+        pk_bshd = pk.astype(k.dtype).transpose(0, 2, 1, 3)  # -> (B, P, KVH, D)
+        pv_bshd = pv.astype(v.dtype).transpose(0, 2, 1, 3)
+        k_full = jnp.concatenate([pk_bshd, k], axis=1)
+        v_full = jnp.concatenate([pv_bshd, v], axis=1)
         attn = attention(q, k_full, v_full, kv_mask=full_mask, causal=True,
                          q_offset=p)
         x = x + qmm(attn.reshape(b, s, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
-        return x, (k_full, v_full)
+        return x, (k_full.transpose(0, 2, 1, 3), v_full.transpose(0, 2, 1, 3))
 
     x, (ks, vs) = jax.lax.scan(body, embeds,
                                (params["layers"], prefix.k, prefix.v))
@@ -236,7 +239,7 @@ def decode_step(params: Params, cfg: TextConfig,
     carried and written, but the HBM read stream shrinks to the live prefix.
     """
     b = embeds.shape[0]
-    m = attend_len or cache.k.shape[2]
+    m = attend_len or cache.k.shape[3]
     cos, sin = jax.vmap(
         lambda p: mrope_cos_sin(p[:, None], cfg.head_dim, cfg.mrope_section,
                                 cfg.rope_theta),
@@ -257,12 +260,13 @@ def decode_step(params: Params, cfg: TextConfig,
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _project_qkv(xn, layer["attn"], cfg)
         q, k = apply_rope(q, k, cos, sin)
-        k_all = k_all.at[idx, batch_idx, cache_len].set(k[:, 0])
-        v_all = v_all.at[idx, batch_idx, cache_len].set(v[:, 0])
+        # write (B, KVH, D) rows at [layer, slot, :, pos]
+        k_all = k_all.at[idx, batch_idx, :, cache_len].set(k[:, 0])
+        v_all = v_all.at[idx, batch_idx, :, cache_len].set(v[:, 0])
         k_layer = jax.lax.dynamic_index_in_dim(k_all, idx, 0,
-                                               keepdims=False)[:, :m]
+                                               keepdims=False)[:, :, :m]
         v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
-                                               keepdims=False)[:, :m]
+                                               keepdims=False)[:, :, :m]
         if _use_paged_decode():
             from karanta_tpu.ops.decode_attention import paged_decode_attention
 

@@ -74,27 +74,27 @@ def mha_reference(
 
 def decode_attention(
     q: jnp.ndarray,        # (B, 1, H, D)
-    k_cache: jnp.ndarray,  # (B, M, KVH, D)
-    v_cache: jnp.ndarray,  # (B, M, KVH, D)
+    k_cache: jnp.ndarray,  # (B, KVH, M, D) — contiguous per-head slabs
+    v_cache: jnp.ndarray,  # (B, KVH, M, D)
     kv_mask: jnp.ndarray,  # (B, M) 1 = valid
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Single-token decode attention, GQA-aware: no repeat_kv materialization
     (reads each cache byte exactly once — the decode path is HBM-bound and
     the cache is its largest stream). Shapes static; bound M is the cache
-    bucket."""
+    bucket. The (B, KVH, M, D) layout keeps each head's slab contiguous."""
     b, _, h, d = q.shape
-    kvh = k_cache.shape[2]
+    kvh = k_cache.shape[1]
     group = h // kvh
     scale = d ** -0.5 if scale is None else scale
     qg = q.reshape(b, kvh, group, d)
     # scores: (B, KVH, G, M) — f32 accumulation without materializing an
     # f32 (or head-repeated) copy of the cache
-    s = jnp.einsum("bkgd,bmkd->bkgm", qg, k_cache,
+    s = jnp.einsum("bkgd,bkmd->bkgm", qg, k_cache,
                    preferred_element_type=jnp.float32) * scale
     s = jnp.where(kv_mask[:, None, None, :] > 0, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bkgm,bmkd->bkgd", p.astype(v_cache.dtype), v_cache,
+    out = jnp.einsum("bkgm,bkmd->bkgd", p.astype(v_cache.dtype), v_cache,
                      preferred_element_type=jnp.float32)
     return out.reshape(b, 1, h, d).astype(q.dtype)
 

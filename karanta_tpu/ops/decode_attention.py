@@ -46,16 +46,17 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
     l_ref[:] = jnp.zeros_like(l_ref)
 
     def dmas(i, buf_slot):
-        # whole (block, KVH, D) slices: slicing the KVH dim in a DMA breaks
-        # its (2, 128) tile; heads are split on the loaded VALUE instead
-        return [
-            pltpu.make_async_copy(
-                k_hbm.at[slot, pl.ds(i * block, block)],
-                k_buf.at[buf_slot], sems.at[0, buf_slot]),
-            pltpu.make_async_copy(
-                v_hbm.at[slot, pl.ds(i * block, block)],
-                v_buf.at[buf_slot], sems.at[1, buf_slot]),
-        ]
+        # (B, KVH, M, D) cache layout: per-head (block, D) slices are
+        # contiguous and tile-legal
+        copies = []
+        for h in range(kvh):
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[slot, h, pl.ds(i * block, block)],
+                k_buf.at[buf_slot, h], sems.at[0, buf_slot, h]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[slot, h, pl.ds(i * block, block)],
+                v_buf.at[buf_slot, h], sems.at[1, buf_slot, h]))
+        return copies
 
     for dma in dmas(0, 0):
         dma.start()
@@ -78,11 +79,9 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
             jnp.int32, (group, block), 1)
         valid = cols < seq_len
 
-        kb = k_buf[cur]                                # (BLK, KVH, D) value
-        vb = v_buf[cur]
         for h in range(kvh):
             qh = q[h * group:(h + 1) * group]          # (G, D)
-            k = kb[:, h, :]                            # (BLK, D)
+            k = k_buf[cur, h]                          # (BLK, D)
             s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = jnp.where(valid, s * scale, NEG_INF)
@@ -96,7 +95,7 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
             l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1,
                                                         keepdims=True)
             m_ref[rows, 0:1] = m_new
-            pv = jax.lax.dot_general(p.astype(vb.dtype), vb[:, h, :],
+            pv = jax.lax.dot_general(p.astype(v_buf.dtype), v_buf[cur, h],
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
@@ -111,8 +110,8 @@ def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
 @functools.partial(jax.jit, static_argnames=("block", "scale", "interpret"))
 def paged_decode_attention(
     q: jnp.ndarray,        # (B, 1, H, D)
-    k_cache: jnp.ndarray,  # (B, M, KVH, D)
-    v_cache: jnp.ndarray,  # (B, M, KVH, D)
+    k_cache: jnp.ndarray,  # (B, KVH, M, D)
+    v_cache: jnp.ndarray,  # (B, KVH, M, D)
     cache_len: jnp.ndarray,  # (B,) int32: the new token sits AT this index
     scale: Optional[float] = None,
     block: int = 512,
@@ -120,8 +119,8 @@ def paged_decode_attention(
 ) -> jnp.ndarray:
     """Length-bounded decode attention over per-slot caches."""
     b, _, h, d = q.shape
-    m = k_cache.shape[1]
-    kvh = k_cache.shape[2]
+    kvh = k_cache.shape[1]
+    m = k_cache.shape[2]
     group = h // kvh
     scale = float(d ** -0.5 if scale is None else scale)
     block = min(block, m)
@@ -142,12 +141,12 @@ def paged_decode_attention(
                                lambda bb, lens: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block, kvh, d), k_cache.dtype),
-            pltpu.VMEM((2, block, kvh, d), v_cache.dtype),
+            pltpu.VMEM((2, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((2, kvh, block, d), v_cache.dtype),
             pltpu.VMEM((kvh * group, d), jnp.float32),
             pltpu.VMEM((kvh * group, 128), jnp.float32),
             pltpu.VMEM((kvh * group, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2, kvh)),
         ],
     )
 

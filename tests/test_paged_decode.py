@@ -14,8 +14,8 @@ def test_matches_masked_dense(lens, dtype):
     rng = np.random.default_rng(0)
     B, M, H, KVH, D = 4, 512, 8, 2, 64
     q = jnp.asarray(rng.normal(size=(B, 1, H, D)), dtype)
-    k = jnp.asarray(rng.normal(size=(B, M, KVH, D)), dtype)
-    v = jnp.asarray(rng.normal(size=(B, M, KVH, D)), dtype)
+    k = jnp.asarray(rng.normal(size=(B, KVH, M, D)), dtype)
+    v = jnp.asarray(rng.normal(size=(B, KVH, M, D)), dtype)
     cache_len = jnp.asarray(lens, jnp.int32)
     kv_mask = (jnp.arange(M)[None, :] <= cache_len[:, None]).astype(jnp.float32)
 

@@ -175,8 +175,8 @@ class TestAttendHorizon:
         _, pre = dec.prefill_forward(our_params["text"], CFG.text, emb,
                                      jnp.asarray(pos))
         cache = dec.KVCache.zeros(CFG.text, 2, 32, dtype=jnp.float32)
-        cache = dec.KVCache(cache.k.at[:, :, :6].set(pre.k),
-                            cache.v.at[:, :, :6].set(pre.v))
+        cache = dec.KVCache(cache.k.at[:, :, :, :6].set(pre.k),
+                            cache.v.at[:, :, :, :6].set(pre.v))
         cache_len = jnp.full((2,), 6, jnp.int32)
         step_emb = emb[:, -1:]
         step_pos = jnp.asarray(pos)[:, :, -1] + 1
