@@ -325,6 +325,126 @@ def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.swapaxes(out, 1, 2)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable attention: pallas flash forward + blockwise jnp backward.
+#
+# pallas_call has no autodiff rule, so training through the flash kernel
+# would crash; dense-reference autodiff would materialize the full (Sq, Sk)
+# score matrix in both passes (4.3 GB per 8k-seq sample — off the table).
+# Instead `attention` carries a custom_vjp whose backward recomputes scores
+# one kv block at a time from the saved q/k/v (the flash-attention-2
+# backward recurrence): one lax.scan pass rebuilds the row logsumexp, a
+# second accumulates dq and emits per-block dk/dv. Peak extra memory is
+# O(Sq * block) instead of O(Sq * Sk). A fused pallas backward kernel is a
+# future perf item; this backward is XLA einsums on the MXU already.
+# ---------------------------------------------------------------------------
+
+_BWD_BLOCK = 512
+
+
+def _score_block(qf, kb, maskb, causal, scale, q_offset, k_start):
+    """Masked f32 scores for one kv block: (B, KVH, G, Sq, BLK)."""
+    s = jnp.einsum("bqkgd,bmkd->bkgqm", qf, kb,
+                   preferred_element_type=jnp.float32) * scale
+    valid = maskb[:, None, None, None, :] > 0
+    if causal:
+        sq = qf.shape[1]
+        blk = kb.shape[1]
+        qpos = q_offset + jnp.arange(sq)[:, None]
+        kpos = k_start + jnp.arange(blk)[None, :]
+        valid = jnp.logical_and(valid, (qpos >= kpos)[None, None, None])
+    return jnp.where(valid, s, NEG_INF)
+
+
+def _attention_bwd_math(q, k, v, kv_mask, out, dout, causal, scale, q_offset):
+    b, sq, h, d = q.shape
+    _, sk, kvh, _ = k.shape
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+    blk = min(_BWD_BLOCK, max(_round_up(sk, 128), 128))
+    sk_p = _round_up(sk, blk)
+    nblk = sk_p // blk
+
+    mask = jnp.ones((b, sk), jnp.float32) if kv_mask is None \
+        else kv_mask.astype(jnp.float32)
+    mask = _pad_to(mask, 1, blk, 0.0)
+    kp = _pad_to(k.astype(jnp.float32), 1, blk)
+    vp = _pad_to(v.astype(jnp.float32), 1, blk)
+    qf = q.astype(jnp.float32).reshape(b, sq, kvh, group, d)
+    kb_all = kp.reshape(b, nblk, blk, kvh, d)
+    vb_all = vp.reshape(b, nblk, blk, kvh, d)
+    mb_all = mask.reshape(b, nblk, blk)
+
+    # pass 1: row logsumexp via online max/sum
+    def lse_step(carry, xs):
+        m, l = carry
+        kb, mb, j = xs
+        s = _score_block(qf, kb, mb, causal, scale, q_offset, j * blk)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new[..., None]),
+                                             axis=-1)
+        return (m_new, l), None
+
+    m0 = jnp.full((b, kvh, group, sq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, kvh, group, sq), jnp.float32)
+    (m, l), _ = jax.lax.scan(
+        lse_step, (m0, l0),
+        (jnp.moveaxis(kb_all, 1, 0), jnp.moveaxis(mb_all, 1, 0),
+         jnp.arange(nblk)))
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))            # (B, KVH, G, Sq)
+
+    # pass 2: dq accumulates across blocks; dk/dv emitted per block
+    doutf = dout.astype(jnp.float32).reshape(b, sq, kvh, group, d)
+    outf = out.astype(jnp.float32).reshape(b, sq, kvh, group, d)
+    drow = jnp.einsum("bqkgd,bqkgd->bkgq", doutf, outf)  # rowsum(dO * O)
+
+    def grad_step(dq, xs):
+        kb, vb, mb, j = xs
+        s = _score_block(qf, kb, mb, causal, scale, q_offset, j * blk)
+        p = jnp.exp(s - lse[..., None])                  # (B,KVH,G,Sq,BLK)
+        dv = jnp.einsum("bkgqm,bqkgd->bmkd", p, doutf)
+        dp = jnp.einsum("bqkgd,bmkd->bkgqm", doutf, vb)
+        ds = p * (dp - drow[..., None])
+        dq = dq + jnp.einsum("bkgqm,bmkd->bqkgd", ds, kb) * scale
+        dk = jnp.einsum("bkgqm,bqkgd->bmkd", ds, qf) * scale
+        return dq, (dk, dv)
+
+    dq0 = jnp.zeros((b, sq, kvh, group, d), jnp.float32)
+    dq, (dk, dv) = jax.lax.scan(
+        grad_step, dq0,
+        (jnp.moveaxis(kb_all, 1, 0), jnp.moveaxis(vb_all, 1, 0),
+         jnp.moveaxis(mb_all, 1, 0), jnp.arange(nblk)))
+    dk = jnp.moveaxis(dk, 0, 1).reshape(b, sk_p, kvh, d)[:, :sk]
+    dv = jnp.moveaxis(dv, 0, 1).reshape(b, sk_p, kvh, d)[:, :sk]
+    return (dq.reshape(b, sq, h, d).astype(q.dtype), dk.astype(k.dtype),
+            dv.astype(v.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_cv(q, k, v, kv_mask, causal, scale, q_offset):
+    if _use_pallas():
+        return flash_attention(q, k, v, kv_mask=kv_mask, causal=causal,
+                               scale=scale, q_offset=q_offset)
+    return mha_reference(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
+                         q_offset=q_offset)
+
+
+def _attention_cv_fwd(q, k, v, kv_mask, causal, scale, q_offset):
+    out = _attention_cv(q, k, v, kv_mask, causal, scale, q_offset)
+    return out, (q, k, v, kv_mask, out)
+
+
+def _attention_cv_bwd(causal, scale, q_offset, res, dout):
+    q, k, v, kv_mask, out = res
+    dq, dk, dv = _attention_bwd_math(q, k, v, kv_mask, out, dout,
+                                     causal, scale, q_offset)
+    dmask = None if kv_mask is None else jnp.zeros_like(kv_mask)
+    return dq, dk, dv, dmask
+
+
+_attention_cv.defvjp(_attention_cv_fwd, _attention_cv_bwd)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -334,9 +454,6 @@ def attention(
     scale: Optional[float] = None,
     q_offset: int = 0,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere (tests)."""
-    if _use_pallas():
-        return flash_attention(q, k, v, kv_mask=kv_mask, causal=causal,
-                               scale=scale, q_offset=q_offset)
-    return mha_reference(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale,
-                         q_offset=q_offset)
+    """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere (tests).
+    Differentiable on both backends via the blockwise custom VJP above."""
+    return _attention_cv(q, k, v, kv_mask, causal, scale, q_offset)

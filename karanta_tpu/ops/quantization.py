@@ -63,6 +63,78 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# NF4 (4-bit NormalFloat) for QLoRA training.
+#
+# The reference trains QLoRA via bitsandbytes 4-bit nf4 base weights
+# (karanta/training/ocr_training.py:335-356). TPU-native scheme: blockwise
+# absmax over 64 consecutive *reduction-axis* elements per output channel
+# (same scale count as bnb's flat blocking, but aligned to the matmul's
+# contraction so quantization error stays per-dot-product), nibbles packed
+# two-per-byte along the reduction axis. Dequantization happens inside the
+# jitted train step, so the bf16 copy is a fusion temporary — base-weight
+# HBM residency is 4.25 bits/param. Double quantization of the absmax table
+# (bnb's optional extra) is omitted: it saves 0.37 bits/param and costs a
+# second lookup.
+# ---------------------------------------------------------------------------
+
+NF4_BLOCK = 64
+
+# the 16 NormalFloat4 code points (QLoRA paper, appendix E), ascending
+NF4_CODE = jnp.asarray(
+    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+     0.7229568362236023, 1.0], jnp.float32)
+
+NF4_KEY = "nf4_q"
+
+
+def _nf4_quantize_impl(w: jnp.ndarray) -> dict:
+    *lead, d_in, d_out = w.shape
+    assert d_in % NF4_BLOCK == 0, f"reduction dim {d_in} not /{NF4_BLOCK}"
+    wf = w.astype(jnp.float32).reshape(*lead, d_in // NF4_BLOCK, NF4_BLOCK,
+                                       d_out)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-8)
+    # nearest code via boundary search (no 16x broadcast temporary)
+    bounds = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2.0
+    idx = jnp.searchsorted(bounds, wf / absmax).astype(jnp.uint8)
+    idx = idx.reshape(*lead, d_in // 2, 2, d_out)
+    packed = (idx[..., 0, :] << 4) | idx[..., 1, :]
+    return {NF4_KEY: packed,                               # (..., in/2, out)
+            "absmax": jnp.squeeze(absmax, -2)}             # (..., in/64, out)
+
+
+_nf4_quantize_jit = None
+
+
+def nf4_quantize(w: jnp.ndarray) -> dict:
+    """(..., in, out) float -> {nf4_q uint8 (..., in/2, out), absmax f32}."""
+    global _nf4_quantize_jit
+    if _nf4_quantize_jit is None:
+        import jax
+
+        _nf4_quantize_jit = jax.jit(_nf4_quantize_impl)
+    return _nf4_quantize_jit(w)
+
+
+def is_nf4(w: Any) -> bool:
+    return isinstance(w, dict) and NF4_KEY in w
+
+
+def nf4_dequantize(q: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Inverse of nf4_quantize; shapes recovered from the packed arrays."""
+    packed, absmax = q[NF4_KEY], q["absmax"]
+    *lead, half, d_out = packed.shape
+    hi = (packed >> 4).astype(jnp.int32)
+    lo = (packed & 0xF).astype(jnp.int32)
+    idx = jnp.stack([hi, lo], axis=-2).reshape(*lead, half * 2 // NF4_BLOCK,
+                                               NF4_BLOCK, d_out)
+    vals = jnp.take(NF4_CODE, idx) * absmax[..., None, :]
+    return vals.reshape(*lead, half * 2, d_out).astype(dtype)
+
+
 def quantize_decoder_params(text_params: dict) -> dict:
     """Quantize the decoder's large matrices (attn + mlp + logits head).
 

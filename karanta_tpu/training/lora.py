@@ -48,12 +48,41 @@ def init_lora_params(params: Any, rank: int, key: jax.Array,
     return lora
 
 
+def quantize_base_nf4(params: Any) -> Any:
+    """QLoRA base: every adapter target matrix quantized to 4-bit nf4
+    (reference ocr_training.py:335-356 uses bitsandbytes nf4). Non-target
+    leaves (embeddings, norms, vision tower) stay as-is; merge_lora
+    dequantizes targets on the fly inside the jitted step."""
+    from karanta_tpu.ops.quantization import nf4_quantize
+
+    layers = params["text"]["layers"]
+    new_attn = dict(layers["attn"])
+    for name in ATTN_TARGETS:
+        new_attn[name] = nf4_quantize(layers["attn"][name])
+    new_mlp = dict(layers["mlp"])
+    for name in MLP_TARGETS:
+        new_mlp[name] = nf4_quantize(layers["mlp"][name])
+    new_layers = dict(layers)
+    new_layers["attn"] = new_attn
+    new_layers["mlp"] = new_mlp
+    new_text = dict(params["text"])
+    new_text["layers"] = new_layers
+    return {**params, "text": new_text}
+
+
 def merge_lora(params: Any, lora: Any) -> Any:
-    """params + scale * a@b on every target; returns a new params pytree."""
+    """params + scale * a@b on every target; returns a new params pytree.
+
+    nf4-quantized targets (QLoRA) are dequantized to bf16 first, so the
+    merged tree is always plain arrays the model forward can consume."""
+    from karanta_tpu.ops.quantization import is_nf4, nf4_dequantize
+
     scale = (lora["alpha"] / lora["rank"]).astype(jnp.float32) \
         if hasattr(lora["alpha"], "astype") else lora["alpha"] / lora["rank"]
 
     def merged(w, f):
+        if is_nf4(w):
+            w = nf4_dequantize(w, jnp.bfloat16)
         delta = jnp.einsum("lir,lro->lio", f["a"].astype(jnp.float32),
                            f["b"].astype(jnp.float32)) * scale
         return (w.astype(jnp.float32) + delta).astype(w.dtype)

@@ -46,6 +46,7 @@ class ExperimentArguments:
     gradient_checkpointing: bool = False
     report_to: str = "none"             # none | wandb
     use_lora: bool = False
+    use_qlora: bool = False             # nf4-quantized frozen base + LoRA
     lora_rank: int = 16
     lora_alpha: float = 16.0
 
@@ -176,15 +177,17 @@ def main(argv: Optional[list[str]] = None) -> dict:
                                    max_grad_norm=exp.max_grad_norm)
         n_windows = _batch_windows(collator, train_samples)
         lora_template = None
-        if exp.use_lora:
+        if exp.use_lora or exp.use_qlora:
             from karanta_tpu.training.lora import (
                 init_lora_params, make_lora_train_step, merge_lora,
-                trainable_lora, with_factors,
+                quantize_base_nf4, trainable_lora, with_factors,
             )
 
             lora_template = init_lora_params(
                 params, exp.lora_rank, jax.random.PRNGKey(exp.seed + 1),
                 alpha=exp.lora_alpha)
+            if exp.use_qlora:
+                params = quantize_base_nf4(params)
             state = create_train_state(trainable_lora(lora_template), optimizer)
             lora_step = jax.jit(make_lora_train_step(cfg, optimizer,
                                                      n_windows=n_windows))
@@ -200,7 +203,7 @@ def main(argv: Optional[list[str]] = None) -> dict:
         eval_fn = jax.jit(eval_step(cfg, n_windows=n_windows))
 
         def eval_params(current_state):
-            if exp.use_lora:
+            if exp.use_lora or exp.use_qlora:
                 return merge_lora(params, with_factors(lora_template,
                                                        current_state.params))
             return current_state.params
