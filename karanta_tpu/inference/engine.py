@@ -371,8 +371,20 @@ class Engine:
         automaton = build_token_automaton(regex, token_bytes,
                                           self.tok.eos_token_id)
         self._guided_regex = regex
-        self._allowed = jnp.asarray(automaton.allowed)
-        self._next_state = jnp.asarray(automaton.next_state)
+        # pad the state axis to a bucket so every regex shares the same
+        # decode-executable shapes (otherwise each new regex pays a full
+        # recompile of the guided decode step — measured ~4 min on CPU,
+        # minutes on the remote TPU compile service too)
+        n = automaton.allowed.shape[0]
+        bucket = next((b for b in (64, 256, 1024, 4096) if b >= n), n)
+        allowed = np.zeros((bucket,) + automaton.allowed.shape[1:], bool)
+        nxt = np.zeros((bucket,) + automaton.next_state.shape[1:], np.int32)
+        allowed[:n] = automaton.allowed
+        nxt[:n] = automaton.next_state
+        if 0 <= self.tok.eos_token_id < allowed.shape[1]:
+            allowed[n:, self.tok.eos_token_id] = True  # unreachable; safety
+        self._allowed = jnp.asarray(allowed)
+        self._next_state = jnp.asarray(nxt)
         self._automaton_start = automaton.start
         return automaton.start
 

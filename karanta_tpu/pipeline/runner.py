@@ -38,7 +38,7 @@ from karanta_tpu.pipeline.dolma import (
     ListPageResponse, PageResponse, PageResult, build_dolma_document,
 )
 from karanta_tpu.pipeline.http import aget, apost
-from karanta_tpu.pipeline.work_queue import LocalBackend, WorkQueue
+from karanta_tpu.pipeline.work_queue import LocalBackend, WorkQueue, make_backend
 from karanta_tpu.prompts.templates import (
     create_vision_message, load_prompt_template, prepare_image_and_text,
 )
@@ -327,10 +327,10 @@ async def worker(args, work_queue: WorkQueue, semaphore: asyncio.Semaphore,
             with open(tmp, "w") as f:
                 for doc in docs:
                     f.write(json.dumps(doc, ensure_ascii=False) + "\n")
-            os.replace(tmp, out_path)
+            backend.finalize_output(item.hash, tmp)
 
             if args.markdown:
-                _write_markdown(args.workspace, docs)
+                _write_markdown(backend.local_root, docs)
 
             metrics.add_metrics(completed_documents=len(docs),
                                 completed_groups=1)
@@ -408,11 +408,11 @@ def print_stats(workspace: str) -> dict:
 
 
 async def amain(args: PipelineArgs) -> None:
-    backend = LocalBackend(args.workspace)
+    backend = make_backend(args.workspace)
     work_queue = WorkQueue(backend)
 
     if args.stats:
-        print_stats(args.workspace)
+        print_stats(backend.local_root)
         return
 
     if args.pdfs:

@@ -38,6 +38,7 @@ def _group_hash(paths: Sequence[str]) -> str:
 class LocalBackend:
     def __init__(self, workspace: str):
         self.workspace = workspace
+        self.local_root = workspace      # where --stats/--markdown read/write
         os.makedirs(workspace, exist_ok=True)
 
     @property
@@ -73,6 +74,9 @@ class LocalBackend:
 
     def is_done(self, group_hash: str) -> bool:
         return os.path.exists(self.output_path(group_hash))
+
+    def finalize_output(self, group_hash: str, tmp_path: str) -> None:
+        os.replace(tmp_path, self.output_path(group_hash))
 
 
 class WorkQueue:
@@ -132,3 +136,135 @@ class WorkQueue:
         # completion is the result file's existence; here we only account
         self._outstanding = max(0, self._outstanding - 1)
         self._queue.task_done()
+
+
+# ---------------------------------------------------------------------------
+# Remote (s3:// / gs://) workspaces.
+#
+# The reference runs its fleet off S3 workspaces (olmocr S3WorkQueue;
+# usage karanta/pipeline.py:1265-1357): same index/results layout as local,
+# with object existence as the completion marker. The object store is an
+# injectable 3-method client so tests run against an in-memory store and
+# the SDKs (boto3 / google-cloud-storage) stay optional.
+# ---------------------------------------------------------------------------
+
+
+class _S3Store:
+    def __init__(self, bucket: str):
+        try:
+            import boto3
+        except ImportError as exc:  # pragma: no cover - env without boto3
+            raise ImportError("boto3 is required for s3:// workspaces") from exc
+        self._client = boto3.client("s3")
+        self._bucket = bucket
+
+    def get(self, key: str) -> Optional[bytes]:
+        try:
+            return self._client.get_object(
+                Bucket=self._bucket, Key=key)["Body"].read()
+        except self._client.exceptions.NoSuchKey:
+            return None
+
+    def put(self, key: str, data: bytes) -> None:
+        self._client.put_object(Bucket=self._bucket, Key=key, Body=data)
+
+    def exists(self, key: str) -> bool:
+        try:
+            self._client.head_object(Bucket=self._bucket, Key=key)
+            return True
+        except Exception:
+            return False
+
+
+class _GCSStore:
+    def __init__(self, bucket: str):
+        try:
+            from google.cloud import storage
+        except ImportError as exc:  # pragma: no cover - env without SDK
+            raise ImportError(
+                "google-cloud-storage is required for gs:// workspaces"
+            ) from exc
+        self._bucket = storage.Client().bucket(bucket)
+
+    def get(self, key: str) -> Optional[bytes]:
+        blob = self._bucket.blob(key)
+        return blob.download_as_bytes() if blob.exists() else None
+
+    def put(self, key: str, data: bytes) -> None:
+        self._bucket.blob(key).upload_from_string(data)
+
+    def exists(self, key: str) -> bool:
+        return self._bucket.blob(key).exists()
+
+
+class RemoteBackend:
+    """Work queue over an object store, LocalBackend-compatible surface.
+
+    output_path() hands workers a local staging path; finalize_output()
+    uploads the finished group file and keeps the local copy so --stats
+    and --markdown work off the staging mirror.
+    """
+
+    def __init__(self, workspace: str, store=None,
+                 local_mirror: Optional[str] = None):
+        scheme, rest = workspace.split("://", 1)
+        bucket, _, prefix = rest.partition("/")
+        self.workspace = workspace
+        self.prefix = prefix.rstrip("/")
+        if store is not None:
+            self.store = store
+        elif scheme == "s3":
+            self.store = _S3Store(bucket)
+        elif scheme == "gs":
+            self.store = _GCSStore(bucket)
+        else:
+            raise ValueError(f"unsupported workspace scheme: {scheme}")
+        self._mirror = local_mirror or os.path.join(
+            os.path.expanduser("~/.cache/karanta_tpu/workspaces"),
+            hashlib.sha1(workspace.encode()).hexdigest()[:16])
+        self.local_root = self._mirror   # --stats/--markdown staging mirror
+        os.makedirs(self._mirror, exist_ok=True)
+
+    def _key(self, *parts: str) -> str:
+        return "/".join(p for p in (self.prefix,) + parts if p)
+
+    @property
+    def index_path(self) -> str:
+        return f"{self.workspace}/{INDEX_NAME}"
+
+    @property
+    def results_dir(self) -> str:
+        return os.path.join(self._mirror, RESULTS_DIR)
+
+    def read_index(self) -> list[tuple[str, ...]]:
+        payload = self.store.get(self._key(INDEX_NAME))
+        if payload is None:
+            return []
+        data = zstandard.ZstdDecompressor().decompress(payload)
+        return [tuple(p for p in line.strip().split(",") if p)
+                for line in data.decode("utf-8").splitlines() if line.strip()]
+
+    def write_index(self, groups: list[tuple[str, ...]]) -> None:
+        lines = "\n".join(",".join(g) for g in groups).encode("utf-8")
+        self.store.put(self._key(INDEX_NAME),
+                       zstandard.ZstdCompressor().compress(lines))
+
+    def output_path(self, group_hash: str) -> str:
+        return os.path.join(self.results_dir, f"output_{group_hash}.jsonl")
+
+    def is_done(self, group_hash: str) -> bool:
+        return self.store.exists(
+            self._key(RESULTS_DIR, f"output_{group_hash}.jsonl"))
+
+    def finalize_output(self, group_hash: str, tmp_path: str) -> None:
+        with open(tmp_path, "rb") as f:
+            self.store.put(self._key(RESULTS_DIR,
+                                     f"output_{group_hash}.jsonl"), f.read())
+        os.replace(tmp_path, self.output_path(group_hash))
+
+
+def make_backend(workspace: str):
+    """LocalBackend for plain paths, RemoteBackend for s3:// / gs:// URIs."""
+    if "://" in workspace:
+        return RemoteBackend(workspace)
+    return LocalBackend(workspace)
