@@ -317,9 +317,17 @@ class Engine:
             n_pad = _bucket(layout.num_merged, self.ecfg.image_token_buckets)
             extract = np.zeros((n_pad,), np.int32)
             extract[: layout.num_merged] = layout.extract
+            # stage the image on device from the prepare thread: device_put +
+            # patchify dispatch asynchronously, so the H2D transfer (~40 ms
+            # over the remote tunnel) and the patch reshape overlap with the
+            # previous page's prefill instead of serializing in prefill()
+            pix_dev = patchify(jax.device_put(arr), grid_h=plan.grid_h,
+                               grid_w=plan.grid_w, pad_grid_h=plan.pad_grid_h,
+                               pad_grid_w=plan.pad_grid_w,
+                               out_dtype=self.ecfg.dtype)
             image_feeds.append(dict(
                 image_u8=arr, plan=plan, layout=layout, extract=extract,
-                n_pad=n_pad))
+                n_pad=n_pad, pix_dev=pix_dev))
             img_token_counts.append(layout.num_merged)
             grids.append(plan.grid_thw)
 
@@ -403,10 +411,13 @@ class Engine:
         offset = 0
         for feed in prepared.image_feeds:
             plan, layout = feed["plan"], feed["layout"]
-            pix = patchify(jnp.asarray(feed["image_u8"]),
-                           grid_h=plan.grid_h, grid_w=plan.grid_w,
-                           pad_grid_h=plan.pad_grid_h, pad_grid_w=plan.pad_grid_w,
-                           out_dtype=self.ecfg.dtype)
+            pix = feed.get("pix_dev")
+            if pix is None:  # staged in prepare(); fallback for direct calls
+                pix = patchify(jnp.asarray(feed["image_u8"]),
+                               grid_h=plan.grid_h, grid_w=plan.grid_w,
+                               pad_grid_h=plan.pad_grid_h,
+                               pad_grid_w=plan.pad_grid_w,
+                               out_dtype=self.ecfg.dtype)
             tokens = self._encode_image_jit(
                 self.params, pix,
                 jnp.asarray(layout.perm), jnp.asarray(layout.valid),
@@ -456,11 +467,13 @@ class Engine:
             # single-image fast path: one fused executable per page
             feed = prepared.image_feeds[0]
             plan, layout = feed["plan"], feed["layout"]
-            pix = patchify(jnp.asarray(feed["image_u8"]),
-                           grid_h=plan.grid_h, grid_w=plan.grid_w,
-                           pad_grid_h=plan.pad_grid_h,
-                           pad_grid_w=plan.pad_grid_w,
-                           out_dtype=self.ecfg.dtype)
+            pix = feed.get("pix_dev")
+            if pix is None:  # staged in prepare(); fallback for direct calls
+                pix = patchify(jnp.asarray(feed["image_u8"]),
+                               grid_h=plan.grid_h, grid_w=plan.grid_w,
+                               pad_grid_h=plan.pad_grid_h,
+                               pad_grid_w=plan.pad_grid_w,
+                               out_dtype=self.ecfg.dtype)
             s_pad = _bucket(s, self.ecfg.prefill_buckets)
             ids = np.zeros((s_pad,), np.int32)
             ids[:s] = prepared.ids
