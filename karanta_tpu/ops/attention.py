@@ -178,8 +178,8 @@ def flash_attention(
     kv_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
     q_offset: int = 0,
 ) -> jnp.ndarray:

@@ -38,15 +38,18 @@ def main():
             if bq > sq or bk > sk:
                 continue
             try:
+                # block_until_ready lies over the axon tunnel; force D2H
+                sync = lambda x: float(np.asarray(
+                    jnp.sum(x.astype(jnp.float32))))
                 out = flash_attention(q, k, v, causal=causal,
                                       block_q=bq, block_k=bk)
-                out.block_until_ready()
+                sync(out)
                 reps = 10
                 t0 = time.time()
                 for _ in range(reps):
                     out = flash_attention(q, k, v, causal=causal,
                                           block_q=bq, block_k=bk)
-                out.block_until_ready()
+                sync(out)
                 dt = (time.time() - t0) / reps
                 print(f"{name:12s} bq={bq:4d} bk={bk:4d}: {dt*1e3:7.2f} ms "
                       f"{flops/dt/1e12:6.1f} TFLOP/s", flush=True)
