@@ -126,13 +126,23 @@ jax.tree_util.register_pytree_node(
 
 
 def _use_paged_decode() -> bool:
-    """Opt-in pallas decode kernel (length-bounded HBM reads); measured
-    per-deployment before becoming default (KARANTA_PAGED_DECODE=1)."""
+    """Opt-in (KARANTA_PAGED_DECODE=1) pallas decode kernel.
+
+    The stacked-cache variant reads each slot's live prefix straight from
+    the (L, B, KVH, M, D) buffer, and in an isolated 36-layer attention scan
+    beats the dense path 7.2 ms vs 9.7 ms at ~1900-token fills (no per-layer
+    dynamic-slice materialization, no dead-row reads). BUT inside the real
+    decode step the cache is also UPDATED each layer: XLA cannot alias the
+    scan-carried buffer into a pallas_call operand that coexists with the
+    scatter, so it inserts a full multi-GB cache copy per layer — measured
+    ~550 ms/step end-to-end (35x regression). Until the kernel takes over
+    the row write too (input_output_aliasing on the cache), the dense path
+    stays default."""
     import os
 
     import jax
 
-    return (os.environ.get("KARANTA_PAGED_DECODE") == "1"
+    return (os.environ.get("KARANTA_PAGED_DECODE", "0") == "1"
             and jax.default_backend() == "tpu")
 
 
@@ -263,15 +273,18 @@ def decode_step(params: Params, cfg: TextConfig,
         # write (B, KVH, D) rows at [layer, slot, :, pos]
         k_all = k_all.at[idx, batch_idx, :, cache_len].set(k[:, 0])
         v_all = v_all.at[idx, batch_idx, :, cache_len].set(v[:, 0])
-        k_layer = jax.lax.dynamic_index_in_dim(k_all, idx, 0,
-                                               keepdims=False)[:, :, :m]
-        v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
-                                               keepdims=False)[:, :, :m]
         if _use_paged_decode():
-            from karanta_tpu.ops.decode_attention import paged_decode_attention
+            from karanta_tpu.ops.decode_attention import (
+                paged_decode_attention_stacked,
+            )
 
-            attn = paged_decode_attention(q, k_layer, v_layer, cache_len)
+            attn, k_all, v_all = paged_decode_attention_stacked(
+                q, k_all, v_all, idx, cache_len, block=1024)
         else:
+            k_layer = jax.lax.dynamic_index_in_dim(k_all, idx, 0,
+                                                   keepdims=False)[:, :, :m]
+            v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
+                                                   keepdims=False)[:, :, :m]
             attn = decode_attention(q, k_layer, v_layer, kv_mask=kv_valid)
         x = x + qmm(attn.reshape(b, 1, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])

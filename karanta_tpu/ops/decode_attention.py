@@ -159,3 +159,367 @@ def paged_decode_attention(
     )(cache_len.astype(jnp.int32), qg, k_cache, v_cache)
 
     return out.reshape(b, 1, h, d)
+
+def _decode_kernel_stacked(len_ref,              # SMEM (B,) int32
+                           layer_ref,            # SMEM (1,) int32
+                           q_ref,                # VMEM (1, KVH*G, D)
+                           k_hbm, v_hbm,         # ANY (L, B, KVH, M, D)
+                           o_ref,                # VMEM (1, KVH*G, D)
+                           k_buf, v_buf,         # VMEM scratch (2, KVH, BLK, D)
+                           acc_ref, m_ref, l_ref,
+                           sems,                 # DMA semaphores (2, 2, KVH)
+                           *, block: int, kvh: int, group: int, scale: float):
+    """Layer-stacked variant: the kernel indexes the layer dimension itself
+    (scalar-prefetched), so the caller never materializes a per-layer slice
+    of the cache. This is what makes bounded reads pay off inside the decode
+    layer scan: the XLA path must dynamic-slice a full (B, KVH, M, D) copy
+    out of the stacked cache every layer (measured ~48% of decode time at
+    B32/M4096) before attention even starts."""
+    slot = pl.program_id(0)
+    lidx = layer_ref[0]
+    seq_len = len_ref[slot] + 1
+    num_blocks = jax.lax.div(seq_len + (block - 1), block)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def dmas(i, buf_slot):
+        copies = []
+        for h in range(kvh):
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[lidx, slot, h, pl.ds(i * block, block)],
+                k_buf.at[buf_slot, h], sems.at[0, buf_slot, h]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[lidx, slot, h, pl.ds(i * block, block)],
+                v_buf.at[buf_slot, h], sems.at[1, buf_slot, h]))
+        return copies
+
+    for dma in dmas(0, 0):
+        dma.start()
+
+    q = q_ref[0]
+
+    def body(i, _):
+        cur = jax.lax.bitwise_and(i, 1)
+        nxt = jax.lax.bitwise_and(i + 1, 1)
+
+        @pl.when(i + 1 < num_blocks)
+        def _():
+            for dma in dmas(i + 1, nxt):
+                dma.start()
+
+        for dma in dmas(i, cur):
+            dma.wait()
+
+        cols = i * block + jax.lax.broadcasted_iota(
+            jnp.int32, (group, block), 1)
+        valid = cols < seq_len
+
+        for h in range(kvh):
+            qh = q[h * group:(h + 1) * group]
+            k = k_buf[cur, h]
+            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s * scale, NEG_INF)
+
+            rows = slice(h * group, (h + 1) * group)
+            m_prev = m_ref[rows, 0:1]
+            l_prev = l_ref[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+            m_ref[rows, 0:1] = m_new
+            pv = jax.lax.dot_general(p.astype(v_buf.dtype), v_buf[cur, h],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+        return ()
+
+    jax.lax.fori_loop(0, num_blocks, body, ())
+
+    l = jnp.where(l_ref[:, 0:1] == 0.0, 1.0, l_ref[:, 0:1])
+    o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _decode_kernel_stacked_alias(len_ref, layer_ref, q_ref, k_in, v_in,
+                                 o_ref, k_out, v_out,
+                                 k_buf, v_buf, acc_ref, m_ref, l_ref, sems,
+                                 *, block, kvh, group, scale):
+    """Alias-through wrapper: the cache operands are bound input->output so
+    the buffers stay in place across the layer scan (a non-aliased ANY
+    operand made XLA materialize a full cache copy per pallas call when the
+    same carry was also scatter-updated — measured 35x slower end-to-end).
+    The kernel never touches k_out/v_out; they ARE k_in/v_in."""
+    del k_out, v_out
+    _decode_kernel_stacked(len_ref, layer_ref, q_ref, k_in, v_in, o_ref,
+                           k_buf, v_buf, acc_ref, m_ref, l_ref, sems,
+                           block=block, kvh=kvh, group=group, scale=scale)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "scale", "interpret"))
+def paged_decode_attention_stacked(
+    q: jnp.ndarray,          # (B, 1, H, D)
+    k_cache: jnp.ndarray,    # (L, B, KVH, M, D) — the engine's full cache
+    v_cache: jnp.ndarray,    # (L, B, KVH, M, D)
+    layer: jnp.ndarray,      # () or (1,) int32 layer index
+    cache_len: jnp.ndarray,  # (B,) int32
+    scale: Optional[float] = None,
+    block: int = 512,
+    interpret: bool = False,
+):
+    """Length-bounded decode attention reading one layer of the stacked cache
+    in place. Returns (attn, k_cache, v_cache); the caches pass through via
+    input_output_aliases so scan carries never copy."""
+    b, _, h, d = q.shape
+    kvh = k_cache.shape[2]
+    m = k_cache.shape[3]
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+    block = min(block, m)
+
+    qg = q.reshape(b, kvh * group, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((2, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((kvh * group, d), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, kvh)),
+        ],
+    )
+
+    out, k_new, v_new = pl.pallas_call(
+        functools.partial(_decode_kernel_stacked_alias, block=block, kvh=kvh,
+                          group=group, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # operands: 0 lens, 1 layer, 2 q, 3 k_cache, 4 v_cache
+        input_output_aliases={3: 1, 4: 2},
+        interpret=interpret,
+    )(cache_len.astype(jnp.int32), jnp.reshape(layer, (1,)).astype(jnp.int32),
+      qg, k_cache, v_cache)
+
+    return out.reshape(b, 1, h, d), k_new, v_new
+
+
+def _decode_append_kernel(len_ref,               # SMEM (B,) int32
+                          layer_ref,             # SMEM (1,) int32
+                          q_ref,                 # VMEM (1, KVH*G, D)
+                          newk_ref, newv_ref,    # VMEM (1, KVH, D)
+                          k_in, v_in,            # ANY (L, B, KVH, M, D)
+                          o_ref,                 # VMEM (1, KVH*G, D)
+                          k_out, v_out,          # ANY aliased to k_in/v_in
+                          k_buf, v_buf,          # VMEM scratch (2, KVH, BLK, D)
+                          acc_ref, m_ref, l_ref,
+                          sems,                  # DMA sems (2, 2, KVH)
+                          wsems,                 # row-write sems (2, KVH)
+                          *, block: int, kvh: int, group: int, scale: float):
+    """Fused cache-append + length-bounded decode attention.
+
+    The kernel owns BOTH sides of the cache update: it writes this step's
+    (KVH, D) row at cache_len and reads only the live prefix, with the new
+    token's score column computed from VMEM. The cache operands are aliased
+    input->output, so inside the decode layer scan the buffers stay in place
+    — XLA neither scatters (one fusion) nor dynamic-slices a per-layer copy
+    (48% of decode time), nor copies for the pallas operand (what made the
+    read-only kernel a 35x regression in-scan)."""
+    slot = pl.program_id(0)
+    lidx = layer_ref[0]
+    seq_len = len_ref[slot]                      # old rows; new row via VMEM
+    num_blocks = jax.lax.div(seq_len + (block - 1), block)
+
+    # start the row writes immediately; they complete during the block loop
+    wcopies = []
+    for h in range(kvh):
+        wc = pltpu.make_async_copy(
+            newk_ref.at[0, h], k_out.at[lidx, slot, h, len_ref[slot]],
+            wsems.at[0, h])
+        wc.start()
+        wcopies.append(wc)
+        wc = pltpu.make_async_copy(
+            newv_ref.at[0, h], v_out.at[lidx, slot, h, len_ref[slot]],
+            wsems.at[1, h])
+        wc.start()
+        wcopies.append(wc)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def dmas(i, buf_slot):
+        copies = []
+        for h in range(kvh):
+            copies.append(pltpu.make_async_copy(
+                k_in.at[lidx, slot, h, pl.ds(i * block, block)],
+                k_buf.at[buf_slot, h], sems.at[0, buf_slot, h]))
+            copies.append(pltpu.make_async_copy(
+                v_in.at[lidx, slot, h, pl.ds(i * block, block)],
+                v_buf.at[buf_slot, h], sems.at[1, buf_slot, h]))
+        return copies
+
+    @pl.when(num_blocks > 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    q = q_ref[0]
+
+    def body(i, _):
+        cur = jax.lax.bitwise_and(i, 1)
+        nxt = jax.lax.bitwise_and(i + 1, 1)
+
+        @pl.when(i + 1 < num_blocks)
+        def _():
+            for dma in dmas(i + 1, nxt):
+                dma.start()
+
+        for dma in dmas(i, cur):
+            dma.wait()
+
+        cols = i * block + jax.lax.broadcasted_iota(
+            jnp.int32, (group, block), 1)
+        valid = cols < seq_len
+
+        for h in range(kvh):
+            qh = q[h * group:(h + 1) * group]
+            k = k_buf[cur, h]
+            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s * scale, NEG_INF)
+
+            rows = slice(h * group, (h + 1) * group)
+            m_prev = m_ref[rows, 0:1]
+            l_prev = l_ref[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+            m_ref[rows, 0:1] = m_new
+            pv = jax.lax.dot_general(p.astype(v_buf.dtype), v_buf[cur, h],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+        return ()
+
+    jax.lax.fori_loop(0, num_blocks, body, ())
+
+    # fold in the new token's column from VMEM (never read back from HBM)
+    for h in range(kvh):
+        rows = slice(h * group, (h + 1) * group)
+        qh = q[rows]
+        nk = newk_ref[0, h].astype(jnp.float32)            # (D,)
+        s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
+                      keepdims=True) * scale               # (G, 1)
+        m_prev = m_ref[rows, 0:1]
+        l_prev = l_ref[rows, 0:1]
+        m_new = jnp.maximum(m_prev, s_x)
+        p_x = jnp.exp(s_x - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[rows, 0:1] = alpha * l_prev + p_x
+        nv = newv_ref[0, h].astype(jnp.float32)
+        acc_ref[rows, :] = (acc_ref[rows, :] * alpha + p_x * nv[None, :])
+
+    for wc in wcopies:
+        wc.wait()
+
+    l = jnp.where(l_ref[:, 0:1] == 0.0, 1.0, l_ref[:, 0:1])
+    o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "scale", "interpret"))
+def paged_decode_append(
+    q: jnp.ndarray,          # (B, 1, H, D)
+    new_k: jnp.ndarray,      # (B, KVH, D) this step's key rows
+    new_v: jnp.ndarray,      # (B, KVH, D)
+    k_cache: jnp.ndarray,    # (L, B, KVH, M, D) donated/aliased
+    v_cache: jnp.ndarray,    # (L, B, KVH, M, D)
+    layer: jnp.ndarray,      # () int32
+    cache_len: jnp.ndarray,  # (B,) int32 rows already present
+    scale: Optional[float] = None,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Append new_k/new_v at cache_len and attend over the live prefix + the
+    new row. Returns (attn (B,1,H,D), k_cache, v_cache) with the caches
+    updated in place (input_output_aliases)."""
+    b, _, h, d = q.shape
+    kvh = k_cache.shape[2]
+    m = k_cache.shape[3]
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+    block = min(block, m)
+
+    qg = q.reshape(b, kvh * group, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((2, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((kvh * group, d), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, kvh)),
+            pltpu.SemaphoreType.DMA((2, kvh)),
+        ],
+    )
+
+    attn, k_new, v_new = pl.pallas_call(
+        functools.partial(_decode_append_kernel, block=block, kvh=kvh,
+                          group=group, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # operand indices include the two scalar-prefetch args:
+        # 0 lens, 1 layer, 2 q, 3 new_k, 4 new_v, 5 k_cache, 6 v_cache
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(cache_len.astype(jnp.int32), jnp.reshape(layer, (1,)).astype(jnp.int32),
+      qg, new_k.astype(k_cache.dtype), new_v.astype(v_cache.dtype),
+      k_cache, v_cache)
+
+    return attn.reshape(b, 1, h, d), k_new, v_new

@@ -1,5 +1,6 @@
 """Paged decode-attention kernel: parity with the masked dense path."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -24,3 +25,113 @@ def test_matches_masked_dense(lens, dtype):
     atol = 3e-6 if dtype == jnp.float32 else 3e-2
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=atol)
+
+
+@pytest.mark.parametrize("layer", [0, 2])
+def test_stacked_matches_sliced(layer):
+    from karanta_tpu.ops.decode_attention import paged_decode_attention_stacked
+
+    rng = np.random.default_rng(1)
+    L, B, M, H, KVH, D = 3, 4, 256, 8, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32)
+    lens = jnp.asarray([5, 100, 255, 64], jnp.int32)
+    out, k2, v2 = paged_decode_attention_stacked(q, k, v, jnp.asarray(layer),
+                                                 lens, block=128,
+                                                 interpret=True)
+    ref = paged_decode_attention(q, k[layer], v[layer], lens, block=128,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k))  # untouched
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_stacked_inside_layer_scan():
+    """The kernel must compile inside a lax.scan over layers (this pattern
+    previously tripped an MLIR lowering-cache bug)."""
+    from karanta_tpu.ops.decode_attention import paged_decode_attention_stacked
+
+    rng = np.random.default_rng(2)
+    L, B, M, H, KVH, D = 3, 2, 128, 4, 2, 32
+    q0 = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32)
+    lens = jnp.asarray([5, 100], jnp.int32)
+
+    @jax.jit
+    def run(q0, k, v):
+        def body(carry, l):
+            q, kk, vv = carry
+            o, kk, vv = paged_decode_attention_stacked(q, kk, vv, l, lens,
+                                                       block=128,
+                                                       interpret=True)
+            return (o, kk, vv), ()
+        (q, _, _), _ = jax.lax.scan(body, (q0, k, v), jnp.arange(L))
+        return q
+
+    out = run(q0, k, v)
+    # reference: sequential python loop
+    ref = q0
+    for l in range(L):
+        ref, k, v = paged_decode_attention_stacked(ref, k, v, jnp.asarray(l),
+                                                   lens, block=128,
+                                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+class TestAppendKernel:
+    def _setup(self, lens, L=2, B=4, M=256, H=8, KVH=2, D=64, seed=5):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+        nk = jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.float32)
+        nv = jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32)
+        return q, nk, nv, k, v, jnp.asarray(lens, jnp.int32)
+
+    @pytest.mark.parametrize("lens", [[0, 5, 200, 255], [64, 64, 63, 1]])
+    @pytest.mark.parametrize("layer", [0, 1])
+    def test_matches_scatter_plus_dense(self, lens, layer):
+        from karanta_tpu.ops.decode_attention import paged_decode_append
+
+        q, nk, nv, k, v, lens = self._setup(lens)
+        B, M = q.shape[0], k.shape[3]
+        attn, k2, v2 = paged_decode_append(q, nk, nv, k, v,
+                                           jnp.asarray(layer), lens,
+                                           block=128, interpret=True)
+        # reference: scatter then masked dense attention on that layer
+        bidx = jnp.arange(B)
+        k_ref = k.at[layer, bidx, :, lens].set(nk)
+        v_ref = v.at[layer, bidx, :, lens].set(nv)
+        mask = (jnp.arange(M)[None, :] <= lens[:, None]).astype(jnp.float32)
+        want = decode_attention(q, k_ref[layer], v_ref[layer], mask)
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(want),
+                                   atol=3e-6)
+        # cache rows written, other layers untouched
+        np.testing.assert_allclose(np.asarray(k2), np.asarray(k_ref), atol=0)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v_ref), atol=0)
+
+    def test_inside_layer_scan_matches_loop(self):
+        from karanta_tpu.ops.decode_attention import paged_decode_append
+
+        q, nk, nv, k, v, lens = self._setup([3, 7, 100, 250])
+        L = k.shape[0]
+
+        @jax.jit
+        def scan_run(q, k, v):
+            def body(carry, l):
+                qq, kk, vv = carry
+                a, kk, vv = paged_decode_append(qq, nk, nv, kk, vv, l, lens,
+                                                block=128, interpret=True)
+                return (a, kk, vv), ()
+            (a, kk, vv), _ = jax.lax.scan(body, (q, k, v), jnp.arange(L))
+            return a, kk, vv
+
+        a_s, k_s, v_s = scan_run(q, k, v)
+        a_l, k_l, v_l = q, k, v
+        for l in range(L):
+            a_l, k_l, v_l = paged_decode_append(a_l, nk, nv, k_l, v_l,
+                                                jnp.asarray(l), lens,
+                                                block=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_l), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_l), atol=0)
