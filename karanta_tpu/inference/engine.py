@@ -58,6 +58,12 @@ class EngineConfig:
     prefix_cache: bool = False
     prefix_min_tokens: int = 256
     prefix_cache_entries: int = 4
+    # greedy speculative decoding: draft gamma tokens per step by n-gram
+    # lookup over the slot's own prompt+output history (prompt-lookup /
+    # "assisted generation"; vLLM exposes the same as speculative ngram),
+    # verify all of them in ONE multi-token forward. 0 = off. Exact for
+    # greedy slots; sampling/guided batches fall back to normal decode.
+    speculative_ngram: int = 0
 
 
 @dataclasses.dataclass
@@ -166,6 +172,16 @@ class Engine:
         from collections import OrderedDict
 
         self._prefix_kv: "OrderedDict[bytes, Any]" = OrderedDict()
+
+        # speculative decoding: device copy of each slot's token history
+        # (prompt + emitted), used for n-gram drafting inside the chunk
+        if engine_cfg.speculative_ngram > 0:
+            self.token_hist = jnp.zeros((b, m), jnp.int32)
+            self._hist_insert_jit = jax.jit(self._hist_insert_impl,
+                                            donate_argnums=(0,))
+            self._spec_chunk_jit = jax.jit(
+                self._spec_chunk_impl, static_argnames=("steps", "gamma"),
+                donate_argnums=(1, 5))
 
         # ---- jitted stage functions (cached per shape bucket) ----
         self._encode_image_jit = jax.jit(
@@ -297,6 +313,88 @@ class Engine:
         (cache, cache_len, next_pos, last_token, dfa_state), toks = jax.lax.scan(
             step, (cache, cache_len, next_pos, last_token, dfa_state), keys)
         return cache, cache_len, next_pos, last_token, dfa_state, toks
+
+    def _hist_insert_impl(self, hist, slot, ids, true_len, first_token):
+        """Record a slot's prompt ids + first sampled token."""
+        hist = jax.lax.dynamic_update_slice(
+            hist, ids[None].astype(jnp.int32),
+            (slot, jnp.zeros((), jnp.int32)))
+        return hist.at[slot, true_len].set(first_token)
+
+    def _spec_chunk_impl(self, params, cache, cache_len, next_pos,
+                         last_token, hist, *, steps, gamma):
+        """Greedy chunk with n-gram speculation: each step drafts `gamma`
+        tokens from the slot's own history (most recent earlier occurrence
+        of its trailing bigram) and verifies them with one decode_multi
+        pass; rejected rows are simply left beyond cache_len."""
+        m = cache.k.shape[3]
+        b = cache_len.shape[0]
+        t = gamma + 1
+        bidx = jnp.arange(b)
+
+        def step(carry, _):
+            cache, cache_len, next_pos, last_token, hist = carry
+            cache_len = jnp.minimum(cache_len, m - t - 1)
+            ntok = cache_len + 1          # history entries incl. pending token
+            t0 = hist[bidx, jnp.maximum(ntok - 2, 0)]
+            t1 = hist[bidx, ntok - 1]
+            # most recent earlier occurrence of the trailing bigram
+            pos = jnp.arange(m - 1)[None, :]
+            match = ((hist[:, :-1] == t0[:, None])
+                     & (hist[:, 1:] == t1[:, None])
+                     & (pos < (ntok - 2)[:, None]))
+            start = jnp.max(jnp.where(match, pos, -1), axis=1) + 2  # (B,)
+            start = jnp.clip(start, 0, m - gamma - 1)
+            draft = hist[bidx[:, None], start[:, None] + jnp.arange(gamma)]
+
+            feed = jnp.concatenate([last_token[:, None], draft], axis=1)
+            emb = jax.vmap(lambda r: dec.embed_tokens(params["text"], r))(feed)
+            p1 = next_pos[:, None] + jnp.arange(t)[None]
+            positions = jnp.broadcast_to(p1[None], (3, b, t))
+            hidden, cache = dec.decode_multi(params["text"], self.cfg.text,
+                                             emb, positions, cache, cache_len)
+            logits = dec.logits_from_hidden(params["text"], self.cfg.text,
+                                            hidden)
+            y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+            ok = jnp.cumprod((y[:, :gamma] == draft).astype(jnp.int32),
+                             axis=1)
+            n_new = 1 + jnp.sum(ok, axis=1)                    # (B,) 1..T
+            # record all T candidates; rejected ones get overwritten later
+            wpos = jnp.minimum(ntok[:, None] + jnp.arange(t)[None], m - 1)
+            hist = hist.at[bidx[:, None], wpos].set(y)
+            last_token = y[bidx, n_new - 1]
+            cache_len = cache_len + n_new
+            next_pos = next_pos + n_new
+            return (cache, cache_len, next_pos, last_token, hist), (y, n_new)
+
+        (cache, cache_len, next_pos, last_token, hist), (toks, counts) = \
+            jax.lax.scan(step, (cache, cache_len, next_pos, last_token, hist),
+                         None, length=steps)
+        return cache, cache_len, next_pos, last_token, hist, toks, counts
+
+    def decode_chunk_spec(self, steps: Optional[int] = None):
+        """Speculative greedy chunk. Returns (toks (S, B, gamma+1) np,
+        counts (S, B) np): step s emitted counts[s, b] tokens, the first
+        counts[s, b] entries of toks[s, b]."""
+        gamma = self.ecfg.speculative_ngram
+        steps = steps or max(1, self.ecfg.decode_chunk // (gamma + 1))
+        (self.cache, self.cache_len, self.next_pos, self.last_token,
+         self.token_hist, toks, counts) = self._spec_chunk_jit(
+            self.params, self.cache, self.cache_len, self.next_pos,
+            self.last_token, self.token_hist, steps=steps, gamma=gamma)
+        return np.asarray(toks), np.asarray(counts)
+
+    def _spec_ok(self) -> bool:
+        """Speculation applies when enabled and every active slot is greedy
+        and unguided (sampling and DFA masks need per-token processing)."""
+        if self.ecfg.speculative_ngram <= 0:
+            return False
+        active = [i for i, free in enumerate(self.slot_free) if not free]
+        if not active:
+            return False
+        if any(self._slot_temp[i] > 0.0 for i in active):
+            return False
+        return not bool(np.any(np.asarray(self.dfa_state) > 0))
 
     # ------------------------------------------------------------------
     # host-side orchestration
@@ -569,6 +667,13 @@ class Engine:
         self._slot_top_p[slot] = float(prepared.top_p)
         self._slot_temp[slot] = float(prepared.temperature)
         self._slot_len[slot] = true_len
+        if self.ecfg.speculative_ngram > 0:
+            m = self.ecfg.max_seq_len
+            ids = np.zeros((m,), np.int32)
+            ids[: len(prepared.ids)] = prepared.ids[:m]
+            self.token_hist = self._hist_insert_jit(
+                self.token_hist, jnp.asarray(slot), jnp.asarray(ids),
+                jnp.asarray(true_len, jnp.int32), first_token)
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
         steps = steps or self.ecfg.decode_chunk
@@ -650,12 +755,23 @@ class Engine:
             if not active:
                 continue
 
-            toks = self.decode_chunk()  # (K, B)
+            if self._spec_ok():
+                spec_toks, spec_counts = self.decode_chunk_spec()
+                emitted = {
+                    slot: [int(tok)
+                           for st in range(spec_toks.shape[0])
+                           for tok in spec_toks[st, slot,
+                                                :spec_counts[st, slot]]]
+                    for slot in active
+                }
+            else:
+                toks = self.decode_chunk()  # (K, B)
+                emitted = {slot: [int(t) for t in toks[:, slot]]
+                           for slot in active}
             for slot in list(active):
                 req_idx, prepared, collected, start = active[slot]
                 finished = None
-                for token in toks[:, slot]:
-                    token = int(token)
+                for token in emitted[slot]:
                     collected.append(token)
                     if token == self.tok.eos_token_id:
                         finished = "stop"

@@ -63,8 +63,19 @@ class InferenceServer:
         while True:
             admitted = await self._admit()
             if self.active:
-                toks = await asyncio.to_thread(self.engine.decode_chunk)
-                self._distribute(toks)
+                if self.engine._spec_ok():
+                    toks, counts = await asyncio.to_thread(
+                        self.engine.decode_chunk_spec)
+                    self._distribute_lists({
+                        slot: [int(t)
+                               for st in range(toks.shape[0])
+                               for t in toks[st, slot, :counts[st, slot]]]
+                        for slot in self.active})
+                else:
+                    toks = await asyncio.to_thread(self.engine.decode_chunk)
+                    self._distribute_lists({
+                        slot: [int(t) for t in toks[:, slot]]
+                        for slot in self.active})
             elif not admitted:
                 await asyncio.sleep(0.002)
 
@@ -103,12 +114,11 @@ class InferenceServer:
                     future.set_exception(exc)
         return admitted
 
-    def _distribute(self, toks):
+    def _distribute_lists(self, emitted: dict):
         for slot in list(self.active):
             state = self.active[slot]
             reason = None
-            for token in toks[:, slot]:
-                token = int(token)
+            for token in emitted[slot]:
                 state.collected.append(token)
                 if token == self.engine.tok.eos_token_id:
                     reason = "stop"
@@ -342,6 +352,7 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         dtype=dtype,
         quantize=getattr(args, "quantize", None),
         prefix_cache=getattr(args, "prefix_cache", False),
+        speculative_ngram=getattr(args, "speculative_ngram", 0),
     )
 
     mesh = None
@@ -392,6 +403,10 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--tensor-parallel-size", type=int, default=1)
     parser.add_argument("--data-parallel-size", type=int, default=1)
     parser.add_argument("--quantize", default=None, choices=["int8"])
+    parser.add_argument("--speculative-ngram", dest="speculative_ngram",
+                        type=int, default=0,
+                        help="draft N tokens/step by n-gram lookup over each "
+                             "slot's own history; exact for greedy requests")
     parser.add_argument("--prefix-cache", dest="prefix_cache",
                         action="store_true",
                         help="reuse cached KV for shared prompt prefixes")

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from karanta_tpu.models.qwen25_vl.config import TextConfig
-from karanta_tpu.ops.attention import attention, decode_attention
+from karanta_tpu.ops.attention import (attention, decode_attention,
+                                        decode_attention_multi)
 from karanta_tpu.ops.norms import rms_norm
 from karanta_tpu.ops.quantization import matmul as qmm
 from karanta_tpu.ops.rotary import apply_rope, mrope_cos_sin
@@ -287,6 +288,54 @@ def decode_step(params: Params, cfg: TextConfig,
                                                    keepdims=False)[:, :, :m]
             attn = decode_attention(q, k_layer, v_layer, kv_mask=kv_valid)
         x = x + qmm(attn.reshape(b, 1, -1), layer["attn"]["wo"])
+        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
+        return (x, k_all, v_all), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (embeds, cache.k, cache.v),
+        (params["layers"], jnp.arange(cfg.num_layers)))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(k_new, v_new)
+
+
+def decode_multi(params: Params, cfg: TextConfig,
+                 embeds: jnp.ndarray,        # (B, T, hidden)
+                 positions: jnp.ndarray,     # (3, B, T) int32
+                 cache: KVCache,
+                 cache_len: jnp.ndarray,     # (B,) rows already in cache
+                 ) -> tuple[jnp.ndarray, KVCache]:
+    """T-token decode for speculative verification: writes T kv rows per
+    slot at cache_len + [0, T) and attends causally within the window plus
+    the existing cache. One pass of weight/cache reads verifies T drafted
+    tokens (reference capability: vLLM's speculative decoding; the
+    reference delegates serving to vLLM, karanta/pipeline.py:707-742).
+
+    Rollback is free: rejected rows simply stay past the slot's cache_len
+    and every later read is bounded by it."""
+    b, tq, _ = embeds.shape
+    cos, sin = jax.vmap(
+        lambda p: mrope_cos_sin(p, cfg.head_dim, cfg.mrope_section,
+                                cfg.rope_theta),
+        in_axes=1, out_axes=0)(positions)
+    cos = cos.astype(embeds.dtype)
+    sin = sin.astype(embeds.dtype)
+
+    batch_idx = jnp.arange(b)[:, None]                     # (B, 1)
+    write_pos = cache_len[:, None] + jnp.arange(tq)[None]  # (B, T)
+
+    def body(carry, layer_and_idx):
+        x, k_all, v_all = carry
+        layer, idx = layer_and_idx
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(xn, layer["attn"], cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        # scatter T rows per slot: k (B, T, KVH, D) -> [idx, b, :, pos_t]
+        k_all = k_all.at[idx, batch_idx, :, write_pos].set(k)
+        v_all = v_all.at[idx, batch_idx, :, write_pos].set(v)
+        k_layer = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_layer = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        attn = decode_attention_multi(q, k_layer, v_layer, cache_len)
+        x = x + qmm(attn.reshape(b, tq, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
         return (x, k_all, v_all), None
 

@@ -99,6 +99,36 @@ def decode_attention(
     return out.reshape(b, 1, h, d).astype(q.dtype)
 
 
+def decode_attention_multi(
+    q: jnp.ndarray,        # (B, T, H, D) — T draft/verify positions
+    k_cache: jnp.ndarray,  # (B, KVH, M, D) with the T new rows already written
+    v_cache: jnp.ndarray,  # (B, KVH, M, D)
+    cache_len: jnp.ndarray,  # (B,) rows present BEFORE the T new ones
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Multi-token decode attention for speculative verification: position t
+    attends cache rows [0, cache_len + t] (its own freshly written row and
+    the earlier draft rows included). One cache read verifies T tokens, so
+    the HBM cost of a verify step is ~1/T per token of normal decode."""
+    b, tq, h, d = q.shape
+    kvh = k_cache.shape[1]
+    m = k_cache.shape[2]
+    group = h // kvh
+    scale = d ** -0.5 if scale is None else scale
+    qg = q.reshape(b, tq, kvh, group, d)
+    s = jnp.einsum("btkgd,bkmd->bkgtm", qg, k_cache,
+                   preferred_element_type=jnp.float32) * scale
+    cols = jnp.arange(m)[None, None, :]
+    horizon = cache_len[:, None, None] + jnp.arange(tq)[None, :, None]
+    valid = cols <= horizon                       # (B, T, M)
+    s = jnp.where(valid[:, None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgtm,bkmd->bkgtd", p.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    out = jnp.moveaxis(out, 3, 1)                 # (B, T, KVH, G, D)
+    return out.reshape(b, tq, h, d).astype(q.dtype)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                   acc_ref, m_ref, l_ref, *,
                   scale: float, causal: bool, block_q: int, block_k: int,

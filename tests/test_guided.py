@@ -89,3 +89,30 @@ class TestEngineGuided:
             messages=[{"role": "user", "content": "hello"}],
             max_tokens=6, temperature=0.0)])
         assert free.completion_tokens <= 6
+
+
+class TestAutomatonBucketing:
+    def test_same_bucket_same_shapes(self):
+        """Different regexes in one state bucket must produce identically
+        shaped device tables (so the decode executable is reused)."""
+        import jax.numpy as jnp
+
+        from karanta_tpu.inference.engine import Engine, EngineConfig
+        from karanta_tpu.inference.tokenizer import ByteTokenizer
+        from karanta_tpu.models.qwen25_vl.config import tiny_config
+        from karanta_tpu.models.qwen25_vl.model import init_params
+        import jax
+
+        tok = ByteTokenizer()
+        cfg = tiny_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        eng = Engine(params, cfg, tok,
+                     EngineConfig(max_batch_size=2, max_seq_len=64,
+                                  decode_chunk=4, dtype=jnp.float32))
+        start1 = eng._ensure_automaton(r"[0-9]{4}")
+        shape1 = eng._allowed.shape
+        assert shape1[0] in (64, 256, 1024, 4096)
+        eng._guided_regex = None  # force re-activation
+        start2 = eng._ensure_automaton(r"[a-f]{2}-[0-9]{2}")
+        assert eng._allowed.shape == shape1  # same bucket -> same executable
+        assert start1 >= 1 and start2 >= 1
