@@ -67,6 +67,12 @@ def main() -> None:
              "pipeline's default engine model is an FP8 checkpoint "
              "(pipeline.py:1128), so quantized serving is the like-for-like "
              "operating point. Pass 'none' for bf16.")
+    parser.add_argument("--kv-quantize", dest="kv_quantize",
+                        default=os.environ.get("KARANTA_BENCH_KV_QUANTIZE",
+                                               "none"),
+                        choices=["none", "int8"],
+                        help="int8 KV cache (per-row scales): halves the "
+                             "decode cache stream")
     args = parser.parse_args()
     if args.pages is None:
         args.pages = max(16, 2 * args.batch)
@@ -114,6 +120,8 @@ def main() -> None:
         image_token_buckets=(2048,),
         dtype=dtype,
         quantize=quantize,
+        kv_quantize=(args.kv_quantize if args.kv_quantize != "none"
+                     and jax.default_backend() == "tpu" else None),
     )
     engine = Engine(params, cfg, tok, ecfg)
     del params  # with --quantize the engine holds int8 copies; free the bf16
@@ -166,6 +174,7 @@ def main() -> None:
             "chips": n_chips,
             "batch": args.batch,
             "quantize": quantize,
+            "kv_quantize": args.kv_quantize,
         },
     }))
 

@@ -53,6 +53,7 @@ class EngineConfig:
     max_pixels: int = 14 * 14 * 4 * 1280
     dtype: Any = jnp.bfloat16
     quantize: Optional[str] = None       # None | "int8" (decoder weights)
+    kv_quantize: Optional[str] = None    # None | "int8" (KV cache rows)
     # prefix KV caching: reuse the cached KV of a shared instruction prefix
     # (every OCR page shares one) so prefill runs only over the suffix
     prefix_cache: bool = False
@@ -145,11 +146,31 @@ class Engine:
         self._key = jax.random.PRNGKey(rng_seed)
 
         b, m = engine_cfg.max_batch_size, engine_cfg.max_seq_len
-        self.cache = dec.KVCache.zeros(cfg.text, b, m, engine_cfg.dtype)
+        if engine_cfg.kv_quantize == "int8":
+            self.cache = dec.QuantKVCache.zeros(cfg.text, b, m,
+                                                engine_cfg.dtype)
+        elif engine_cfg.kv_quantize:
+            raise ValueError(f"unknown kv_quantize {engine_cfg.kv_quantize!r}")
+        else:
+            self.cache = dec.KVCache.zeros(cfg.text, b, m, engine_cfg.dtype)
         if mesh is not None:
-            self.cache = dec.KVCache(
-                jax.device_put(self.cache.k, self._cache_sharding),
-                jax.device_put(self.cache.v, self._cache_sharding))
+            from karanta_tpu.parallel.sharding import (
+                DEFAULT_RULES, logical_to_named_sharding,
+            )
+
+            if engine_cfg.kv_quantize == "int8":
+                scale_sh = logical_to_named_sharding(
+                    mesh, ("layers", "batch", "kv_heads", "kv_seq"),
+                    DEFAULT_RULES)
+                self.cache = dec.QuantKVCache(
+                    jax.device_put(self.cache.k, self._cache_sharding),
+                    jax.device_put(self.cache.v, self._cache_sharding),
+                    jax.device_put(self.cache.ks, scale_sh),
+                    jax.device_put(self.cache.vs, scale_sh))
+            else:
+                self.cache = dec.KVCache(
+                    jax.device_put(self.cache.k, self._cache_sharding),
+                    jax.device_put(self.cache.v, self._cache_sharding))
         self.cache_len = jnp.zeros((b,), jnp.int32)
         self.next_pos = jnp.zeros((b,), jnp.int32)
         self.last_token = jnp.zeros((b,), jnp.int32)
@@ -271,10 +292,21 @@ class Engine:
                      last_token, temps, top_ps, dfa_state, slot, true_len,
                      first_token, pos_after, temp, top_p, dfa_val):
         s = prefill_cache.k.shape[3]
-        k = cache.k.at[:, slot, :, :s].set(prefill_cache.k[:, 0])
-        v = cache.v.at[:, slot, :, :s].set(prefill_cache.v[:, 0])
+        if isinstance(cache, dec.QuantKVCache):
+            # prefill emits bf16 rows; quantize at insert time
+            kq, ksc = dec.quantize_kv_rows(prefill_cache.k[:, 0])
+            vq, vsc = dec.quantize_kv_rows(prefill_cache.v[:, 0])
+            new_cache = dec.QuantKVCache(
+                cache.k.at[:, slot, :, :s].set(kq),
+                cache.v.at[:, slot, :, :s].set(vq),
+                cache.ks.at[:, slot, :, :s].set(ksc),
+                cache.vs.at[:, slot, :, :s].set(vsc))
+        else:
+            new_cache = dec.KVCache(
+                cache.k.at[:, slot, :, :s].set(prefill_cache.k[:, 0]),
+                cache.v.at[:, slot, :, :s].set(prefill_cache.v[:, 0]))
         return (
-            dec.KVCache(k, v),
+            new_cache,
             cache_len.at[slot].set(true_len),
             next_pos.at[slot].set(pos_after),
             last_token.at[slot].set(first_token),

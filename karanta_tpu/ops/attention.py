@@ -78,23 +78,38 @@ def decode_attention(
     v_cache: jnp.ndarray,  # (B, KVH, M, D)
     kv_mask: jnp.ndarray,  # (B, M) 1 = valid
     scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # (B, KVH, M) int8-cache row scales
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single-token decode attention, GQA-aware: no repeat_kv materialization
     (reads each cache byte exactly once — the decode path is HBM-bound and
     the cache is its largest stream). Shapes static; bound M is the cache
-    bucket. The (B, KVH, M, D) layout keeps each head's slab contiguous."""
+    bucket. The (B, KVH, M, D) layout keeps each head's slab contiguous.
+
+    With k_scale/v_scale the caches are int8 rows: the int8->f32 convert
+    fuses into the einsum operand load and the per-row scale applies to the
+    f32 score / probability tensors — the dequantized cache never exists."""
     b, _, h, d = q.shape
     kvh = k_cache.shape[1]
     group = h // kvh
     scale = d ** -0.5 if scale is None else scale
     qg = q.reshape(b, kvh, group, d)
+    compute_t = q.dtype if k_cache.dtype == jnp.int8 else k_cache.dtype
     # scores: (B, KVH, G, M) — f32 accumulation without materializing an
     # f32 (or head-repeated) copy of the cache
-    s = jnp.einsum("bkgd,bkmd->bkgm", qg, k_cache,
+    s = jnp.einsum("bkgd,bkmd->bkgm", qg, k_cache.astype(compute_t),
                    preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        s = s * k_scale.astype(jnp.float32)[:, :, None, :]
     s = jnp.where(kv_mask[:, None, None, :] > 0, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bkgm,bkmd->bkgd", p.astype(v_cache.dtype), v_cache,
+    if v_scale is not None:
+        # int8 V: fold the row scale into p; the dot runs in the compute
+        # dtype so the int8 convert fuses into the operand load (an f32 dot
+        # made XLA materialize an f32 copy of the cache — measured slower)
+        p = p * v_scale.astype(jnp.float32)[:, :, None, :]
+    out = jnp.einsum("bkgm,bkmd->bkgd", p.astype(compute_t),
+                     v_cache.astype(compute_t),
                      preferred_element_type=jnp.float32)
     return out.reshape(b, 1, h, d).astype(q.dtype)
 
@@ -105,6 +120,8 @@ def decode_attention_multi(
     v_cache: jnp.ndarray,  # (B, KVH, M, D)
     cache_len: jnp.ndarray,  # (B,) rows present BEFORE the T new ones
     scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # (B, KVH, M) int8 row scales
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-token decode attention for speculative verification: position t
     attends cache rows [0, cache_len + t] (its own freshly written row and
@@ -116,14 +133,20 @@ def decode_attention_multi(
     group = h // kvh
     scale = d ** -0.5 if scale is None else scale
     qg = q.reshape(b, tq, kvh, group, d)
-    s = jnp.einsum("btkgd,bkmd->bkgtm", qg, k_cache,
+    compute_t = q.dtype if k_cache.dtype == jnp.int8 else k_cache.dtype
+    s = jnp.einsum("btkgd,bkmd->bkgtm", qg, k_cache.astype(compute_t),
                    preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        s = s * k_scale.astype(jnp.float32)[:, :, None, None, :]
     cols = jnp.arange(m)[None, None, :]
     horizon = cache_len[:, None, None] + jnp.arange(tq)[None, :, None]
     valid = cols <= horizon                       # (B, T, M)
     s = jnp.where(valid[:, None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bkgtm,bkmd->bkgtd", p.astype(v_cache.dtype), v_cache,
+    if v_scale is not None:
+        p = p * v_scale.astype(jnp.float32)[:, :, None, None, :]
+    out = jnp.einsum("bkgtm,bkmd->bkgtd", p.astype(compute_t),
+                     v_cache.astype(compute_t),
                      preferred_element_type=jnp.float32)
     out = jnp.moveaxis(out, 3, 1)                 # (B, T, KVH, G, D)
     return out.reshape(b, tq, h, d).astype(q.dtype)

@@ -22,13 +22,14 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     ecfg = EngineConfig(max_batch_size=32, max_seq_len=4096, decode_chunk=64,
                         prefill_buckets=(2048, 4096), image_token_buckets=(2048,),
-                        dtype=jnp.bfloat16, quantize="int8")
+                        dtype=jnp.bfloat16, quantize="int8",
+                        kv_quantize=__import__("os").environ.get("KVQ") or None)
     engine = Engine(params, cfg, NoStop(), ecfg)
     del params
     toks = engine.decode_chunk()
     print("warm chunk:", np.asarray(toks).shape, flush=True)
-    os.makedirs("/tmp/xprof_dec", exist_ok=True)
-    with jax.profiler.trace("/tmp/xprof_dec"):
+    os.makedirs(__import__("os").environ.get("XPROF_DIR", "/tmp/xprof_dec"), exist_ok=True)
+    with jax.profiler.trace(__import__("os").environ.get("XPROF_DIR", "/tmp/xprof_dec")):
         toks = engine.decode_chunk()
         print("traced:", int(np.asarray(toks)[0, 0]), flush=True)
     for f in glob.glob("/tmp/xprof_dec/**/*.gz", recursive=True):
