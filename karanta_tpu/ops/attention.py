@@ -337,17 +337,15 @@ def _window_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "scale", "block", "interpret"))
-def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     window: int,
-                     kv_mask: Optional[jnp.ndarray] = None,
-                     scale: Optional[float] = None,
-                     block: int = 256,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Attention restricted to contiguous `window`-token segments.
-
-    q/k/v (B, S, H, D) with S a multiple of `window` and the same head count
-    (no GQA here — the ViT has none). kv_mask (B, S) hides pad tokens.
-    """
+def _window_attention_kernel_call(q: jnp.ndarray, k: jnp.ndarray,
+                                  v: jnp.ndarray,
+                                  window: int,
+                                  kv_mask: Optional[jnp.ndarray] = None,
+                                  scale: Optional[float] = None,
+                                  block: int = 256,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Raw pallas call for window_attention (no autodiff — see the
+    custom-vjp wrapper below)."""
     b, s, h, d = q.shape
     assert s % window == 0, (s, window)
     block = min(block, s)
@@ -517,3 +515,66 @@ def attention(
     """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere (tests).
     Differentiable on both backends via the blockwise custom VJP above."""
     return _attention_cv(q, k, v, kv_mask, causal, scale, q_offset)
+
+
+def _window_reference(q, k, v, window: int, kv_mask, scale):
+    """Dense batched-windows reference for window attention (and the source
+    of its gradients): (B, S, H, D) -> same, attention block-diagonal over
+    contiguous `window`-token segments."""
+    b, sq, h, d = q.shape
+    nw = sq // window
+    scale = float(d ** -0.5 if scale is None else scale)
+    qb = q.reshape(b * nw, window, h, d)
+    kb = k.reshape(b * nw, window, h, d)
+    vb = v.reshape(b * nw, window, h, d)
+    mb = None if kv_mask is None else kv_mask.reshape(b * nw, window)
+    out = mha_reference(qb, kb, vb, kv_mask=mb, scale=scale)
+    return out.reshape(b, sq, h, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def _window_cv(q, k, v, window, kv_mask, scale):
+    if _use_pallas():
+        return _window_attention_kernel_call(q, k, v, window,
+                                             kv_mask=kv_mask, scale=scale)
+    return _window_reference(q, k, v, window, kv_mask, scale)
+
+
+def _window_cv_fwd(q, k, v, window, kv_mask, scale):
+    return _window_cv(q, k, v, window, kv_mask, scale), (q, k, v, kv_mask)
+
+
+def _window_cv_bwd(window, scale, res, g):
+    q, k, v, kv_mask = res
+    # recompute-based exact backward through the dense-windows math; the
+    # per-window score matrices are (window, window) — memory is trivial
+    _, vjp = jax.vjp(
+        lambda q, k, v: _window_reference(q, k, v, window, kv_mask, scale),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    dmask = None if kv_mask is None else jnp.zeros_like(kv_mask)
+    return dq, dk, dv, dmask
+
+
+_window_cv.defvjp(_window_cv_fwd, _window_cv_bwd)
+
+
+def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     window: int,
+                     kv_mask: Optional[jnp.ndarray] = None,
+                     scale: Optional[float] = None,
+                     block: int = 256,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Attention restricted to contiguous `window`-token segments.
+
+    q/k/v (B, S, H, D) with S a multiple of `window` and the same head count
+    (no GQA here — the ViT has none). kv_mask (B, S) hides pad tokens.
+    Pallas kernel forward on TPU, dense-windows math elsewhere and for
+    gradients (pallas_call has no autodiff rule; training crashes without
+    this wrapper)."""
+    if interpret or block != 256:
+        # explicit kernel-tuning path (tests/benchmarks)
+        return _window_attention_kernel_call(q, k, v, window, kv_mask=kv_mask,
+                                             scale=scale, block=block,
+                                             interpret=interpret)
+    return _window_cv(q, k, v, window, kv_mask, scale)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import List, Optional
 
@@ -47,6 +48,8 @@ class ExperimentArguments:
     report_to: str = "none"             # none | wandb
     use_lora: bool = False
     use_qlora: bool = False             # nf4-quantized frozen base + LoRA
+    is_profile: bool = False            # periodic jax.profiler step traces
+    profile_steps: int = 100
     lora_rank: int = 16
     lora_alpha: float = 16.0
 
@@ -104,6 +107,10 @@ def main(argv: Optional[list[str]] = None) -> dict:
     )
 
     logging.basicConfig(level=logging.INFO)
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # honor an explicit CPU request even when a sitecustomize pinned a
+        # TPU platform (matches the inference server's behavior)
+        jax.config.update("jax_platforms", "cpu")
     from karanta_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -238,7 +245,14 @@ def main(argv: Optional[list[str]] = None) -> dict:
             batch = collator([train_samples[i] for i in idx])
             batch = _to_device_batch(batch, exp.gradient_accumulation_steps,
                                      micro)
-            state, metrics = train_fn(state, batch)
+            if exp.is_profile and (step + 1) % exp.profile_steps == 0:
+                from karanta_tpu.utils.profiling import profile_step
+
+                state, metrics = profile_step(
+                    train_fn, (state, batch), step + 1,
+                    os.path.join(exp.output_dir, "profiles"))
+            else:
+                state, metrics = train_fn(state, batch)
             step += 1
             tokens_seen += int(metrics["tokens"])
 

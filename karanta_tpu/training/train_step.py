@@ -126,7 +126,12 @@ def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
                     mb[key] = value.reshape((grad_accum, -1) + value.shape[1:])
             (grads, loss, tokens), _ = jax.lax.scan(
                 micro, (zeros, 0.0, jnp.zeros((), jnp.int32)), mb)
-            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            # accumulate in f32, then return to the param dtype: optax
+            # moments follow the gradient dtype, and f32 moments here vs
+            # the bf16-initialized state made apply_if_finite's lax.cond
+            # branches disagree on dtypes (bf16 + grad-accum only)
+            grads = jax.tree.map(lambda g, p: (g / grad_accum).astype(p.dtype),
+                                 grads, state.params)
             loss = loss / grad_accum
 
         updates, opt_state = optimizer.update(grads, state.opt_state,

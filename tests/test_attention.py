@@ -66,3 +66,65 @@ class TestAttentionGrad:
             lambda q: jnp.sum(A.mha_reference(q, k, v, causal=True) ** 2))(q)
         np.testing.assert_allclose(np.asarray(f(q)), np.asarray(g),
                                    atol=3e-5, rtol=1e-4)
+
+
+class TestWindowAttentionGrad:
+    def test_window_vjp_matches_dense_autodiff(self):
+        """window_attention must be differentiable (the pallas kernel has no
+        autodiff rule — training crashed through the vision tower without the
+        custom VJP) and match dense block-diagonal autodiff."""
+        from karanta_tpu.ops.attention import mha_reference, window_attention
+
+        rng = np.random.default_rng(5)
+        B, S, H, D, W = 1, 128, 2, 16, 32
+        q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+        mask = jnp.asarray((rng.random((B, S)) > 0.1).astype(np.float32))
+
+        def loss_win(q, k, v):
+            return jnp.sum(window_attention(q, k, v, window=W,
+                                            kv_mask=mask) ** 2)
+
+        def loss_dense(q, k, v):
+            nw = S // W
+            qb = q.reshape(nw, W, H, D)
+            kb = k.reshape(nw, W, H, D)
+            vb = v.reshape(nw, W, H, D)
+            o = mha_reference(qb, kb, vb, kv_mask=mask.reshape(nw, W))
+            return jnp.sum(o ** 2)
+
+        g_w = jax.grad(loss_win, argnums=(0, 1, 2))(q, k, v)
+        g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(g_w, g_d, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4, err_msg=name)
+
+    def test_grad_inside_nested_scans(self):
+        """grad(vision-style layer scan) inside an outer micro-batch scan —
+        the exact pattern of grad-accumulation training."""
+        from karanta_tpu.ops.attention import window_attention
+
+        rng = np.random.default_rng(6)
+        x0 = jnp.asarray(rng.normal(size=(1, 64, 2, 8)), jnp.float32)
+        ws = jnp.asarray(rng.normal(size=(3, 8, 8)), jnp.float32)
+
+        def loss(x, mb):
+            def layer(h, w):
+                o = window_attention(h, h, h, window=32)
+                return (o @ w + mb.mean()).astype(h.dtype), None
+            h, _ = jax.lax.scan(layer, x, ws)
+            return jnp.sum(h ** 2)
+
+        grad_fn = jax.value_and_grad(loss)
+
+        @jax.jit
+        def accum(x, mbs):
+            def micro(acc, mb):
+                l, g = grad_fn(x, mb)
+                return jax.tree.map(jnp.add, acc, g), l
+            acc, ls = jax.lax.scan(micro, jnp.zeros_like(x), mbs)
+            return acc.sum() + ls.sum()
+
+        out = accum(x0, jnp.asarray(rng.normal(size=(2, 3)), jnp.float32))
+        assert np.isfinite(float(out))

@@ -149,3 +149,37 @@ class TestTrainLoop:
         argv2[argv2.index("--max_steps") + 1] = "4"
         metrics2 = main(argv2 + ["--resume_from_checkpoint", "auto"])
         assert metrics2["step"] == 4
+
+
+class TestGradAccumBf16:
+    def test_accum_with_bf16_params(self):
+        """bf16 params + grad_accum>1: f32-accumulated grads must return to
+        the param dtype before the optimizer (mismatched moment dtypes made
+        apply_if_finite's cond branches disagree)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from karanta_tpu.models.qwen25_vl.config import tiny_config
+        from karanta_tpu.models.qwen25_vl.layout import mrope_positions
+        from karanta_tpu.models.qwen25_vl.model import init_params
+        from karanta_tpu.training.optimizer import make_optimizer
+        from karanta_tpu.training.train_step import (
+            create_train_state, make_train_step,
+        )
+
+        cfg = tiny_config()
+        params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+        opt = make_optimizer("adamw", 1e-3)
+        state = create_train_state(params, opt)
+        step = jax.jit(make_train_step(cfg, opt, grad_accum=2))
+        rng = np.random.default_rng(1)
+        ids = rng.integers(3, 400, size=(4, 8))   # 2 microbatches of 2
+        pos = np.stack([mrope_positions(r, [], cfg.image_token_id)
+                        for r in ids], axis=1)
+        batch = {"token_ids": jnp.asarray(ids),
+                 "positions": jnp.asarray(pos),
+                 "labels": jnp.asarray(ids)}
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        del optax
