@@ -59,3 +59,20 @@ class TestLanguages:
     def test_registry(self):
         assert Languages.YORUBA.value == "yoruba"
         assert len(Languages) >= 11
+
+
+class TestProfiling:
+    def test_profile_step_dumps_trace_and_summary(self, tmp_path):
+        import jax.numpy as jnp
+
+        from karanta_tpu.utils.profiling import profile_step
+
+        def step(x):
+            return x * 2 + 1
+
+        out = profile_step(step, (jnp.arange(8.0),), 3, str(tmp_path))
+        assert float(out[0]) == 1.0
+        summary = tmp_path / "profile_step_3.txt"
+        assert summary.exists()
+        assert "wall_time_s" in summary.read_text()
+        assert (tmp_path / "profile_step_3").exists()
