@@ -335,8 +335,6 @@ def _window_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         o_ref[0, hh] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("window", "scale", "block", "interpret"))
 def _window_attention_kernel_call(q: jnp.ndarray, k: jnp.ndarray,
                                   v: jnp.ndarray,
                                   window: int,
