@@ -67,8 +67,12 @@ def forward_train(params: Params, cfg: VLMConfig,
 
     if pixel_values is not None:
         def encode_one(pix, perm, valid, pos_hw, extract, img_pos, emb):
+            # trainable=True: differentiable window attention (forward_train
+            # is the training/eval entry; the serving engine calls
+            # encode_image directly with the faster non-AD kernel path)
             enc = vis.encode_image(params["visual"], cfg.vision, pix,
-                                   perm, valid, pos_hw, n_windows)
+                                   perm, valid, pos_hw, n_windows,
+                                   trainable=True)
             tokens = jnp.take(enc, extract, axis=0)
             return merge_image_embeddings(emb, tokens, img_pos)
 
