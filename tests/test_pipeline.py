@@ -206,3 +206,58 @@ class TestEndToEnd:
 
         before = asyncio.run(rerun())
         assert len(server.calls) == before  # no new model calls
+
+
+class TestEndToEndRemoteWorkspace:
+    def test_pipeline_over_object_store(self, tmp_path, monkeypatch):
+        """Full pipeline run against an s3:// workspace backed by an
+        in-memory object store: results upload, completion markers live
+        remotely, and a fresh mirror resumes without rework."""
+        from karanta_tpu.pipeline import runner as runner_mod
+        from karanta_tpu.pipeline.work_queue import RemoteBackend
+        from tests.test_pipeline_queue import _MemStore
+
+        store = _MemStore()
+        mirrors = iter([str(tmp_path / "m1"), str(tmp_path / "m2")])
+
+        def fake_make_backend(workspace):
+            return RemoteBackend(workspace, store=store,
+                                 local_mirror=next(mirrors))
+
+        monkeypatch.setattr(runner_mod, "make_backend", fake_make_backend)
+        pdfs = [_scanned_pdf(tmp_path, f"r{i}.pdf") for i in range(2)]
+        server = FakeOpenAIServer()
+
+        async def run():
+            await server.start()
+            try:
+                await amain(_args(tmp_path, server.url, pdfs=pdfs,
+                                  workspace="s3://bucket/jobs/run1"))
+            finally:
+                await server.stop()
+
+        asyncio.run(run())
+        uploaded = [k for k in store.objects if k.startswith("jobs/run1/results/")]
+        assert uploaded, store.objects.keys()
+        docs = []
+        for key in uploaded:
+            docs += [json.loads(line)
+                     for line in store.objects[key].decode().splitlines()
+                     if line.strip()]
+        assert len(docs) == 2
+        assert all(d["text"] == "Hello from fake model" for d in docs)
+        assert "jobs/run1/work_index_list.csv.zstd" in store.objects
+
+        # resume from a different machine (fresh mirror): nothing to do
+        async def rerun():
+            await server.start()
+            try:
+                before = len(server.calls)
+                await amain(_args(tmp_path, server.url, pdfs=pdfs,
+                                  workspace="s3://bucket/jobs/run1"))
+                return before
+            finally:
+                await server.stop()
+
+        before = asyncio.run(rerun())
+        assert len(server.calls) == before  # no pages reprocessed
