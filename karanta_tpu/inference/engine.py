@@ -75,6 +75,8 @@ class GenRequest:
     top_p: float = 1.0
     request_id: str = ""
     guided_regex: Optional[str] = None
+    logprobs: bool = False               # return per-token logprobs
+    top_logprobs: int = 0                # 0..5 alternatives per position
 
 
 @dataclasses.dataclass
@@ -86,6 +88,8 @@ class GenResult:
     prompt_tokens: int
     completion_tokens: int
     latency_s: float = 0.0
+    # when requested: per emitted token, (logprob, [(alt_id, alt_lp) x k])
+    logprobs: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -100,6 +104,8 @@ class _Prepared:
     request_id: str
     guide: Optional[Any] = None          # guided-decoding automaton state
     prefix_len: int = 0                  # shared-prefix tokens (0 = no reuse)
+    logprobs: bool = False
+    top_logprobs: int = 0
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -193,6 +199,10 @@ class Engine:
         from collections import OrderedDict
 
         self._prefix_kv: "OrderedDict[bytes, Any]" = OrderedDict()
+        self._slot_wants_lp: dict = {}
+        self._slot_logprobs: dict = {}
+        self._last_logprobs = None
+        self._first_logprob: dict = {}
 
         # speculative decoding: device copy of each slot's token history
         # (prompt + emitted), used for n-gram drafting inside the chunk
@@ -318,7 +328,8 @@ class Engine:
     def _decode_chunk_impl(self, params, cache, cache_len, next_pos,
                            last_token, temps, top_ps, dfa_state,
                            allowed, next_state, key, *, steps, use_top_p,
-                           use_sampling, attend_len):
+                           use_sampling, attend_len, use_logprobs=False,
+                           top_k_logprobs=0):
         m = cache.k.shape[3]
 
         def step(carry, step_key):
@@ -339,12 +350,20 @@ class Engine:
             dfa_state = next_state[dfa_state, tokens]
             cache_len = jnp.minimum(cache_len + 1, m - 1)
             next_pos = next_pos + 1
-            return (cache, cache_len, next_pos, tokens, dfa_state), tokens
+            ys = tokens
+            if use_logprobs:  # static gate: separate executable when on
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                chosen = jnp.take_along_axis(logp, tokens[:, None],
+                                             axis=-1)[:, 0]
+                k = max(1, top_k_logprobs)
+                top_vals, top_ids = jax.lax.top_k(logp, k)
+                ys = (tokens, chosen, top_vals, top_ids)
+            return (cache, cache_len, next_pos, tokens, dfa_state), ys
 
         keys = jax.random.split(key, steps)
-        (cache, cache_len, next_pos, last_token, dfa_state), toks = jax.lax.scan(
+        (cache, cache_len, next_pos, last_token, dfa_state), ys = jax.lax.scan(
             step, (cache, cache_len, next_pos, last_token, dfa_state), keys)
-        return cache, cache_len, next_pos, last_token, dfa_state, toks
+        return cache, cache_len, next_pos, last_token, dfa_state, ys
 
     def _hist_insert_impl(self, hist, slot, ids, true_len, first_token):
         """Record a slot's prompt ids + first sampled token."""
@@ -426,6 +445,8 @@ class Engine:
             return False
         if any(self._slot_temp[i] > 0.0 for i in active):
             return False
+        if any(self._slot_wants_lp.get(i, False) for i in active):
+            return False  # per-token logprobs need the per-step path
         return not bool(np.any(np.asarray(self.dfa_state) > 0))
 
     # ------------------------------------------------------------------
@@ -481,7 +502,9 @@ class Engine:
             ids=ids, positions=positions, image_feeds=image_feeds,
             img_token_counts=img_token_counts, max_tokens=request.max_tokens,
             temperature=request.temperature, top_p=request.top_p,
-            request_id=request.request_id, guide=guide, prefix_len=prefix_len)
+            request_id=request.request_id, guide=guide, prefix_len=prefix_len,
+            logprobs=request.logprobs,
+            top_logprobs=min(int(request.top_logprobs or 0), 5))
 
     def _ensure_automaton(self, regex: str) -> Optional[int]:
         """Compile/activate the token automaton for `regex`. Returns the DFA
@@ -679,6 +702,14 @@ class Engine:
             jnp.asarray([prepared.top_p], jnp.float32))[0]
         dfa_after = (int(self._next_state[state0, first])
                      if prepared.guide is not None else 0)
+        if prepared.logprobs:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            k = max(1, prepared.top_logprobs)
+            top_vals, top_ids = jax.lax.top_k(logp, k)
+            self._first_logprob[prepared.request_id] = (
+                float(logp[first]),
+                list(zip(np.asarray(top_ids).tolist(),
+                         np.asarray(top_vals, np.float64).tolist())))
         # The first sampled token is *fed* at the next decode step; its
         # position is max(prompt positions) + 1.
         next_pos = (int(prepared.positions.max()) + 1) if s else 0
@@ -699,6 +730,8 @@ class Engine:
         self._slot_top_p[slot] = float(prepared.top_p)
         self._slot_temp[slot] = float(prepared.temperature)
         self._slot_len[slot] = true_len
+        self._slot_wants_lp[slot] = bool(getattr(prepared, "logprobs", False))
+        self._slot_logprobs[slot] = int(getattr(prepared, "top_logprobs", 0))
         if self.ecfg.speculative_ngram > 0:
             m = self.ecfg.max_seq_len
             ids = np.zeros((m,), np.int32)
@@ -729,15 +762,27 @@ class Engine:
         for i in active:
             self._slot_len[i] = min(self._slot_len[i] + steps,
                                     self.ecfg.max_seq_len - 1)
+        use_logprobs = any(self._slot_logprobs.get(i, 0) >= 0
+                           and self._slot_wants_lp.get(i, False)
+                           for i in active)
+        top_k = max([self._slot_logprobs.get(i, 0) for i in active
+                     if self._slot_wants_lp.get(i, False)] or [0])
         self._key, sub = jax.random.split(self._key)
         (self.cache, self.cache_len, self.next_pos, self.last_token,
-         self.dfa_state, toks) = self._decode_chunk_jit(
+         self.dfa_state, ys) = self._decode_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.temps, self.top_ps, self.dfa_state,
             self._allowed, self._next_state, sub, steps=steps,
             use_top_p=use_top_p, use_sampling=use_sampling,
-            attend_len=attend_len)
-        return np.asarray(toks)  # (K, B)
+            attend_len=attend_len, use_logprobs=use_logprobs,
+            top_k_logprobs=top_k)
+        if use_logprobs:
+            toks, chosen, top_vals, top_ids = ys
+            self._last_logprobs = (np.asarray(chosen), np.asarray(top_vals),
+                                   np.asarray(top_ids))
+            return np.asarray(toks)
+        self._last_logprobs = None
+        return np.asarray(ys)  # (K, B)
 
     def free_slot(self, slot: int):
         self.slot_free[slot] = True
@@ -774,15 +819,17 @@ class Engine:
                             dfa_val)
                 first_host = int(np.asarray(first))
                 collected = [first_host]
+                lp = ([self._first_logprob.pop(prepared.request_id, None)]
+                      if prepared.logprobs else None)
                 if (first_host == self.tok.eos_token_id
                         or prepared.max_tokens <= 1):
                     reason = ("stop" if first_host == self.tok.eos_token_id
                               else "length")
                     results[req_idx] = self._finish(
-                        prepared, collected, reason, start)
+                        prepared, collected, reason, start, lp)
                     self.free_slot(slot)
                 else:
-                    active[slot] = [req_idx, prepared, collected, start]
+                    active[slot] = [req_idx, prepared, collected, start, lp]
 
             if not active:
                 continue
@@ -800,11 +847,18 @@ class Engine:
                 toks = self.decode_chunk()  # (K, B)
                 emitted = {slot: [int(t) for t in toks[:, slot]]
                            for slot in active}
+            lp_data = self._last_logprobs
             for slot in list(active):
-                req_idx, prepared, collected, start = active[slot]
+                req_idx, prepared, collected, start, lp = active[slot]
                 finished = None
-                for token in emitted[slot]:
+                for j, token in enumerate(emitted[slot]):
                     collected.append(token)
+                    if lp is not None and lp_data is not None:
+                        chosen, tv, ti = lp_data
+                        k = prepared.top_logprobs
+                        lp.append((float(chosen[j, slot]),
+                                   list(zip(ti[j, slot, :k].tolist(),
+                                            tv[j, slot, :k].tolist()))))
                     if token == self.tok.eos_token_id:
                         finished = "stop"
                         break
@@ -813,7 +867,7 @@ class Engine:
                         break
                 if finished:
                     results[req_idx] = self._finish(
-                        prepared, collected, finished, start)
+                        prepared, collected, finished, start, lp)
                     del active[slot]
                     self.free_slot(slot)
 
@@ -821,8 +875,12 @@ class Engine:
         return [results[i] for i in range(len(requests))]
 
     def _finish(self, prepared: _Prepared, collected: list[int],
-                reason: str, start: float) -> GenResult:
+                reason: str, start: float,
+                logprobs: Optional[list] = None) -> GenResult:
         out_ids = [t for t in collected if t != self.tok.eos_token_id]
+        if logprobs is not None:
+            logprobs = [x for t, x in zip(collected, logprobs)
+                        if t != self.tok.eos_token_id][: len(out_ids)]
         return GenResult(
             request_id=prepared.request_id,
             text=self.tok.decode(out_ids),
@@ -831,4 +889,5 @@ class Engine:
             prompt_tokens=int(len(prepared.ids)),
             completion_tokens=len(collected),
             latency_s=time.time() - start,
+            logprobs=logprobs,
         )

@@ -39,6 +39,7 @@ class _Active:
     prepared: object
     future: asyncio.Future
     collected: list[int] = field(default_factory=list)
+    lp: Optional[list] = None            # per-token logprobs when requested
     start: float = field(default_factory=time.time)
     stream: Optional[asyncio.Queue] = None   # token-delta queue when streaming
     emitted_text: str = ""
@@ -98,6 +99,9 @@ class InferenceServer:
                                    next_pos, dfa_val)
                 state = _Active(prepared=prepared, future=future,
                                 stream=stream_q)
+                if prepared.logprobs:
+                    state.lp = [self.engine._first_logprob.pop(
+                        prepared.request_id, None)]
                 first_host = int(first)
                 state.collected.append(first_host)
                 if (first_host == self.engine.tok.eos_token_id
@@ -115,11 +119,18 @@ class InferenceServer:
         return admitted
 
     def _distribute_lists(self, emitted: dict):
+        lp_data = getattr(self.engine, "_last_logprobs", None)
         for slot in list(self.active):
             state = self.active[slot]
             reason = None
-            for token in emitted[slot]:
+            for j, token in enumerate(emitted[slot]):
                 state.collected.append(token)
+                if state.lp is not None and lp_data is not None:
+                    chosen, tv, ti = lp_data
+                    k = state.prepared.top_logprobs
+                    state.lp.append((float(chosen[j, slot]),
+                                     list(zip(ti[j, slot, :k].tolist(),
+                                              tv[j, slot, :k].tolist()))))
                 if token == self.engine.tok.eos_token_id:
                     reason = "stop"
                     break
@@ -151,12 +162,36 @@ class InferenceServer:
             return
         out_ids = [t for t in state.collected
                    if t != self.engine.tok.eos_token_id]
-        state.future.set_result({
+        result = {
             "text": self.engine.tok.decode(out_ids),
             "finish_reason": reason,
             "prompt_tokens": int(len(state.prepared.ids)),
             "completion_tokens": len(state.collected),
-        })
+        }
+        if state.lp is not None:
+            lps = [x for t, x in zip(state.collected, state.lp)
+                   if t != self.engine.tok.eos_token_id][: len(out_ids)]
+            result["logprobs"] = self._format_logprobs(out_ids, lps)
+        state.future.set_result(result)
+
+    def _format_logprobs(self, token_ids, lps):
+        """OpenAI chat logprobs block: one entry per completion token."""
+        content = []
+        for tid, entry in zip(token_ids, lps):
+            tok_str = self.engine.tok.decode([tid])
+            if entry is None:
+                content.append({"token": tok_str, "logprob": None,
+                                "top_logprobs": []})
+                continue
+            chosen, top = entry
+            content.append({
+                "token": tok_str,
+                "logprob": chosen,
+                "top_logprobs": [
+                    {"token": self.engine.tok.decode([int(i)]),
+                     "logprob": float(v)} for i, v in top],
+            })
+        return {"content": content}
 
     # ------------------------------------------------------------------
     # HTTP
@@ -252,6 +287,8 @@ class InferenceServer:
             top_p=float(payload.get("top_p", 1.0)),
             request_id=f"chatcmpl-{uuid.uuid4().hex[:16]}",
             guided_regex=payload.get("guided_regex"),
+            logprobs=bool(payload.get("logprobs", False)),
+            top_logprobs=int(payload.get("top_logprobs", 0) or 0),
         )
         future: asyncio.Future = asyncio.get_running_loop().create_future()
 
@@ -277,6 +314,8 @@ class InferenceServer:
                 "index": 0,
                 "message": {"role": "assistant", "content": result["text"]},
                 "finish_reason": result["finish_reason"],
+                **({"logprobs": result["logprobs"]}
+                   if "logprobs" in result else {}),
             }],
             "usage": {
                 "prompt_tokens": result["prompt_tokens"],

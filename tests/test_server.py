@@ -188,3 +188,30 @@ class TestPipelineIntegration:
 
         results = os.listdir(os.path.join(args.workspace, "results"))
         assert len(results) == 1  # group completion marker written
+
+
+class TestLogprobs:
+    def test_chat_completion_with_logprobs(self, server_url):
+        import json as jsonmod
+        import urllib.request
+
+        body = jsonmod.dumps({
+            "model": "x",
+            "messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 5, "temperature": 0,
+            "logprobs": True, "top_logprobs": 3,
+        }).encode()
+        req = urllib.request.Request(
+            f"{server_url}/v1/chat/completions", body,
+            {"Content-Type": "application/json"})
+        out = jsonmod.load(urllib.request.urlopen(req, timeout=300))
+        lp = out["choices"][0]["logprobs"]["content"]
+        assert len(lp) == 5
+        for entry in lp:
+            assert entry["logprob"] is None or entry["logprob"] <= 0.0
+            if entry["logprob"] is not None:
+                assert len(entry["top_logprobs"]) == 3
+                tops = [t["logprob"] for t in entry["top_logprobs"]]
+                assert tops == sorted(tops, reverse=True)
+                # chosen token's logprob cannot beat the best alternative
+                assert entry["logprob"] <= tops[0] + 1e-5
