@@ -225,7 +225,7 @@ class Engine:
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk_impl,
             static_argnames=("steps", "use_top_p", "use_sampling",
-                             "attend_len"),
+                             "attend_len", "use_logprobs", "top_k_logprobs"),
             donate_argnums=(1,))
         # static sampling gates: the nucleus sort / gumbel sampling only
         # compile in when some active slot actually needs them

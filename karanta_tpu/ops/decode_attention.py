@@ -333,10 +333,12 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
                           o_ref,                 # VMEM (1, KVH*G, D)
                           k_out, v_out,          # ANY aliased to k_in/v_in
                           k_buf, v_buf,          # VMEM scratch (2, KVH, BLK, D)
+                          kslab, vslab,          # VMEM scratch (KVH, SLAB, D)
                           acc_ref, m_ref, l_ref,
                           sems,                  # DMA sems (2, 2, KVH)
-                          wsems,                 # row-write sems (2, KVH)
-                          *, block: int, kvh: int, group: int, scale: float):
+                          wsems,                 # slab r/w sems (2, KVH)
+                          *, block: int, kvh: int, group: int, scale: float,
+                          slab: int):
     """Fused cache-append + length-bounded decode attention.
 
     The kernel owns BOTH sides of the cache update: it writes this step's
@@ -345,22 +347,52 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
     input->output, so inside the decode layer scan the buffers stay in place
     — XLA neither scatters (one fusion) nor dynamic-slices a per-layer copy
     (48% of decode time), nor copies for the pallas operand (what made the
-    read-only kernel a 35x regression in-scan)."""
+    read-only kernel a 35x regression in-scan).
+
+    The row write is a read-modify-write of the tile-aligned `slab`-row
+    window containing cache_len (a single-row DMA source slice of the
+    (1, KVH, D) VMEM operand violates Mosaic's (sublane, lane) tiling —
+    that blocker is what kept this kernel off in round 1): read the slab,
+    blend the new row in registers, write the slab back. Live rows are
+    rewritten byte-identical and rows past cache_len are dead (masked by
+    every bounded read), so the write can overlap the block loop safely."""
     slot = pl.program_id(0)
     lidx = layer_ref[0]
     seq_len = len_ref[slot]                      # old rows; new row via VMEM
     num_blocks = jax.lax.div(seq_len + (block - 1), block)
 
-    # start the row writes immediately; they complete during the block loop
+    # --- slab read-modify-write of this step's cache row ---
+    slab_start = jax.lax.mul(jax.lax.div(seq_len, slab), slab)
+    row_in_slab = seq_len - slab_start
+    rcopies = []
+    for h in range(kvh):
+        rc = pltpu.make_async_copy(
+            k_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
+            kslab.at[h], wsems.at[0, h])
+        rc.start()
+        rcopies.append(rc)
+        rc = pltpu.make_async_copy(
+            v_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
+            vslab.at[h], wsems.at[1, h])
+        rc.start()
+        rcopies.append(rc)
+    for rc in rcopies:
+        rc.wait()
+    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+               == row_in_slab)
+    newk = newk_ref[0]                           # (KVH, D)
+    newv = newv_ref[0]
     wcopies = []
     for h in range(kvh):
+        kslab[h] = jnp.where(row_sel, newk[h][None, :], kslab[h])
+        vslab[h] = jnp.where(row_sel, newv[h][None, :], vslab[h])
         wc = pltpu.make_async_copy(
-            newk_ref.at[0, h], k_out.at[lidx, slot, h, len_ref[slot]],
+            kslab.at[h], k_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
             wsems.at[0, h])
         wc.start()
         wcopies.append(wc)
         wc = pltpu.make_async_copy(
-            newv_ref.at[0, h], v_out.at[lidx, slot, h, len_ref[slot]],
+            vslab.at[h], v_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
             wsems.at[1, h])
         wc.start()
         wcopies.append(wc)
@@ -431,7 +463,7 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
     for h in range(kvh):
         rows = slice(h * group, (h + 1) * group)
         qh = q[rows]
-        nk = newk_ref[0, h].astype(jnp.float32)            # (D,)
+        nk = newk[h].astype(jnp.float32)                   # (D,)
         s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
                       keepdims=True) * scale               # (G, 1)
         m_prev = m_ref[rows, 0:1]
@@ -440,7 +472,7 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
         p_x = jnp.exp(s_x - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[rows, 0:1] = alpha * l_prev + p_x
-        nv = newv_ref[0, h].astype(jnp.float32)
+        nv = newv[h].astype(jnp.float32)
         acc_ref[rows, :] = (acc_ref[rows, :] * alpha + p_x * nv[None, :])
 
     for wc in wcopies:
@@ -472,6 +504,11 @@ def paged_decode_append(
     group = h // kvh
     scale = float(d ** -0.5 if scale is None else scale)
     block = min(block, m)
+    # slab for the row RMW: 32 rows is tile-aligned for every cache dtype
+    # (f32 8, bf16 16, int8 32 sublanes) and must divide the bucket length
+    slab = min(32, m)
+    if m % slab:
+        raise ValueError(f"max_seq_len {m} must be a multiple of {slab}")
 
     qg = q.reshape(b, kvh * group, d)
 
@@ -497,6 +534,8 @@ def paged_decode_append(
         scratch_shapes=[
             pltpu.VMEM((2, kvh, block, d), k_cache.dtype),
             pltpu.VMEM((2, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((kvh, slab, d), k_cache.dtype),
+            pltpu.VMEM((kvh, slab, d), v_cache.dtype),
             pltpu.VMEM((kvh * group, d), jnp.float32),
             pltpu.VMEM((kvh * group, 128), jnp.float32),
             pltpu.VMEM((kvh * group, 128), jnp.float32),
@@ -507,7 +546,7 @@ def paged_decode_append(
 
     attn, k_new, v_new = pl.pallas_call(
         functools.partial(_decode_append_kernel, block=block, kvh=kvh,
-                          group=group, scale=scale),
+                          group=group, scale=scale, slab=slab),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),
