@@ -165,25 +165,34 @@ def quantize_kv_rows(x: jnp.ndarray):
     return q, s.astype(jnp.bfloat16)
 
 
-def _use_paged_decode() -> bool:
-    """Opt-in (KARANTA_PAGED_DECODE=1) pallas decode kernel.
+def _paged_decode_mode() -> str:
+    """Pallas decode-kernel selection via KARANTA_PAGED_DECODE.
 
-    The stacked-cache variant reads each slot's live prefix straight from
-    the (L, B, KVH, M, D) buffer, and in an isolated 36-layer attention scan
-    beats the dense path 7.2 ms vs 9.7 ms at ~1900-token fills (no per-layer
-    dynamic-slice materialization, no dead-row reads). BUT inside the real
-    decode step the cache is also UPDATED each layer: XLA cannot alias the
-    scan-carried buffer into a pallas_call operand that coexists with the
-    scatter, so it inserts a full multi-GB cache copy per layer — measured
-    ~550 ms/step end-to-end (35x regression). Until the kernel takes over
-    the row write too (input_output_aliasing on the cache), the dense path
-    stays default."""
+    "" (default)     — XLA dense path: scatter the new row, dynamic-slice the
+                       layer, masked dense attention over the full bucket.
+    "append" or "1"  — fused paged_decode_append: the kernel owns BOTH the
+                       row write and a length-bounded read of the stacked
+                       cache, with the cache aliased input->output. This is
+                       what lets bounded reads pay off in-scan: the stacked
+                       read-only kernel ("stacked") was 35x slower end-to-end
+                       because XLA inserts a full-cache defensive copy per
+                       pallas call whenever the same carried buffer is also
+                       scatter-updated outside the kernel.
+    "stacked"        — scatter + read-only stacked kernel (kept for A/B).
+    """
     import os
 
     import jax
 
-    return (os.environ.get("KARANTA_PAGED_DECODE", "0") == "1"
-            and jax.default_backend() == "tpu")
+    mode = os.environ.get("KARANTA_PAGED_DECODE", "0")
+    if mode in ("0", "") or jax.default_backend() != "tpu":
+        return ""
+    return "append" if mode == "1" else mode
+
+
+# Test hook: force (mode, interpret) so the kernel integration runs on the
+# CPU mesh in pallas interpret mode (the env gate requires a real TPU).
+_PAGED_FORCE: Optional[tuple] = None
 
 
 def _project_qkv(x, p, cfg: TextConfig):
@@ -305,6 +314,11 @@ def decode_step(params: Params, cfg: TextConfig,
     # are never copied. (Routing them through scan xs/ys stacks a fresh copy
     # of the whole cache every step — measured as the dominant decode cost.)
     quant = isinstance(cache, QuantKVCache)
+    if _PAGED_FORCE is not None and not quant:
+        paged_mode, paged_interp = _PAGED_FORCE
+    else:
+        paged_mode = "" if quant else _paged_decode_mode()
+        paged_interp = False
 
     def body(carry, layer_and_idx):
         x, *bufs = carry
@@ -329,17 +343,28 @@ def decode_step(params: Params, cfg: TextConfig,
             new_bufs = (k_all, v_all, ks_all, vs_all)
         else:
             k_all, v_all = bufs
-            # write (B, KVH, D) rows at [layer, slot, :, pos]
-            k_all = k_all.at[idx, batch_idx, :, cache_len].set(k[:, 0])
-            v_all = v_all.at[idx, batch_idx, :, cache_len].set(v[:, 0])
-            if _use_paged_decode():
+            if paged_mode == "append":
+                from karanta_tpu.ops.decode_attention import (
+                    paged_decode_append,
+                )
+
+                attn, k_all, v_all = paged_decode_append(
+                    q, k[:, 0], v[:, 0], k_all, v_all, idx, cache_len,
+                    block=1024, interpret=paged_interp)
+            elif paged_mode == "stacked":
                 from karanta_tpu.ops.decode_attention import (
                     paged_decode_attention_stacked,
                 )
 
+                k_all = k_all.at[idx, batch_idx, :, cache_len].set(k[:, 0])
+                v_all = v_all.at[idx, batch_idx, :, cache_len].set(v[:, 0])
                 attn, k_all, v_all = paged_decode_attention_stacked(
-                    q, k_all, v_all, idx, cache_len, block=1024)
+                    q, k_all, v_all, idx, cache_len, block=1024,
+                    interpret=paged_interp)
             else:
+                # write (B, KVH, D) rows at [layer, slot, :, pos]
+                k_all = k_all.at[idx, batch_idx, :, cache_len].set(k[:, 0])
+                v_all = v_all.at[idx, batch_idx, :, cache_len].set(v[:, 0])
                 k_layer = jax.lax.dynamic_index_in_dim(
                     k_all, idx, 0, keepdims=False)[:, :, :m]
                 v_layer = jax.lax.dynamic_index_in_dim(

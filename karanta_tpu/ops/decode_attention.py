@@ -332,13 +332,13 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
                           k_in, v_in,            # ANY (L, B, KVH, M, D)
                           o_ref,                 # VMEM (1, KVH*G, D)
                           k_out, v_out,          # ANY aliased to k_in/v_in
-                          k_buf, v_buf,          # VMEM scratch (2, KVH, BLK, D)
+                          k_buf, v_buf,          # VMEM scratch (NBUF, KVH, BLK, D)
                           kslab, vslab,          # VMEM scratch (KVH, SLAB, D)
                           acc_ref, m_ref, l_ref,
-                          sems,                  # DMA sems (2, 2, KVH)
+                          sems,                  # DMA sems (2, NBUF, KVH)
                           wsems,                 # slab r/w sems (2, KVH)
                           *, block: int, kvh: int, group: int, scale: float,
-                          slab: int):
+                          slab: int, nbuf: int):
     """Fused cache-append + length-bounded decode attention.
 
     The kernel owns BOTH sides of the cache update: it writes this step's
@@ -412,20 +412,25 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
                 v_buf.at[buf_slot, h], sems.at[1, buf_slot, h]))
         return copies
 
-    @pl.when(num_blocks > 0)
-    def _():
-        for dma in dmas(0, 0):
-            dma.start()
+    # prologue: fill the DMA ring nbuf-1 deep (multiple in-flight copies
+    # amortize HBM DMA latency across queues — the kernel is DMA-bound)
+    for j in range(nbuf - 1):
+        @pl.when(j < num_blocks)
+        def _(j=j):
+            for dma in dmas(j, j):
+                dma.start()
 
     q = q_ref[0]
 
     def body(i, _):
-        cur = jax.lax.bitwise_and(i, 1)
-        nxt = jax.lax.bitwise_and(i + 1, 1)
+        cur = jax.lax.rem(i, nbuf)
 
-        @pl.when(i + 1 < num_blocks)
+        # top up the ring: block i+nbuf-1 goes into the buffer consumed at
+        # iteration i-1 (free again), keeping nbuf-1 copies in flight
+        @pl.when(i + nbuf - 1 < num_blocks)
         def _():
-            for dma in dmas(i + 1, nxt):
+            pre = i + nbuf - 1
+            for dma in dmas(pre, jax.lax.rem(pre, nbuf)):
                 dma.start()
 
         for dma in dmas(i, cur):
@@ -482,7 +487,8 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
     o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "scale", "interpret", "nbuf"))
 def paged_decode_append(
     q: jnp.ndarray,          # (B, 1, H, D)
     new_k: jnp.ndarray,      # (B, KVH, D) this step's key rows
@@ -494,6 +500,7 @@ def paged_decode_append(
     scale: Optional[float] = None,
     block: int = 1024,
     interpret: bool = False,
+    nbuf: int = 2,           # DMA ring depth (nbuf-1 blocks in flight)
 ):
     """Append new_k/new_v at cache_len and attend over the live prefix + the
     new row. Returns (attn (B,1,H,D), k_cache, v_cache) with the caches
@@ -504,6 +511,8 @@ def paged_decode_append(
     group = h // kvh
     scale = float(d ** -0.5 if scale is None else scale)
     block = min(block, m)
+    if nbuf < 2:
+        raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
     # slab for the row RMW: 32 rows is tile-aligned for every cache dtype
     # (f32 8, bf16 16, int8 32 sublanes) and must divide the bucket length
     slab = min(32, m)
@@ -532,21 +541,21 @@ def paged_decode_append(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, kvh, block, d), k_cache.dtype),
-            pltpu.VMEM((2, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((nbuf, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((nbuf, kvh, block, d), v_cache.dtype),
             pltpu.VMEM((kvh, slab, d), k_cache.dtype),
             pltpu.VMEM((kvh, slab, d), v_cache.dtype),
             pltpu.VMEM((kvh * group, d), jnp.float32),
             pltpu.VMEM((kvh * group, 128), jnp.float32),
             pltpu.VMEM((kvh * group, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, kvh)),
+            pltpu.SemaphoreType.DMA((2, nbuf, kvh)),
             pltpu.SemaphoreType.DMA((2, kvh)),
         ],
     )
 
     attn, k_new, v_new = pl.pallas_call(
         functools.partial(_decode_append_kernel, block=block, kvh=kvh,
-                          group=group, scale=scale, slab=slab),
+                          group=group, scale=scale, slab=slab, nbuf=nbuf),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),

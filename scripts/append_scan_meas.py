@@ -1,4 +1,13 @@
-"""Full decode-layer-body A/B: scatter+slice+dense vs fused append kernel."""
+"""Full decode-layer-body A/B: scatter+slice+dense vs fused append kernel.
+
+Three variants at serving shape (36 layers, B32, M4096, bf16):
+  dense   — scatter rows, dynamic-slice the layer, masked dense attention
+            (the default engine path)
+  stacked — scatter rows, length-bounded pallas read of the stacked cache
+            (known-bad in-scan: XLA copies the cache per pallas call)
+  fused   — paged_decode_append: the kernel owns both the row write and the
+            bounded read; cache operands alias input->output
+"""
 import functools
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,7 +31,8 @@ def t(fn, q0, lens, k, v, n=10):
 def main():
     enable_compilation_cache()
     from karanta_tpu.ops.attention import decode_attention
-    from karanta_tpu.ops.decode_attention import paged_decode_attention_stacked
+    from karanta_tpu.ops.decode_attention import (
+        paged_decode_append, paged_decode_attention_stacked)
     rng = np.random.default_rng(0)
     L, B, KVH, M, H, D = 36, 32, 2, 4096, 16, 128
     q0 = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.bfloat16)
@@ -31,6 +41,28 @@ def main():
     k = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.bfloat16)
     bidx = jnp.arange(B)
+
+    # correctness first: one fused call vs scatter+dense on layer 0.
+    # ONE jitted function: eager ops over the axon tunnel are each a remote
+    # mini-compile (minutes) — never run the check op-by-op.
+    @jax.jit
+    def check(q0, nk, nv, k, v, lens0):
+        a_f, k_f, v_f = paged_decode_append(q0, nk, nv, k, v, jnp.asarray(0),
+                                            lens0, block=1024)
+        k_ref = k.at[0, bidx, :, lens0].set(nk)[0]   # layer 0 only
+        v_ref = v.at[0, bidx, :, lens0].set(nv)[0]
+        mask = (jnp.arange(M)[None, :] <= lens0[:, None]).astype(jnp.float32)
+        a_ref = decode_attention(q0, k_ref, v_ref, mask)
+        err = jnp.max(jnp.abs(a_f.astype(jnp.float32)
+                              - a_ref.astype(jnp.float32)))
+        kerr = jnp.max(jnp.abs(k_f[0].astype(jnp.float32)
+                               - k_ref.astype(jnp.float32)))
+        return err, kerr
+
+    lens0 = jnp.asarray(rng.integers(0, 2000, size=(B,)), jnp.int32)
+    err, kerr = check(q0, nk, nv, k, v, lens0)
+    print(f"fused vs dense: attn max err {float(err):.4f}, "
+          f"cache write err {float(kerr)}", flush=True)
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def dense_scan(q0, lens, k, v):
@@ -46,24 +78,31 @@ def main():
         (q, kk, vv), _ = jax.lax.scan(body, (q0, k, v), jnp.arange(L))
         return q, kk, vv
 
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def append_scan(q0, lens, k, v):
-        def body(carry, l):
-            q, kk, vv = carry
-            kk = kk.at[l, bidx, :, lens].set(nk)
-            vv = vv.at[l, bidx, :, lens].set(nv)
-            a, kk, vv = paged_decode_attention_stacked(q, kk, vv, l, lens,
-                                                       block=1024)
-            return (a.astype(q.dtype), kk, vv), ()
-        (q, kk, vv), _ = jax.lax.scan(body, (q0, k, v), jnp.arange(L))
-        return q, kk, vv
+    def make_fused_scan(block, nbuf):
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def fused_scan(q0, lens, k, v):
+            def body(carry, l):
+                q, kk, vv = carry
+                a, kk, vv = paged_decode_append(q, nk, nv, kk, vv, l, lens,
+                                                block=block, nbuf=nbuf)
+                return (a.astype(q.dtype), kk, vv), ()
+            (q, kk, vv), _ = jax.lax.scan(body, (q0, k, v), jnp.arange(L))
+            return q, kk, vv
+        return fused_scan
 
-    for fill in (1400, 1900, 4000):
+    import sys
+    variants = [(1024, 2)]
+    if "--sweep" in sys.argv:
+        variants = [(1024, 2), (2048, 2), (512, 4), (512, 8), (256, 8)]
+
+    for fill in (256, 1400, 1900, 4000):
         lens = jnp.full((B,), fill, jnp.int32)
         dt, k, v = t(dense_scan, q0, lens, k, v)
         print(f"len={fill}: dense scatter+slice scan {dt:.2f} ms", flush=True)
-        dt, k, v = t(append_scan, q0, lens, k, v)
-        print(f"len={fill}: fused append kernel scan {dt:.2f} ms", flush=True)
+        for block, nbuf in variants:
+            dt, k, v = t(make_fused_scan(block, nbuf), q0, lens, k, v)
+            print(f"len={fill}: fused blk={block} nbuf={nbuf} {dt:.2f} ms",
+                  flush=True)
     print("OK", flush=True)
 
 if __name__ == "__main__":

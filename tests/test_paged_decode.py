@@ -135,3 +135,44 @@ class TestAppendKernel:
                                                 block=128, interpret=True)
         np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_l), atol=1e-6)
         np.testing.assert_allclose(np.asarray(k_s), np.asarray(k_l), atol=0)
+
+
+def test_decode_step_append_integration(monkeypatch):
+    """decode_step wired to the fused append kernel (forced interpret mode)
+    must match the default scatter+dense path bit-for-bit in f32."""
+    import karanta_tpu.models.qwen25_vl.decoder as dec
+    from karanta_tpu.models.qwen25_vl.config import get_config
+
+    cfg = get_config("tiny").text
+    params = dec.init_decoder_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)["layers"]
+    params = {"layers": params, "embed": dec.init_decoder_params(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.float32)["embed"],
+        "final_norm": jnp.ones((cfg.hidden_size,), jnp.float32)}
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dec.init_decoder_params(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.float32)["lm_head"]
+
+    B, M = 2, 64
+    rng = np.random.default_rng(0)
+    cache0 = dec.KVCache(
+        jnp.asarray(rng.normal(size=(cfg.num_layers, B, cfg.num_kv_heads, M,
+                                     cfg.head_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(cfg.num_layers, B, cfg.num_kv_heads, M,
+                                     cfg.head_dim)), jnp.float32))
+    emb = jnp.asarray(rng.normal(size=(B, 1, cfg.hidden_size)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, 40, size=(3, B)), jnp.int32)
+    lens = jnp.asarray([7, 33], jnp.int32)
+
+    h_ref, c_ref = dec.decode_step(params, cfg, emb, pos, cache0, lens)
+    monkeypatch.setattr(dec, "_PAGED_FORCE", ("append", True))
+    h_pag, c_pag = dec.decode_step(params, cfg, emb, pos, cache0, lens)
+
+    np.testing.assert_allclose(np.asarray(h_pag), np.asarray(h_ref),
+                               atol=2e-5, rtol=2e-5)
+    # caches agree on all live rows + the newly written row (dead rows differ:
+    # the dense path leaves them as-is, the kernel also leaves them — equal)
+    np.testing.assert_allclose(np.asarray(c_pag.k), np.asarray(c_ref.k),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_pag.v), np.asarray(c_ref.v),
+                               atol=1e-6)
