@@ -314,11 +314,13 @@ def decode_step(params: Params, cfg: TextConfig,
     # are never copied. (Routing them through scan xs/ys stacks a fresh copy
     # of the whole cache every step — measured as the dominant decode cost.)
     quant = isinstance(cache, QuantKVCache)
-    if _PAGED_FORCE is not None and not quant:
+    if _PAGED_FORCE is not None:
         paged_mode, paged_interp = _PAGED_FORCE
     else:
-        paged_mode = "" if quant else _paged_decode_mode()
+        paged_mode = _paged_decode_mode()
         paged_interp = False
+    # the quant cache only has the fused-append kernel (no stacked variant)
+    quant_paged_mode = paged_mode if paged_mode == "append" else ""
 
     def body(carry, layer_and_idx):
         x, *bufs = carry
@@ -330,16 +332,25 @@ def decode_step(params: Params, cfg: TextConfig,
             k_all, v_all, ks_all, vs_all = bufs
             kq, ksc = quantize_kv_rows(k[:, 0])
             vq, vsc = quantize_kv_rows(v[:, 0])
-            k_all = k_all.at[idx, batch_idx, :, cache_len].set(kq)
-            v_all = v_all.at[idx, batch_idx, :, cache_len].set(vq)
-            ks_all = ks_all.at[idx, batch_idx, :, cache_len].set(ksc)
-            vs_all = vs_all.at[idx, batch_idx, :, cache_len].set(vsc)
-            sl = lambda a: jax.lax.dynamic_index_in_dim(
-                a, idx, 0, keepdims=False)
-            attn = decode_attention(q, sl(k_all)[:, :, :m],
-                                    sl(v_all)[:, :, :m], kv_mask=kv_valid,
-                                    k_scale=sl(ks_all)[:, :, :m],
-                                    v_scale=sl(vs_all)[:, :, :m])
+            if quant_paged_mode == "append":
+                from karanta_tpu.ops.decode_attention import (
+                    paged_decode_append_quant,
+                )
+
+                attn, k_all, v_all, ks_all, vs_all = paged_decode_append_quant(
+                    q, kq, vq, ksc, vsc, k_all, v_all, ks_all, vs_all, idx,
+                    cache_len, block=1024, interpret=paged_interp)
+            else:
+                k_all = k_all.at[idx, batch_idx, :, cache_len].set(kq)
+                v_all = v_all.at[idx, batch_idx, :, cache_len].set(vq)
+                ks_all = ks_all.at[idx, batch_idx, :, cache_len].set(ksc)
+                vs_all = vs_all.at[idx, batch_idx, :, cache_len].set(vsc)
+                sl = lambda a: jax.lax.dynamic_index_in_dim(
+                    a, idx, 0, keepdims=False)
+                attn = decode_attention(q, sl(k_all)[:, :, :m],
+                                        sl(v_all)[:, :, :m], kv_mask=kv_valid,
+                                        k_scale=sl(ks_all)[:, :, :m],
+                                        v_scale=sl(vs_all)[:, :, :m])
             new_bufs = (k_all, v_all, ks_all, vs_all)
         else:
             k_all, v_all = bufs

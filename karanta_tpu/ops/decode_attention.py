@@ -571,3 +571,313 @@ def paged_decode_append(
       k_cache, v_cache)
 
     return attn.reshape(b, 1, h, d), k_new, v_new
+
+
+def _decode_append_quant_kernel(
+        len_ref,               # SMEM (B,) int32
+        layer_ref,             # SMEM (1,) int32
+        q_ref,                 # VMEM (1, KVH*G, D)
+        newk_ref, newv_ref,    # VMEM (1, KVH, D) int8
+        newks_ref, newvs_ref,  # VMEM (1, KVH) f32 row scales
+        k_in, v_in,            # ANY int8 (L, B, KVH, M, D)
+        ks_in, vs_in,          # ANY f32 (L, B, KVH, M)
+        o_ref,                 # VMEM (1, KVH*G, D)
+        k_out, v_out, ks_out, vs_out,   # ANY aliased to the four caches
+        k_buf, v_buf,          # VMEM scratch (NBUF, KVH, BLK, D) int8
+        ksc_buf, vsc_buf,      # VMEM scratch (NBUF, KVH, BLK) f32
+        kslab, vslab,          # VMEM scratch (KVH, SLAB, D) int8
+        ksslab, vsslab,        # VMEM scratch (KVH, SSLAB) f32
+        acc_ref, m_ref, l_ref,
+        sems,                  # DMA sems (2, NBUF, KVH)
+        ssems,                 # scale DMA sems (2, NBUF)
+        wsems,                 # slab r/w sems (2, KVH)
+        swsems,                # scale-slab r/w sems (2,)
+        *, block: int, kvh: int, group: int, scale: float,
+        slab: int, sslab: int, nbuf: int, compute_dtype):
+    """int8-cache variant of _decode_append_kernel: rows are int8 with
+    per-row f32 absmax scales ((L, B, KVH, M) arrays, aliased through like
+    the row caches). Scales fold into the f32 score/probability tensors —
+    the dequantized cache never exists (matches ops.attention.decode_attention's
+    int8 math). All four cache buffers stay in place across the layer scan."""
+    slot = pl.program_id(0)
+    lidx = layer_ref[0]
+    seq_len = len_ref[slot]
+    num_blocks = jax.lax.div(seq_len + (block - 1), block)
+
+    # --- slab RMW of this step's int8 row + its scale ---
+    slab_start = jax.lax.mul(jax.lax.div(seq_len, slab), slab)
+    row_in_slab = seq_len - slab_start
+    sslab_start = jax.lax.mul(jax.lax.div(seq_len, sslab), sslab)
+    col_in_sslab = seq_len - sslab_start
+    rcopies = []
+    for h in range(kvh):
+        rc = pltpu.make_async_copy(
+            k_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
+            kslab.at[h], wsems.at[0, h])
+        rc.start()
+        rcopies.append(rc)
+        rc = pltpu.make_async_copy(
+            v_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
+            vslab.at[h], wsems.at[1, h])
+        rc.start()
+        rcopies.append(rc)
+    rc = pltpu.make_async_copy(
+        ks_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(sslab_start, sslab)],
+        ksslab, swsems.at[0])
+    rc.start()
+    rcopies.append(rc)
+    rc = pltpu.make_async_copy(
+        vs_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(sslab_start, sslab)],
+        vsslab, swsems.at[1])
+    rc.start()
+    rcopies.append(rc)
+    for rc in rcopies:
+        rc.wait()
+
+    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+               == row_in_slab)
+    newk = newk_ref[0]
+    newv = newv_ref[0]
+    newks = newks_ref[0].astype(jnp.float32)     # (KVH,)
+    newvs = newvs_ref[0].astype(jnp.float32)
+    wcopies = []
+    for h in range(kvh):
+        kslab[h] = jnp.where(row_sel, newk[h][None, :], kslab[h])
+        vslab[h] = jnp.where(row_sel, newv[h][None, :], vslab[h])
+        wc = pltpu.make_async_copy(
+            kslab.at[h], k_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
+            wsems.at[0, h])
+        wc.start()
+        wcopies.append(wc)
+        wc = pltpu.make_async_copy(
+            vslab.at[h], v_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
+            wsems.at[1, h])
+        wc.start()
+        wcopies.append(wc)
+    col_sel = (jax.lax.broadcasted_iota(jnp.int32, (kvh, sslab), 1)
+               == col_in_sslab)
+    ksslab[...] = jnp.where(col_sel, newks[:, None].astype(ksslab.dtype),
+                            ksslab[...])
+    vsslab[...] = jnp.where(col_sel, newvs[:, None].astype(vsslab.dtype),
+                            vsslab[...])
+    wc = pltpu.make_async_copy(
+        ksslab, ks_out.at[lidx, slot, pl.ds(0, kvh),
+                          pl.ds(sslab_start, sslab)], swsems.at[0])
+    wc.start()
+    wcopies.append(wc)
+    wc = pltpu.make_async_copy(
+        vsslab, vs_out.at[lidx, slot, pl.ds(0, kvh),
+                          pl.ds(sslab_start, sslab)], swsems.at[1])
+    wc.start()
+    wcopies.append(wc)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    def dmas(i, buf_slot):
+        copies = []
+        for h in range(kvh):
+            copies.append(pltpu.make_async_copy(
+                k_in.at[lidx, slot, h, pl.ds(i * block, block)],
+                k_buf.at[buf_slot, h], sems.at[0, buf_slot, h]))
+            copies.append(pltpu.make_async_copy(
+                v_in.at[lidx, slot, h, pl.ds(i * block, block)],
+                v_buf.at[buf_slot, h], sems.at[1, buf_slot, h]))
+        copies.append(pltpu.make_async_copy(
+            ks_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+            ksc_buf.at[buf_slot], ssems.at[0, buf_slot]))
+        copies.append(pltpu.make_async_copy(
+            vs_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+            vsc_buf.at[buf_slot], ssems.at[1, buf_slot]))
+        return copies
+
+    for j in range(nbuf - 1):
+        @pl.when(j < num_blocks)
+        def _(j=j):
+            for dma in dmas(j, j):
+                dma.start()
+
+    q = q_ref[0]
+
+    def body(i, _):
+        cur = jax.lax.rem(i, nbuf)
+
+        @pl.when(i + nbuf - 1 < num_blocks)
+        def _():
+            pre = i + nbuf - 1
+            for dma in dmas(pre, jax.lax.rem(pre, nbuf)):
+                dma.start()
+
+        for dma in dmas(i, cur):
+            dma.wait()
+
+        cols = i * block + jax.lax.broadcasted_iota(
+            jnp.int32, (group, block), 1)
+        valid = cols < seq_len
+        ksc = ksc_buf[cur].astype(jnp.float32)    # (KVH, BLK)
+        vsc = vsc_buf[cur].astype(jnp.float32)
+
+        for h in range(kvh):
+            qh = q[h * group:(h + 1) * group]
+            k = k_buf[cur, h].astype(compute_dtype)
+            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * ksc[h][None, :]
+            s = jnp.where(valid, s * scale, NEG_INF)
+
+            rows = slice(h * group, (h + 1) * group)
+            m_prev = m_ref[rows, 0:1]
+            l_prev = l_ref[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1,
+                                                        keepdims=True)
+            m_ref[rows, 0:1] = m_new
+            pv = jax.lax.dot_general(
+                (p * vsc[h][None, :]).astype(compute_dtype),
+                v_buf[cur, h].astype(compute_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+        return ()
+
+    jax.lax.fori_loop(0, num_blocks, body, ())
+
+    # fold in the new token's column (dequantized from VMEM)
+    for h in range(kvh):
+        rows = slice(h * group, (h + 1) * group)
+        qh = q[rows]
+        nk = newk[h].astype(jnp.float32) * newks[h]
+        s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
+                      keepdims=True) * scale
+        m_prev = m_ref[rows, 0:1]
+        l_prev = l_ref[rows, 0:1]
+        m_new = jnp.maximum(m_prev, s_x)
+        p_x = jnp.exp(s_x - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[rows, 0:1] = alpha * l_prev + p_x
+        nv = newv[h].astype(jnp.float32) * newvs[h]
+        acc_ref[rows, :] = (acc_ref[rows, :] * alpha + p_x * nv[None, :])
+
+    for wc in wcopies:
+        wc.wait()
+
+    l = jnp.where(l_ref[:, 0:1] == 0.0, 1.0, l_ref[:, 0:1])
+    o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "scale", "interpret", "nbuf"))
+def paged_decode_append_quant(
+    q: jnp.ndarray,          # (B, 1, H, D)
+    new_k: jnp.ndarray,      # (B, KVH, D) int8 quantized rows
+    new_v: jnp.ndarray,      # (B, KVH, D) int8
+    new_ks: jnp.ndarray,     # (B, KVH) row scales
+    new_vs: jnp.ndarray,     # (B, KVH)
+    k_cache: jnp.ndarray,    # (L, B, KVH, M, D) int8, aliased
+    v_cache: jnp.ndarray,    # (L, B, KVH, M, D) int8
+    ks_cache: jnp.ndarray,   # (L, B, KVH, M) scales, aliased
+    vs_cache: jnp.ndarray,   # (L, B, KVH, M)
+    layer: jnp.ndarray,      # () int32
+    cache_len: jnp.ndarray,  # (B,) int32 rows already present
+    scale: Optional[float] = None,
+    block: int = 1024,
+    interpret: bool = False,
+    nbuf: int = 2,
+):
+    """Fused append + length-bounded attention over the int8 KV cache.
+    Returns (attn, k_cache, v_cache, ks_cache, vs_cache) with all four
+    buffers updated in place via input_output_aliases — inside the decode
+    layer scan nothing is scattered, sliced, or dequantized outside the
+    kernel (the XLA int8 path materializes a bf16 copy of the layer's
+    cache per step — BENCH_NOTES: int8 KV was perf-neutral because of it)."""
+    b, _, h, d = q.shape
+    kvh = k_cache.shape[2]
+    m = k_cache.shape[3]
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+    block = min(block, m)
+    if nbuf < 2:
+        raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
+    slab = min(32, m)
+    sslab = min(128, m)   # scale slab: full 128-lane tiles of the (KVH, M) dims
+    if m % slab or m % sslab:
+        raise ValueError(f"max_seq_len {m} must be a multiple of {sslab}")
+    compute_dtype = q.dtype
+    sdtype = ks_cache.dtype   # scales stay in their storage dtype: a cast
+                              # would break input_output aliasing (fresh
+                              # buffer per layer — the copy this kernel kills)
+
+    qg = q.reshape(b, kvh * group, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh), lambda bb, lens, lay: (bb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh), lambda bb, lens, lay: (bb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((nbuf, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((nbuf, kvh, block), sdtype),
+            pltpu.VMEM((nbuf, kvh, block), sdtype),
+            pltpu.VMEM((kvh, slab, d), k_cache.dtype),
+            pltpu.VMEM((kvh, slab, d), v_cache.dtype),
+            pltpu.VMEM((kvh, sslab), sdtype),
+            pltpu.VMEM((kvh, sslab), sdtype),
+            pltpu.VMEM((kvh * group, d), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
+            pltpu.VMEM((kvh * group, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nbuf, kvh)),
+            pltpu.SemaphoreType.DMA((2, nbuf)),
+            pltpu.SemaphoreType.DMA((2, kvh)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_decode_append_quant_kernel, block=block, kvh=kvh,
+                          group=group, scale=scale, slab=slab, sslab=sslab,
+                          nbuf=nbuf, compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(ks_cache.shape, sdtype),
+            jax.ShapeDtypeStruct(vs_cache.shape, sdtype),
+        ],
+        # operands: 0 lens, 1 layer, 2 q, 3 new_k, 4 new_v, 5 new_ks,
+        # 6 new_vs, 7 k_cache, 8 v_cache, 9 ks_cache, 10 vs_cache
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )(cache_len.astype(jnp.int32),
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      qg, new_k, new_v, new_ks.astype(sdtype), new_vs.astype(sdtype),
+      k_cache, v_cache, ks_cache, vs_cache)
+
+    attn, k_new, v_new, ks_new, vs_new = out
+    return attn.reshape(b, 1, h, d), k_new, v_new, ks_new, vs_new

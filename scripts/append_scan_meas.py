@@ -59,10 +59,11 @@ def main():
                                - k_ref.astype(jnp.float32)))
         return err, kerr
 
-    lens0 = jnp.asarray(rng.integers(0, 2000, size=(B,)), jnp.int32)
-    err, kerr = check(q0, nk, nv, k, v, lens0)
-    print(f"fused vs dense: attn max err {float(err):.4f}, "
-          f"cache write err {float(kerr)}", flush=True)
+    if "--check" in sys.argv:
+        lens0 = jnp.asarray(rng.integers(0, 2000, size=(B,)), jnp.int32)
+        err, kerr = check(q0, nk, nv, k, v, lens0)
+        print(f"fused vs dense: attn max err {float(err):.4f}, "
+              f"cache write err {float(kerr)}", flush=True)
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def dense_scan(q0, lens, k, v):
@@ -90,7 +91,6 @@ def main():
             return q, kk, vv
         return fused_scan
 
-    import sys
     variants = [(1024, 2)]
     if "--sweep" in sys.argv:
         variants = [(1024, 2), (2048, 2), (512, 4), (512, 8), (256, 8)]
