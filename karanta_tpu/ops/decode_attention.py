@@ -327,18 +327,18 @@ def paged_decode_attention_stacked(
 
 def _decode_append_kernel(len_ref,               # SMEM (B,) int32
                           layer_ref,             # SMEM (1,) int32
-                          q_ref,                 # VMEM (1, KVH*G, D)
-                          newk_ref, newv_ref,    # VMEM (1, KVH, D)
+                          q_ref,                 # VMEM (SPP, KVH*G, D)
+                          newk_ref, newv_ref,    # VMEM (SPP, KVH, D)
                           k_in, v_in,            # ANY (L, B, KVH, M, D)
-                          o_ref,                 # VMEM (1, KVH*G, D)
+                          o_ref,                 # VMEM (SPP, KVH*G, D)
                           k_out, v_out,          # ANY aliased to k_in/v_in
-                          k_buf, v_buf,          # VMEM scratch (NBUF, KVH, BLK, D)
-                          kslab, vslab,          # VMEM scratch (KVH, SLAB, D)
-                          acc_ref, m_ref, l_ref,
-                          sems,                  # DMA sems (2, NBUF, KVH)
-                          wsems,                 # slab r/w sems (2, KVH)
+                          k_buf, v_buf,   # VMEM scratch (SPP, NBUF, KVH, BLK, D)
+                          kslab, vslab,          # VMEM scratch (SPP, KVH, SLAB, D)
+                          acc_ref, m_ref, l_ref,  # (SPP, KVH*G, ...)
+                          sems,                  # DMA sems (2, SPP, NBUF)
+                          wsems,                 # slab r/w sems (2, SPP)
                           *, block: int, kvh: int, group: int, scale: float,
-                          slab: int, nbuf: int):
+                          slab: int, nbuf: int, spp: int):
     """Fused cache-append + length-bounded decode attention.
 
     The kernel owns BOTH sides of the cache update: it writes this step's
@@ -355,140 +355,168 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
     that blocker is what kept this kernel off in round 1): read the slab,
     blend the new row in registers, write the slab back. Live rows are
     rewritten byte-identical and rows past cache_len are dead (masked by
-    every bounded read), so the write can overlap the block loop safely."""
-    slot = pl.program_id(0)
-    lidx = layer_ref[0]
-    seq_len = len_ref[slot]                      # old rows; new row via VMEM
-    num_blocks = jax.lax.div(seq_len + (block - 1), block)
+    every bounded read), so the write can overlap the block loop safely.
 
-    # --- slab read-modify-write of this step's cache row ---
-    slab_start = jax.lax.mul(jax.lax.div(seq_len, slab), slab)
-    row_in_slab = seq_len - slab_start
+    Each program serves `spp` slots with round-robin interleaved DMA rings:
+    the one-slot-per-program version measured a ~6.5 us/program floor (DMA
+    latency serialization around tiny per-slot copies — 36 layers x 32
+    slots = 1152 programs per decode step), so slots are batched to keep
+    spp x (nbuf-1) copies in flight and amortize the floor."""
+    prog = pl.program_id(0)
+    lidx = layer_ref[0]
+    seqs = [len_ref[prog * spp + sp] for sp in range(spp)]
+    nblocks = [jax.lax.div(sl + (block - 1), block) for sl in seqs]
+    max_nb = nblocks[0]
+    for nb in nblocks[1:]:
+        max_nb = jnp.maximum(max_nb, nb)
+
+    # --- slab read-modify-write of each slot's cache row ---
+    slab_starts = [jax.lax.mul(jax.lax.div(sl, slab), slab) for sl in seqs]
     rcopies = []
-    for h in range(kvh):
+    for sp in range(spp):
+        slot = prog * spp + sp
+        # one strided (KVH, slab, D) copy per cache — per-head copies double
+        # the DMA/wait count, and the per-slot fixed cost IS the bottleneck
         rc = pltpu.make_async_copy(
-            k_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            kslab.at[h], wsems.at[0, h])
+            k_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(slab_starts[sp], slab)],
+            kslab.at[sp], wsems.at[0, sp])
         rc.start()
         rcopies.append(rc)
         rc = pltpu.make_async_copy(
-            v_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            vslab.at[h], wsems.at[1, h])
+            v_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(slab_starts[sp], slab)],
+            vslab.at[sp], wsems.at[1, sp])
         rc.start()
         rcopies.append(rc)
     for rc in rcopies:
         rc.wait()
-    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-               == row_in_slab)
-    newk = newk_ref[0]                           # (KVH, D)
-    newv = newv_ref[0]
     wcopies = []
-    for h in range(kvh):
-        kslab[h] = jnp.where(row_sel, newk[h][None, :], kslab[h])
-        vslab[h] = jnp.where(row_sel, newv[h][None, :], vslab[h])
-        wc = pltpu.make_async_copy(
-            kslab.at[h], k_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            wsems.at[0, h])
-        wc.start()
-        wcopies.append(wc)
-        wc = pltpu.make_async_copy(
-            vslab.at[h], v_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            wsems.at[1, h])
-        wc.start()
-        wcopies.append(wc)
-
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-
-    def dmas(i, buf_slot):
-        copies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        row_sel = (jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+                   == seqs[sp] - slab_starts[sp])
+        newk = newk_ref[sp]                      # (KVH, D)
+        newv = newv_ref[sp]
         for h in range(kvh):
-            copies.append(pltpu.make_async_copy(
-                k_in.at[lidx, slot, h, pl.ds(i * block, block)],
-                k_buf.at[buf_slot, h], sems.at[0, buf_slot, h]))
-            copies.append(pltpu.make_async_copy(
-                v_in.at[lidx, slot, h, pl.ds(i * block, block)],
-                v_buf.at[buf_slot, h], sems.at[1, buf_slot, h]))
-        return copies
+            kslab[sp, h] = jnp.where(row_sel, newk[h][None, :], kslab[sp, h])
+            vslab[sp, h] = jnp.where(row_sel, newv[h][None, :], vslab[sp, h])
+        wc = pltpu.make_async_copy(
+            kslab.at[sp],
+            k_out.at[lidx, slot, pl.ds(0, kvh), pl.ds(slab_starts[sp], slab)],
+            wsems.at[0, sp])
+        wc.start()
+        wcopies.append(wc)
+        wc = pltpu.make_async_copy(
+            vslab.at[sp],
+            v_out.at[lidx, slot, pl.ds(0, kvh), pl.ds(slab_starts[sp], slab)],
+            wsems.at[1, sp])
+        wc.start()
+        wcopies.append(wc)
 
-    # prologue: fill the DMA ring nbuf-1 deep (multiple in-flight copies
-    # amortize HBM DMA latency across queues — the kernel is DMA-bound)
-    for j in range(nbuf - 1):
-        @pl.when(j < num_blocks)
-        def _(j=j):
-            for dma in dmas(j, j):
-                dma.start()
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]
+    def dmas(sp, i, buf_slot):
+        slot = prog * spp + sp
+        return [
+            pltpu.make_async_copy(
+                k_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                k_buf.at[sp, buf_slot], sems.at[0, sp, buf_slot]),
+            pltpu.make_async_copy(
+                v_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                v_buf.at[sp, buf_slot], sems.at[1, sp, buf_slot]),
+        ]
+
+    # prologue: fill every slot's ring nbuf-1 deep
+    for sp in range(spp):
+        for j in range(nbuf - 1):
+            @pl.when(j < nblocks[sp])
+            def _(sp=sp, j=j):
+                for dma in dmas(sp, j, j):
+                    dma.start()
 
     def body(i, _):
         cur = jax.lax.rem(i, nbuf)
 
-        # top up the ring: block i+nbuf-1 goes into the buffer consumed at
-        # iteration i-1 (free again), keeping nbuf-1 copies in flight
-        @pl.when(i + nbuf - 1 < num_blocks)
-        def _():
-            pre = i + nbuf - 1
-            for dma in dmas(pre, jax.lax.rem(pre, nbuf)):
-                dma.start()
+        # top up every ring first, then consume: while slot sp computes,
+        # the other slots' block-i copies (and all top-ups) are streaming
+        for sp in range(spp):
+            @pl.when(i + nbuf - 1 < nblocks[sp])
+            def _(sp=sp):
+                pre = i + nbuf - 1
+                for dma in dmas(sp, pre, jax.lax.rem(pre, nbuf)):
+                    dma.start()
 
-        for dma in dmas(i, cur):
-            dma.wait()
+        for sp in range(spp):
+            @pl.when(i < nblocks[sp])
+            def _(sp=sp):
+                for dma in dmas(sp, i, cur):
+                    dma.wait()
 
-        cols = i * block + jax.lax.broadcasted_iota(
-            jnp.int32, (group, block), 1)
-        valid = cols < seq_len
+                cols = i * block + jax.lax.broadcasted_iota(
+                    jnp.int32, (group, block), 1)
+                valid = cols < seqs[sp]
+                q = q_ref[sp]
 
-        for h in range(kvh):
-            qh = q[h * group:(h + 1) * group]
-            k = k_buf[cur, h]
-            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = jnp.where(valid, s * scale, NEG_INF)
+                for h in range(kvh):
+                    qh = q[h * group:(h + 1) * group]
+                    k = k_buf[sp, cur, h]
+                    s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                    s = jnp.where(valid, s * scale, NEG_INF)
 
-            rows = slice(h * group, (h + 1) * group)
-            m_prev = m_ref[rows, 0:1]
-            l_prev = l_ref[rows, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1,
-                                                        keepdims=True)
-            m_ref[rows, 0:1] = m_new
-            pv = jax.lax.dot_general(p.astype(v_buf.dtype), v_buf[cur, h],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+                    rows = slice(h * group, (h + 1) * group)
+                    m_prev = m_ref[sp, rows, 0:1]
+                    l_prev = l_ref[sp, rows, 0:1]
+                    m_new = jnp.maximum(m_prev,
+                                        jnp.max(s, axis=-1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_ref[sp, rows, 0:1] = alpha * l_prev + jnp.sum(
+                        p, axis=-1, keepdims=True)
+                    m_ref[sp, rows, 0:1] = m_new
+                    pv = jax.lax.dot_general(p.astype(v_buf.dtype),
+                                             v_buf[sp, cur, h],
+                                             (((1,), (0,)), ((), ())),
+                                             preferred_element_type=jnp.float32)
+                    acc_ref[sp, rows, :] = acc_ref[sp, rows, :] * alpha + pv
         return ()
 
-    jax.lax.fori_loop(0, num_blocks, body, ())
+    jax.lax.fori_loop(0, max_nb, body, ())
 
-    # fold in the new token's column from VMEM (never read back from HBM)
-    for h in range(kvh):
-        rows = slice(h * group, (h + 1) * group)
-        qh = q[rows]
-        nk = newk[h].astype(jnp.float32)                   # (D,)
-        s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
-                      keepdims=True) * scale               # (G, 1)
-        m_prev = m_ref[rows, 0:1]
-        l_prev = l_ref[rows, 0:1]
-        m_new = jnp.maximum(m_prev, s_x)
-        p_x = jnp.exp(s_x - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[rows, 0:1] = alpha * l_prev + p_x
-        nv = newv[h].astype(jnp.float32)
-        acc_ref[rows, :] = (acc_ref[rows, :] * alpha + p_x * nv[None, :])
+    # fold in each slot's new token from VMEM (never read back from HBM)
+    for sp in range(spp):
+        newk = newk_ref[sp]
+        newv = newv_ref[sp]
+        q = q_ref[sp]
+        for h in range(kvh):
+            rows = slice(h * group, (h + 1) * group)
+            qh = q[rows]
+            nk = newk[h].astype(jnp.float32)               # (D,)
+            s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
+                          keepdims=True) * scale           # (G, 1)
+            m_prev = m_ref[sp, rows, 0:1]
+            l_prev = l_ref[sp, rows, 0:1]
+            m_new = jnp.maximum(m_prev, s_x)
+            p_x = jnp.exp(s_x - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[sp, rows, 0:1] = alpha * l_prev + p_x
+            nv = newv[h].astype(jnp.float32)
+            acc_ref[sp, rows, :] = (acc_ref[sp, rows, :] * alpha
+                                    + p_x * nv[None, :])
 
     for wc in wcopies:
         wc.wait()
 
-    l = jnp.where(l_ref[:, 0:1] == 0.0, 1.0, l_ref[:, 0:1])
-    o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+    for sp in range(spp):
+        l = l_ref[sp, :, 0:1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[sp] = (acc_ref[sp] / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "scale", "interpret", "nbuf"))
+                   static_argnames=("block", "scale", "interpret", "nbuf",
+                                    "spp"))
 def paged_decode_append(
     q: jnp.ndarray,          # (B, 1, H, D)
     new_k: jnp.ndarray,      # (B, KVH, D) this step's key rows
@@ -498,9 +526,10 @@ def paged_decode_append(
     layer: jnp.ndarray,      # () int32
     cache_len: jnp.ndarray,  # (B,) int32 rows already present
     scale: Optional[float] = None,
-    block: int = 1024,
+    block: int = 512,
     interpret: bool = False,
-    nbuf: int = 2,           # DMA ring depth (nbuf-1 blocks in flight)
+    nbuf: int = 2,           # DMA ring depth per slot
+    spp: int = 4,            # slots per program (VMEM: spp*nbuf*2*blk*D*2B)
 ):
     """Append new_k/new_v at cache_len and attend over the live prefix + the
     new row. Returns (attn (B,1,H,D), k_cache, v_cache) with the caches
@@ -513,6 +542,9 @@ def paged_decode_append(
     block = min(block, m)
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
+    while b % spp:
+        spp //= 2
+    spp = max(spp, 1)
     # slab for the row RMW: 32 rows is tile-aligned for every cache dtype
     # (f32 8, bf16 16, int8 32 sublanes) and must divide the bucket length
     slab = min(32, m)
@@ -523,39 +555,42 @@ def paged_decode_append(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // spp,),
         in_specs=[
-            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh * group, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh * group, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nbuf, kvh, block, d), k_cache.dtype),
-            pltpu.VMEM((nbuf, kvh, block, d), v_cache.dtype),
-            pltpu.VMEM((kvh, slab, d), k_cache.dtype),
-            pltpu.VMEM((kvh, slab, d), v_cache.dtype),
-            pltpu.VMEM((kvh * group, d), jnp.float32),
-            pltpu.VMEM((kvh * group, 128), jnp.float32),
-            pltpu.VMEM((kvh * group, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, nbuf, kvh)),
-            pltpu.SemaphoreType.DMA((2, kvh)),
+            pltpu.VMEM((spp, nbuf, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((spp, nbuf, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((spp, kvh, slab, d), k_cache.dtype),
+            pltpu.VMEM((spp, kvh, slab, d), v_cache.dtype),
+            pltpu.VMEM((spp, kvh * group, d), jnp.float32),
+            pltpu.VMEM((spp, kvh * group, 128), jnp.float32),
+            pltpu.VMEM((spp, kvh * group, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, spp, nbuf)),
+            pltpu.SemaphoreType.DMA((2, spp)),
         ],
     )
 
     attn, k_new, v_new = pl.pallas_call(
         functools.partial(_decode_append_kernel, block=block, kvh=kvh,
-                          group=group, scale=scale, slab=slab, nbuf=nbuf),
+                          group=group, scale=scale, slab=slab, nbuf=nbuf,
+                          spp=spp),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),
@@ -576,200 +611,217 @@ def paged_decode_append(
 def _decode_append_quant_kernel(
         len_ref,               # SMEM (B,) int32
         layer_ref,             # SMEM (1,) int32
-        q_ref,                 # VMEM (1, KVH*G, D)
-        newk_ref, newv_ref,    # VMEM (1, KVH, D) int8
-        newks_ref, newvs_ref,  # VMEM (1, KVH) f32 row scales
+        q_ref,                 # VMEM (SPP, KVH*G, D)
+        newk_ref, newv_ref,    # VMEM (SPP, KVH, D) int8
+        newks_ref, newvs_ref,  # VMEM (SPP, KVH) row scales
         k_in, v_in,            # ANY int8 (L, B, KVH, M, D)
-        ks_in, vs_in,          # ANY f32 (L, B, KVH, M)
-        o_ref,                 # VMEM (1, KVH*G, D)
+        ks_in, vs_in,          # ANY (L, B, KVH, M)
+        o_ref,                 # VMEM (SPP, KVH*G, D)
         k_out, v_out, ks_out, vs_out,   # ANY aliased to the four caches
-        k_buf, v_buf,          # VMEM scratch (NBUF, KVH, BLK, D) int8
-        ksc_buf, vsc_buf,      # VMEM scratch (NBUF, KVH, BLK) f32
-        kslab, vslab,          # VMEM scratch (KVH, SLAB, D) int8
-        ksslab, vsslab,        # VMEM scratch (KVH, SSLAB) f32
+        k_buf, v_buf,          # VMEM scratch (SPP, NBUF, KVH, BLK, D) int8
+        ksc_buf, vsc_buf,      # VMEM scratch (SPP, NBUF, KVH, BLK)
+        kslab, vslab,          # VMEM scratch (SPP, KVH, SLAB, D) int8
+        ksslab, vsslab,        # VMEM scratch (SPP, KVH, SSLAB)
         acc_ref, m_ref, l_ref,
-        sems,                  # DMA sems (2, NBUF, KVH)
-        ssems,                 # scale DMA sems (2, NBUF)
-        wsems,                 # slab r/w sems (2, KVH)
-        swsems,                # scale-slab r/w sems (2,)
+        sems,                  # DMA sems (4, SPP, NBUF)
+        wsems,                 # slab r/w sems (4, SPP)
         *, block: int, kvh: int, group: int, scale: float,
-        slab: int, sslab: int, nbuf: int, compute_dtype):
+        slab: int, sslab: int, nbuf: int, spp: int, compute_dtype):
     """int8-cache variant of _decode_append_kernel: rows are int8 with
-    per-row f32 absmax scales ((L, B, KVH, M) arrays, aliased through like
-    the row caches). Scales fold into the f32 score/probability tensors —
-    the dequantized cache never exists (matches ops.attention.decode_attention's
-    int8 math). All four cache buffers stay in place across the layer scan."""
-    slot = pl.program_id(0)
+    per-row scales ((L, B, KVH, M) arrays, aliased through like the row
+    caches). Scales fold into the f32 score/probability tensors — the
+    dequantized cache never exists (same math as
+    ops.attention.decode_attention's int8 path). All four cache buffers stay
+    in place across the layer scan; same spp-slot DMA-ring structure as the
+    bf16 kernel."""
+    prog = pl.program_id(0)
     lidx = layer_ref[0]
-    seq_len = len_ref[slot]
-    num_blocks = jax.lax.div(seq_len + (block - 1), block)
+    seqs = [len_ref[prog * spp + sp] for sp in range(spp)]
+    nblocks = [jax.lax.div(sl + (block - 1), block) for sl in seqs]
+    max_nb = nblocks[0]
+    for nb in nblocks[1:]:
+        max_nb = jnp.maximum(max_nb, nb)
 
-    # --- slab RMW of this step's int8 row + its scale ---
-    slab_start = jax.lax.mul(jax.lax.div(seq_len, slab), slab)
-    row_in_slab = seq_len - slab_start
-    sslab_start = jax.lax.mul(jax.lax.div(seq_len, sslab), sslab)
-    col_in_sslab = seq_len - sslab_start
+    # --- slab RMW of each slot's int8 row + its scale ---
+    slab_starts = [jax.lax.mul(jax.lax.div(sl, slab), slab) for sl in seqs]
+    sslab_starts = [jax.lax.mul(jax.lax.div(sl, sslab), sslab) for sl in seqs]
     rcopies = []
-    for h in range(kvh):
-        rc = pltpu.make_async_copy(
-            k_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            kslab.at[h], wsems.at[0, h])
-        rc.start()
-        rcopies.append(rc)
-        rc = pltpu.make_async_copy(
-            v_in.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            vslab.at[h], wsems.at[1, h])
-        rc.start()
-        rcopies.append(rc)
-    rc = pltpu.make_async_copy(
-        ks_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(sslab_start, sslab)],
-        ksslab, swsems.at[0])
-    rc.start()
-    rcopies.append(rc)
-    rc = pltpu.make_async_copy(
-        vs_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(sslab_start, sslab)],
-        vsslab, swsems.at[1])
-    rc.start()
-    rcopies.append(rc)
+    for sp in range(spp):
+        slot = prog * spp + sp
+        for j, (src, dst) in enumerate((
+                (k_in, kslab), (v_in, vslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, kvh),
+                       pl.ds(slab_starts[sp], slab)],
+                dst.at[sp], wsems.at[j, sp])
+            rc.start()
+            rcopies.append(rc)
+        for j, (src, dst) in enumerate(((ks_in, ksslab), (vs_in, vsslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, kvh),
+                       pl.ds(sslab_starts[sp], sslab)],
+                dst.at[sp], wsems.at[2 + j, sp])
+            rc.start()
+            rcopies.append(rc)
     for rc in rcopies:
         rc.wait()
-
-    row_sel = (jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-               == row_in_slab)
-    newk = newk_ref[0]
-    newv = newv_ref[0]
-    newks = newks_ref[0].astype(jnp.float32)     # (KVH,)
-    newvs = newvs_ref[0].astype(jnp.float32)
     wcopies = []
-    for h in range(kvh):
-        kslab[h] = jnp.where(row_sel, newk[h][None, :], kslab[h])
-        vslab[h] = jnp.where(row_sel, newv[h][None, :], vslab[h])
-        wc = pltpu.make_async_copy(
-            kslab.at[h], k_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            wsems.at[0, h])
-        wc.start()
-        wcopies.append(wc)
-        wc = pltpu.make_async_copy(
-            vslab.at[h], v_out.at[lidx, slot, h, pl.ds(slab_start, slab)],
-            wsems.at[1, h])
-        wc.start()
-        wcopies.append(wc)
-    col_sel = (jax.lax.broadcasted_iota(jnp.int32, (kvh, sslab), 1)
-               == col_in_sslab)
-    ksslab[...] = jnp.where(col_sel, newks[:, None].astype(ksslab.dtype),
-                            ksslab[...])
-    vsslab[...] = jnp.where(col_sel, newvs[:, None].astype(vsslab.dtype),
-                            vsslab[...])
-    wc = pltpu.make_async_copy(
-        ksslab, ks_out.at[lidx, slot, pl.ds(0, kvh),
-                          pl.ds(sslab_start, sslab)], swsems.at[0])
-    wc.start()
-    wcopies.append(wc)
-    wc = pltpu.make_async_copy(
-        vsslab, vs_out.at[lidx, slot, pl.ds(0, kvh),
-                          pl.ds(sslab_start, sslab)], swsems.at[1])
-    wc.start()
-    wcopies.append(wc)
-
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-
-    def dmas(i, buf_slot):
-        copies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        row_sel = (jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+                   == seqs[sp] - slab_starts[sp])
+        newk = newk_ref[sp]
+        newv = newv_ref[sp]
         for h in range(kvh):
-            copies.append(pltpu.make_async_copy(
-                k_in.at[lidx, slot, h, pl.ds(i * block, block)],
-                k_buf.at[buf_slot, h], sems.at[0, buf_slot, h]))
-            copies.append(pltpu.make_async_copy(
-                v_in.at[lidx, slot, h, pl.ds(i * block, block)],
-                v_buf.at[buf_slot, h], sems.at[1, buf_slot, h]))
-        copies.append(pltpu.make_async_copy(
-            ks_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
-            ksc_buf.at[buf_slot], ssems.at[0, buf_slot]))
-        copies.append(pltpu.make_async_copy(
-            vs_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
-            vsc_buf.at[buf_slot], ssems.at[1, buf_slot]))
-        return copies
+            kslab[sp, h] = jnp.where(row_sel, newk[h][None, :], kslab[sp, h])
+            vslab[sp, h] = jnp.where(row_sel, newv[h][None, :], vslab[sp, h])
+        col_sel = (jax.lax.broadcasted_iota(jnp.int32, (kvh, sslab), 1)
+                   == seqs[sp] - sslab_starts[sp])
+        ksslab[sp] = jnp.where(col_sel,
+                               newks_ref[sp][:, None].astype(ksslab.dtype),
+                               ksslab[sp])
+        vsslab[sp] = jnp.where(col_sel,
+                               newvs_ref[sp][:, None].astype(vsslab.dtype),
+                               vsslab[sp])
+        wc = pltpu.make_async_copy(
+            kslab.at[sp], k_out.at[lidx, slot, pl.ds(0, kvh),
+                                   pl.ds(slab_starts[sp], slab)],
+            wsems.at[0, sp])
+        wc.start()
+        wcopies.append(wc)
+        wc = pltpu.make_async_copy(
+            vslab.at[sp], v_out.at[lidx, slot, pl.ds(0, kvh),
+                                   pl.ds(slab_starts[sp], slab)],
+            wsems.at[1, sp])
+        wc.start()
+        wcopies.append(wc)
+        wc = pltpu.make_async_copy(
+            ksslab.at[sp], ks_out.at[lidx, slot, pl.ds(0, kvh),
+                                     pl.ds(sslab_starts[sp], sslab)],
+            wsems.at[2, sp])
+        wc.start()
+        wcopies.append(wc)
+        wc = pltpu.make_async_copy(
+            vsslab.at[sp], vs_out.at[lidx, slot, pl.ds(0, kvh),
+                                     pl.ds(sslab_starts[sp], sslab)],
+            wsems.at[3, sp])
+        wc.start()
+        wcopies.append(wc)
 
-    for j in range(nbuf - 1):
-        @pl.when(j < num_blocks)
-        def _(j=j):
-            for dma in dmas(j, j):
-                dma.start()
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]
+    def dmas(sp, i, buf_slot):
+        slot = prog * spp + sp
+        return [
+            pltpu.make_async_copy(
+                k_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                k_buf.at[sp, buf_slot], sems.at[0, sp, buf_slot]),
+            pltpu.make_async_copy(
+                v_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                v_buf.at[sp, buf_slot], sems.at[1, sp, buf_slot]),
+            pltpu.make_async_copy(
+                ks_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                ksc_buf.at[sp, buf_slot], sems.at[2, sp, buf_slot]),
+            pltpu.make_async_copy(
+                vs_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                vsc_buf.at[sp, buf_slot], sems.at[3, sp, buf_slot]),
+        ]
+
+    for sp in range(spp):
+        for j in range(nbuf - 1):
+            @pl.when(j < nblocks[sp])
+            def _(sp=sp, j=j):
+                for dma in dmas(sp, j, j):
+                    dma.start()
 
     def body(i, _):
         cur = jax.lax.rem(i, nbuf)
 
-        @pl.when(i + nbuf - 1 < num_blocks)
-        def _():
-            pre = i + nbuf - 1
-            for dma in dmas(pre, jax.lax.rem(pre, nbuf)):
-                dma.start()
+        for sp in range(spp):
+            @pl.when(i + nbuf - 1 < nblocks[sp])
+            def _(sp=sp):
+                pre = i + nbuf - 1
+                for dma in dmas(sp, pre, jax.lax.rem(pre, nbuf)):
+                    dma.start()
 
-        for dma in dmas(i, cur):
-            dma.wait()
+        for sp in range(spp):
+            @pl.when(i < nblocks[sp])
+            def _(sp=sp):
+                for dma in dmas(sp, i, cur):
+                    dma.wait()
 
-        cols = i * block + jax.lax.broadcasted_iota(
-            jnp.int32, (group, block), 1)
-        valid = cols < seq_len
-        ksc = ksc_buf[cur].astype(jnp.float32)    # (KVH, BLK)
-        vsc = vsc_buf[cur].astype(jnp.float32)
+                cols = i * block + jax.lax.broadcasted_iota(
+                    jnp.int32, (group, block), 1)
+                valid = cols < seqs[sp]
+                q = q_ref[sp]
+                ksc = ksc_buf[sp, cur].astype(jnp.float32)   # (KVH, BLK)
+                vsc = vsc_buf[sp, cur].astype(jnp.float32)
 
-        for h in range(kvh):
-            qh = q[h * group:(h + 1) * group]
-            k = k_buf[cur, h].astype(compute_dtype)
-            s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s * ksc[h][None, :]
-            s = jnp.where(valid, s * scale, NEG_INF)
+                for h in range(kvh):
+                    qh = q[h * group:(h + 1) * group]
+                    k = k_buf[sp, cur, h].astype(compute_dtype)
+                    s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                    s = s * ksc[h][None, :]
+                    s = jnp.where(valid, s * scale, NEG_INF)
 
-            rows = slice(h * group, (h + 1) * group)
-            m_prev = m_ref[rows, 0:1]
-            l_prev = l_ref[rows, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1,
-                                                        keepdims=True)
-            m_ref[rows, 0:1] = m_new
-            pv = jax.lax.dot_general(
-                (p * vsc[h][None, :]).astype(compute_dtype),
-                v_buf[cur, h].astype(compute_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[rows, :] = acc_ref[rows, :] * alpha + pv
+                    rows = slice(h * group, (h + 1) * group)
+                    m_prev = m_ref[sp, rows, 0:1]
+                    l_prev = l_ref[sp, rows, 0:1]
+                    m_new = jnp.maximum(m_prev,
+                                        jnp.max(s, axis=-1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_ref[sp, rows, 0:1] = alpha * l_prev + jnp.sum(
+                        p, axis=-1, keepdims=True)
+                    m_ref[sp, rows, 0:1] = m_new
+                    pv = jax.lax.dot_general(
+                        (p * vsc[h][None, :]).astype(compute_dtype),
+                        v_buf[sp, cur, h].astype(compute_dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc_ref[sp, rows, :] = acc_ref[sp, rows, :] * alpha + pv
         return ()
 
-    jax.lax.fori_loop(0, num_blocks, body, ())
+    jax.lax.fori_loop(0, max_nb, body, ())
 
-    # fold in the new token's column (dequantized from VMEM)
-    for h in range(kvh):
-        rows = slice(h * group, (h + 1) * group)
-        qh = q[rows]
-        nk = newk[h].astype(jnp.float32) * newks[h]
-        s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
-                      keepdims=True) * scale
-        m_prev = m_ref[rows, 0:1]
-        l_prev = l_ref[rows, 0:1]
-        m_new = jnp.maximum(m_prev, s_x)
-        p_x = jnp.exp(s_x - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[rows, 0:1] = alpha * l_prev + p_x
-        nv = newv[h].astype(jnp.float32) * newvs[h]
-        acc_ref[rows, :] = (acc_ref[rows, :] * alpha + p_x * nv[None, :])
+    # fold in each slot's new token (dequantized from VMEM)
+    for sp in range(spp):
+        newk = newk_ref[sp]
+        newv = newv_ref[sp]
+        newks = newks_ref[sp].astype(jnp.float32)
+        newvs = newvs_ref[sp].astype(jnp.float32)
+        q = q_ref[sp]
+        for h in range(kvh):
+            rows = slice(h * group, (h + 1) * group)
+            qh = q[rows]
+            nk = newk[h].astype(jnp.float32) * newks[h]
+            s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
+                          keepdims=True) * scale
+            m_prev = m_ref[sp, rows, 0:1]
+            l_prev = l_ref[sp, rows, 0:1]
+            m_new = jnp.maximum(m_prev, s_x)
+            p_x = jnp.exp(s_x - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[sp, rows, 0:1] = alpha * l_prev + p_x
+            nv = newv[h].astype(jnp.float32) * newvs[h]
+            acc_ref[sp, rows, :] = (acc_ref[sp, rows, :] * alpha
+                                    + p_x * nv[None, :])
 
     for wc in wcopies:
         wc.wait()
 
-    l = jnp.where(l_ref[:, 0:1] == 0.0, 1.0, l_ref[:, 0:1])
-    o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+    for sp in range(spp):
+        l = l_ref[sp, :, 0:1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[sp] = (acc_ref[sp] / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "scale", "interpret", "nbuf"))
+                   static_argnames=("block", "scale", "interpret", "nbuf",
+                                    "spp"))
 def paged_decode_append_quant(
     q: jnp.ndarray,          # (B, 1, H, D)
     new_k: jnp.ndarray,      # (B, KVH, D) int8 quantized rows
@@ -783,9 +835,10 @@ def paged_decode_append_quant(
     layer: jnp.ndarray,      # () int32
     cache_len: jnp.ndarray,  # (B,) int32 rows already present
     scale: Optional[float] = None,
-    block: int = 1024,
+    block: int = 512,
     interpret: bool = False,
     nbuf: int = 2,
+    spp: int = 4,
 ):
     """Fused append + length-bounded attention over the int8 KV cache.
     Returns (attn, k_cache, v_cache, ks_cache, vs_cache) with all four
@@ -801,6 +854,9 @@ def paged_decode_append_quant(
     block = min(block, m)
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
+    while b % spp:
+        spp //= 2
+    spp = max(spp, 1)
     slab = min(32, m)
     sslab = min(128, m)   # scale slab: full 128-lane tiles of the (KVH, M) dims
     if m % slab or m % sslab:
@@ -814,17 +870,18 @@ def paged_decode_append_quant(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // spp,),
         in_specs=[
-            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh * group, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh), lambda bb, lens, lay: (bb, 0),
+            pl.BlockSpec((spp, kvh), lambda bb, lens, lay: (bb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh), lambda bb, lens, lay: (bb, 0),
+            pl.BlockSpec((spp, kvh), lambda bb, lens, lay: (bb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -832,7 +889,8 @@ def paged_decode_append_quant(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, kvh * group, d), lambda bb, lens, lay: (bb, 0, 0),
+            pl.BlockSpec((spp, kvh * group, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -840,28 +898,26 @@ def paged_decode_append_quant(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nbuf, kvh, block, d), k_cache.dtype),
-            pltpu.VMEM((nbuf, kvh, block, d), v_cache.dtype),
-            pltpu.VMEM((nbuf, kvh, block), sdtype),
-            pltpu.VMEM((nbuf, kvh, block), sdtype),
-            pltpu.VMEM((kvh, slab, d), k_cache.dtype),
-            pltpu.VMEM((kvh, slab, d), v_cache.dtype),
-            pltpu.VMEM((kvh, sslab), sdtype),
-            pltpu.VMEM((kvh, sslab), sdtype),
-            pltpu.VMEM((kvh * group, d), jnp.float32),
-            pltpu.VMEM((kvh * group, 128), jnp.float32),
-            pltpu.VMEM((kvh * group, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, nbuf, kvh)),
-            pltpu.SemaphoreType.DMA((2, nbuf)),
-            pltpu.SemaphoreType.DMA((2, kvh)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((spp, nbuf, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((spp, nbuf, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((spp, nbuf, kvh, block), sdtype),
+            pltpu.VMEM((spp, nbuf, kvh, block), sdtype),
+            pltpu.VMEM((spp, kvh, slab, d), k_cache.dtype),
+            pltpu.VMEM((spp, kvh, slab, d), v_cache.dtype),
+            pltpu.VMEM((spp, kvh, sslab), sdtype),
+            pltpu.VMEM((spp, kvh, sslab), sdtype),
+            pltpu.VMEM((spp, kvh * group, d), jnp.float32),
+            pltpu.VMEM((spp, kvh * group, 128), jnp.float32),
+            pltpu.VMEM((spp, kvh * group, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, spp, nbuf)),
+            pltpu.SemaphoreType.DMA((4, spp)),
         ],
     )
 
     out = pl.pallas_call(
         functools.partial(_decode_append_quant_kernel, block=block, kvh=kvh,
                           group=group, scale=scale, slab=slab, sslab=sslab,
-                          nbuf=nbuf, compute_dtype=compute_dtype),
+                          nbuf=nbuf, spp=spp, compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),

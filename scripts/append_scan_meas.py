@@ -35,11 +35,17 @@ def main():
         paged_decode_append, paged_decode_attention_stacked)
     rng = np.random.default_rng(0)
     L, B, KVH, M, H, D = 36, 32, 2, 4096, 16, 128
-    q0 = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.bfloat16)
-    nk = jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.bfloat16)
-    nv = jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.bfloat16)
+    # generate ON DEVICE: numpy normals at this size are ~20 GB of host
+    # churn plus 4.8 GB through the ~100 MB/s tunnel (minutes of dead time)
+    def dev_normal(seed, shape):
+        return jax.jit(lambda key: jax.random.normal(key, shape,
+                                                     jnp.bfloat16))(
+            jax.random.PRNGKey(seed))
+    q0 = dev_normal(0, (B, 1, H, D))
+    nk = dev_normal(1, (B, KVH, D))
+    nv = dev_normal(2, (B, KVH, D))
+    k = dev_normal(3, (L, B, KVH, M, D))
+    v = dev_normal(4, (L, B, KVH, M, D))
     bidx = jnp.arange(B)
 
     # correctness first: one fused call vs scatter+dense on layer 0.
@@ -79,30 +85,36 @@ def main():
         (q, kk, vv), _ = jax.lax.scan(body, (q0, k, v), jnp.arange(L))
         return q, kk, vv
 
-    def make_fused_scan(block, nbuf):
+    def make_fused_scan(block, nbuf, spp):
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def fused_scan(q0, lens, k, v):
             def body(carry, l):
                 q, kk, vv = carry
                 a, kk, vv = paged_decode_append(q, nk, nv, kk, vv, l, lens,
-                                                block=block, nbuf=nbuf)
+                                                block=block, nbuf=nbuf,
+                                                spp=spp)
                 return (a.astype(q.dtype), kk, vv), ()
             (q, kk, vv), _ = jax.lax.scan(body, (q0, k, v), jnp.arange(L))
             return q, kk, vv
         return fused_scan
 
-    variants = [(1024, 2)]
+    # (block, nbuf, spp); VMEM = spp*nbuf*2*KVH*block*D*2B <= ~12MB
+    variants = [(512, 2, 4)]
     if "--sweep" in sys.argv:
-        variants = [(1024, 2), (2048, 2), (512, 4), (512, 8), (256, 8)]
+        variants = [(512, 2, 4), (256, 2, 8), (1024, 2, 2), (256, 4, 4),
+                    (128, 2, 16), (1024, 2, 1)]
+    run_dense = "--dense" in sys.argv
 
     for fill in (256, 1400, 1900, 4000):
         lens = jnp.full((B,), fill, jnp.int32)
-        dt, k, v = t(dense_scan, q0, lens, k, v)
-        print(f"len={fill}: dense scatter+slice scan {dt:.2f} ms", flush=True)
-        for block, nbuf in variants:
-            dt, k, v = t(make_fused_scan(block, nbuf), q0, lens, k, v)
-            print(f"len={fill}: fused blk={block} nbuf={nbuf} {dt:.2f} ms",
+        if run_dense:
+            dt, k, v = t(dense_scan, q0, lens, k, v)
+            print(f"len={fill}: dense scatter+slice scan {dt:.2f} ms",
                   flush=True)
+        for block, nbuf, spp in variants:
+            dt, k, v = t(make_fused_scan(block, nbuf, spp), q0, lens, k, v)
+            print(f"len={fill}: fused blk={block} nbuf={nbuf} spp={spp} "
+                  f"{dt:.2f} ms", flush=True)
     print("OK", flush=True)
 
 if __name__ == "__main__":

@@ -91,14 +91,16 @@ class TestAppendKernel:
 
     @pytest.mark.parametrize("lens", [[0, 5, 200, 255], [64, 64, 63, 1]])
     @pytest.mark.parametrize("layer", [0, 1])
-    def test_matches_scatter_plus_dense(self, lens, layer):
+    @pytest.mark.parametrize("spp", [1, 2, 4])
+    def test_matches_scatter_plus_dense(self, lens, layer, spp):
         from karanta_tpu.ops.decode_attention import paged_decode_append
 
         q, nk, nv, k, v, lens = self._setup(lens)
         B, M = q.shape[0], k.shape[3]
         attn, k2, v2 = paged_decode_append(q, nk, nv, k, v,
                                            jnp.asarray(layer), lens,
-                                           block=128, interpret=True)
+                                           block=128, spp=spp,
+                                           interpret=True)
         # reference: scatter then masked dense attention on that layer
         bidx = jnp.arange(B)
         k_ref = k.at[layer, bidx, :, lens].set(nk)
