@@ -59,6 +59,14 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=32,
                         help="decode slots (32 measured best on v5e at 4k "
                              "context once cache copies/reads were fixed)")
+    parser.add_argument("--max-seq-len", dest="max_seq_len", type=int,
+                        default=int(os.environ.get("KARANTA_BENCH_MAX_SEQ",
+                                                   2560)),
+                        help="KV bucket per slot. The dense decode path's "
+                             "cache read is proportional to this, so size it "
+                             "to the workload: bench pages need ~2300 rows "
+                             "(2048-token prompt bucket + 512 decode). Must "
+                             "be a multiple of 128.")
     parser.add_argument("--baseline", type=float, default=1.0,
                         help="baseline pages/sec/chip (A100+vLLM 7B class)")
     parser.add_argument("--quantize", default=os.environ.get(
@@ -107,24 +115,29 @@ def main() -> None:
 
     tok = NoStopTokenizer()
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
 
     quantize = args.quantize if args.quantize != "none" else None
     if jax.default_backend() != "tpu":
         quantize = None  # int8 fusion targets the TPU path
+    prefill_buckets = tuple(
+        b for b in (512, 1024, 2048, 4096) if b <= args.max_seq_len) or \
+        (args.max_seq_len,)
     ecfg = EngineConfig(
         max_batch_size=args.batch,
-        max_seq_len=4096,
+        max_seq_len=args.max_seq_len,
         decode_chunk=64,
-        prefill_buckets=(2048, 4096),
+        prefill_buckets=prefill_buckets,
         image_token_buckets=(2048,),
         dtype=dtype,
         quantize=quantize,
         kv_quantize=(args.kv_quantize if args.kv_quantize != "none"
                      and jax.default_backend() == "tpu" else None),
     )
-    engine = Engine(params, cfg, tok, ecfg)
-    del params  # with --quantize the engine holds int8 copies; free the bf16
+    # pass params without keeping a reference: with --quantize the engine
+    # swaps in int8 copies and the bf16 originals must be freeable BEFORE
+    # the KV cache is allocated (batch 64 x 2560 doesn't fit otherwise)
+    engine = Engine(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype),
+                    cfg, tok, ecfg)
 
     page_b64 = make_page_png()
     messages = [{

@@ -796,6 +796,12 @@ class Engine:
         runs in a thread pool so it overlaps the device's decode chunks."""
         from concurrent.futures import ThreadPoolExecutor
 
+        timing = os.environ.get("KARANTA_ENGINE_TIMING") == "1"
+        tacc = {"prep_wait": 0.0, "prefill": 0.0, "insert": 0.0,
+                "decode": 0.0, "collect": 0.0, "total": 0.0,
+                "prefills": 0, "chunks": 0}
+        t_gen0 = time.perf_counter()
+
         results: dict[int, GenResult] = {}
         prep_pool = ThreadPoolExecutor(max_workers=4)
         prep_futures = {i: prep_pool.submit(self.prepare, r)
@@ -807,17 +813,24 @@ class Engine:
         while pending or active:
             while pending and any(self.slot_free):
                 req_idx, request = pending.pop(0)
+                t0 = time.perf_counter()
                 prepared = prep_futures[req_idx].result()
+                tacc["prep_wait"] += time.perf_counter() - t0
                 # keep prompt + completion within the cache
                 prepared.max_tokens = min(
                     prepared.max_tokens,
                     max(1, self.ecfg.max_seq_len - len(prepared.ids) - 1))
                 start = time.time()
+                t0 = time.perf_counter()
                 cache, first, true_len, next_pos, dfa_val = self.prefill(prepared)
+                tacc["prefill"] += time.perf_counter() - t0
+                tacc["prefills"] += 1
                 slot = self.slot_free.index(True)
+                t0 = time.perf_counter()
                 self.insert(slot, prepared, cache, first, true_len, next_pos,
                             dfa_val)
                 first_host = int(np.asarray(first))
+                tacc["insert"] += time.perf_counter() - t0
                 collected = [first_host]
                 lp = ([self._first_logprob.pop(prepared.request_id, None)]
                       if prepared.logprobs else None)
@@ -834,6 +847,7 @@ class Engine:
             if not active:
                 continue
 
+            t0 = time.perf_counter()
             if self._spec_ok():
                 spec_toks, spec_counts = self.decode_chunk_spec()
                 emitted = {
@@ -847,6 +861,9 @@ class Engine:
                 toks = self.decode_chunk()  # (K, B)
                 emitted = {slot: [int(t) for t in toks[:, slot]]
                            for slot in active}
+            tacc["decode"] += time.perf_counter() - t0
+            tacc["chunks"] += 1
+            t0 = time.perf_counter()
             lp_data = self._last_logprobs
             for slot in list(active):
                 req_idx, prepared, collected, start, lp = active[slot]
@@ -870,8 +887,24 @@ class Engine:
                         prepared, collected, finished, start, lp)
                     del active[slot]
                     self.free_slot(slot)
+            tacc["collect"] += time.perf_counter() - t0
 
         prep_pool.shutdown(wait=False)
+        if timing:
+            tacc["total"] = time.perf_counter() - t_gen0
+            other = tacc["total"] - sum(
+                tacc[k] for k in ("prep_wait", "prefill", "insert", "decode",
+                                  "collect"))
+            logger.warning(
+                "engine timing: total %.2fs | prep_wait %.2fs | prefill "
+                "%.2fs (%d, %.0f ms each) | insert %.2fs | decode %.2fs "
+                "(%d chunks, %.0f ms each) | collect %.2fs | other %.2fs",
+                tacc["total"], tacc["prep_wait"], tacc["prefill"],
+                tacc["prefills"],
+                tacc["prefill"] / max(tacc["prefills"], 1) * 1e3,
+                tacc["insert"], tacc["decode"], tacc["chunks"],
+                tacc["decode"] / max(tacc["chunks"], 1) * 1e3,
+                tacc["collect"], other)
         return [results[i] for i in range(len(requests))]
 
     def _finish(self, prepared: _Prepared, collected: list[int],
