@@ -192,10 +192,10 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
         v = v.reshape(1, tokens, nh, hd)
         cs = cos.reshape(1, tokens, hd)
         sn = sin.reshape(1, tokens, hd)
-        q, k = apply_rope(q, k, cs, sn)
         if trainable:
             # differentiable wrapper (pallas has no autodiff rule); the raw
             # kernel call below measures ~3% faster end-to-end in serving
+            q, k = apply_rope(q, k, cs, sn)
             out = window_attention(q, k, v, window=tw,
                                    kv_mask=valid[None, :])
         else:
@@ -203,8 +203,11 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
                 _window_attention_kernel_call,
             )
 
+            # rope fused into the kernel: the standalone rotation pass
+            # materialized q/k each layer (~0.37 ms of the 2.23 ms/layer)
             out = _window_attention_kernel_call(q, k, v, tw,
-                                                kv_mask=valid[None, :])
+                                                kv_mask=valid[None, :],
+                                                cos=cs, sin=sn)
         out = out.reshape(tokens, nh * hd)
         return out @ p["wo"] + p["bo"]
 

@@ -27,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -335,15 +336,74 @@ def _window_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         o_ref[0, hh] = out.astype(o_ref.dtype)
 
 
+def _rot_half_matrix(d: int, dtype) -> jnp.ndarray:
+    """Constant P with x @ P == rotate_half(x) == concat(-x[d/2:], x[:d/2]).
+
+    Inside a pallas kernel, lane-dim slicing at d/2 (e.g. 40 of 80) fights
+    the 128-lane tiling; a (d, d) matmul on the MXU is effectively free and
+    tile-friendly."""
+    h = d // 2
+    p = np.zeros((d, d), np.float32)
+    p[np.arange(h, d), np.arange(h)] = -1.0   # y[:h] = -x[h:]
+    p[np.arange(h), np.arange(h, d)] = 1.0    # y[h:] = x[:h]
+    return jnp.asarray(p, dtype)
+
+
+def _window_rope_kernel(q_ref, k_ref, v_ref, mask_ref, cos_ref, sin_ref,
+                        rot_ref, o_ref, *,
+                        scale: float, window: int, block: int, heads: int):
+    """_window_kernel with rope fused in: takes pre-rotation q/k plus
+    cos/sin for the block and applies q*cos + (q@P)*sin in-register. The
+    standalone rope pass materialized q/k twice per layer (slice_negate
+    fusions, ~0.37 ms/layer of the vision encoder's 2.23 ms)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    same_window = (rows // window) == (cols // window)
+    live = mask_ref[0, 0][None, :] > 0
+    keep = jnp.logical_and(same_window, live)
+    cos = cos_ref[0].astype(jnp.float32)           # (block, D)
+    sin = sin_ref[0].astype(jnp.float32)
+    rot = rot_ref[...]                             # (D, D) rotate-half matrix
+    for hh in range(heads):
+        qh = q_ref[0, hh]
+        kh = k_ref[0, hh]
+        # rot is a +-1 permutation, so the dot is EXACT in the input dtype
+        # (f32 kernel matmuls lower off the MXU fast path — measured 96 ms
+        # per call vs 0.12 ms); the rotation itself accumulates in f32 like
+        # ops.rotary.apply_rope, then casts back
+        qp = jax.lax.dot_general(qh, rot, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        kp = jax.lax.dot_general(kh, rot, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        q = (qh.astype(jnp.float32) * cos + qp * sin).astype(q_ref.dtype)
+        k = (kh.astype(jnp.float32) * cos + kp * sin).astype(k_ref.dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(keep, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        p = p / denom
+        out = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, hh],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, hh] = out.astype(o_ref.dtype)
+
+
 def _window_attention_kernel_call(q: jnp.ndarray, k: jnp.ndarray,
                                   v: jnp.ndarray,
                                   window: int,
                                   kv_mask: Optional[jnp.ndarray] = None,
                                   scale: Optional[float] = None,
                                   block: int = 256,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  cos: Optional[jnp.ndarray] = None,
+                                  sin: Optional[jnp.ndarray] = None,
+                                  ) -> jnp.ndarray:
     """Raw pallas call for window_attention (no autodiff — see the
-    custom-vjp wrapper below)."""
+    custom-vjp wrapper below). With cos/sin (B, S, D), q/k are pre-rotation
+    and rope is applied inside the kernel (saves a materialized elementwise
+    pass over q and k per layer)."""
     b, s, h, d = q.shape
     assert s % window == 0, (s, window)
     block = min(block, s)
@@ -357,26 +417,38 @@ def _window_attention_kernel_call(q: jnp.ndarray, k: jnp.ndarray,
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     grid = (b, s // block)
-    out = pl.pallas_call(
-        functools.partial(_window_kernel, scale=float(d ** -0.5 if scale is None
-                                                      else scale),
-                          window=window, block=block, heads=h),
+    qkv_spec = pl.BlockSpec((1, h, block, d), lambda bb, si: (bb, 0, si, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, block), lambda bb, si: (bb, 0, si),
+                             memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, h, block, d), lambda bb, si: (bb, 0, si, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, block, d), lambda bb, si: (bb, 0, si, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, block, d), lambda bb, si: (bb, 0, si, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda bb, si: (bb, 0, si),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((1, h, block, d),
                                lambda bb, si: (bb, 0, si, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
         interpret=interpret,
+    )
+    scale = float(d ** -0.5 if scale is None else scale)
+    if cos is not None:
+        cs_spec = pl.BlockSpec((1, block, d), lambda bb, si: (bb, si, 0),
+                               memory_space=pltpu.VMEM)
+        rot_spec = pl.BlockSpec((d, d), lambda bb, si: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_window_rope_kernel, scale=scale,
+                              window=window, block=block, heads=h),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, cs_spec,
+                      cs_spec, rot_spec],
+            **common,
+        )(qt, kt, vt, kv_mask, cos.astype(jnp.float32),
+          sin.astype(jnp.float32), _rot_half_matrix(d, q.dtype))
+        return jnp.swapaxes(out, 1, 2)
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, scale=scale,
+                          window=window, block=block, heads=h),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        **common,
     )(qt, kt, vt, kv_mask)
     return jnp.swapaxes(out, 1, 2)
 

@@ -128,3 +128,26 @@ class TestWindowAttentionGrad:
 
         out = accum(x0, jnp.asarray(rng.normal(size=(2, 3)), jnp.float32))
         assert np.isfinite(float(out))
+
+
+def test_window_kernel_fused_rope_matches_reference():
+    """Rope applied inside the window kernel == apply_rope + dense windows."""
+    from karanta_tpu.ops.attention import (_window_attention_kernel_call,
+                                           _window_reference)
+    from karanta_tpu.ops.rotary import apply_rope, vision_rope_cos_sin
+
+    rng = np.random.default_rng(0)
+    B, S, H, D, W = 1, 512, 4, 80, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, 40, size=(S, 2)), jnp.int32)
+    cos, sin = vision_rope_cos_sin(pos, D)
+    mask = jnp.asarray(rng.random(size=(B, S)) > 0.1, jnp.float32)
+    qr, kr = apply_rope(q, k, cos[None].astype(q.dtype),
+                        sin[None].astype(q.dtype))
+    want = _window_reference(qr, kr, v, W, mask, None)
+    got = _window_attention_kernel_call(q, k, v, W, kv_mask=mask,
+                                        cos=cos[None], sin=sin[None],
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
