@@ -61,12 +61,12 @@ def main() -> None:
                              "context once cache copies/reads were fixed)")
     parser.add_argument("--max-seq-len", dest="max_seq_len", type=int,
                         default=int(os.environ.get("KARANTA_BENCH_MAX_SEQ",
-                                                   2560)),
+                                                   1920)),
                         help="KV bucket per slot. The dense decode path's "
                              "cache read is proportional to this, so size it "
-                             "to the workload: bench pages need ~2300 rows "
-                             "(2048-token prompt bucket + 512 decode). Must "
-                             "be a multiple of 128.")
+                             "to the workload: bench pages need ~1810 rows "
+                             "(~1300-token prompts -> 1536 bucket + 512 "
+                             "decode). Must be a multiple of 128.")
     parser.add_argument("--baseline", type=float, default=1.0,
                         help="baseline pages/sec/chip (A100+vLLM 7B class)")
     parser.add_argument("--quantize", default=os.environ.get(
@@ -120,12 +120,12 @@ def main() -> None:
     if jax.default_backend() != "tpu":
         quantize = None  # int8 fusion targets the TPU path
     prefill_buckets = tuple(
-        b for b in (512, 1024, 2048, 4096) if b <= args.max_seq_len) or \
-        (args.max_seq_len,)
+        b for b in (512, 1024, 1536, 2048, 4096) if b <= args.max_seq_len) \
+        or (args.max_seq_len,)
     ecfg = EngineConfig(
         max_batch_size=args.batch,
         max_seq_len=args.max_seq_len,
-        decode_chunk=64,
+        decode_chunk=int(os.environ.get("KARANTA_BENCH_CHUNK", 64)),
         prefill_buckets=prefill_buckets,
         image_token_buckets=(2048,),
         dtype=dtype,

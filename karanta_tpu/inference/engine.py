@@ -106,6 +106,7 @@ class _Prepared:
     prefix_len: int = 0                  # shared-prefix tokens (0 = no reuse)
     logprobs: bool = False
     top_logprobs: int = 0
+    staged: Optional[dict] = None        # fused-path operands pre-put on device
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -498,13 +499,40 @@ class Engine:
             if len(img_idx) and img_idx[0] >= self.ecfg.prefix_min_tokens:
                 prefix_len = int(img_idx[0])
 
-        return _Prepared(
+        prepared = _Prepared(
             ids=ids, positions=positions, image_feeds=image_feeds,
             img_token_counts=img_token_counts, max_tokens=request.max_tokens,
             temperature=request.temperature, top_p=request.top_p,
             request_id=request.request_id, guide=guide, prefix_len=prefix_len,
             logprobs=request.logprobs,
             top_logprobs=min(int(request.top_logprobs or 0), 5))
+
+        if len(image_feeds) == 1 and not prefix_len:
+            # stage the fused-path prompt operands on device from the
+            # prepare thread too: the padded-array builds + H2D puts were
+            # ~25 ms/page of serial prefill() dispatch time
+            feed = image_feeds[0]
+            layout = feed["layout"]
+            s = len(ids)
+            s_pad = _bucket(s, self.ecfg.prefill_buckets)
+            ids_p = np.zeros((s_pad,), np.int32)
+            ids_p[:s] = ids
+            pos_p = np.zeros((3, s_pad), np.int32)
+            pos_p[:, :s] = positions
+            kvm = np.zeros((s_pad,), np.float32)
+            kvm[:s] = 1.0
+            img_pos = np.full((feed["n_pad"],), s_pad, np.int32)
+            img_pos[: layout.num_merged] = np.flatnonzero(
+                ids == self.tok.image_pad_id)
+            prepared.staged = dict(
+                ids=jax.device_put(ids_p), positions=jax.device_put(pos_p),
+                kv_mask=jax.device_put(kvm), img_pos=jax.device_put(img_pos),
+                perm=jax.device_put(np.asarray(layout.perm)),
+                valid=jax.device_put(np.asarray(layout.valid)),
+                pos_hw=jax.device_put(np.asarray(layout.pos_hw)),
+                extract=jax.device_put(feed["extract"]),
+                true_len=jnp.asarray(s, jnp.int32))
+        return prepared
 
     def _ensure_automaton(self, regex: str) -> Optional[int]:
         """Compile/activate the token automaton for `regex`. Returns the DFA
@@ -627,24 +655,30 @@ class Engine:
                                pad_grid_h=plan.pad_grid_h,
                                pad_grid_w=plan.pad_grid_w,
                                out_dtype=self.ecfg.dtype)
-            s_pad = _bucket(s, self.ecfg.prefill_buckets)
-            ids = np.zeros((s_pad,), np.int32)
-            ids[:s] = prepared.ids
-            positions = np.zeros((3, s_pad), np.int32)
-            positions[:, :s] = prepared.positions
-            kv_mask = np.zeros((s_pad,), np.float32)
-            kv_mask[:s] = 1.0
-            img_pos = np.full((feed["n_pad"],), s_pad, np.int32)
-            prompt_img_idx = np.flatnonzero(
-                prepared.ids == self.tok.image_pad_id)
-            img_pos[: layout.num_merged] = prompt_img_idx
+            st = prepared.staged
+            if st is None:  # fallback for direct calls
+                s_pad = _bucket(s, self.ecfg.prefill_buckets)
+                ids = np.zeros((s_pad,), np.int32)
+                ids[:s] = prepared.ids
+                positions = np.zeros((3, s_pad), np.int32)
+                positions[:, :s] = prepared.positions
+                kv_mask = np.zeros((s_pad,), np.float32)
+                kv_mask[:s] = 1.0
+                img_pos = np.full((feed["n_pad"],), s_pad, np.int32)
+                img_pos[: layout.num_merged] = np.flatnonzero(
+                    prepared.ids == self.tok.image_pad_id)
+                st = dict(
+                    ids=jnp.asarray(ids), positions=jnp.asarray(positions),
+                    kv_mask=jnp.asarray(kv_mask), img_pos=jnp.asarray(img_pos),
+                    perm=jnp.asarray(layout.perm),
+                    valid=jnp.asarray(layout.valid),
+                    pos_hw=jnp.asarray(layout.pos_hw),
+                    extract=jnp.asarray(feed["extract"]),
+                    true_len=jnp.asarray(s, jnp.int32))
             logits, cache = self._prefill_fused_jit(
-                self.params, pix,
-                jnp.asarray(layout.perm), jnp.asarray(layout.valid),
-                jnp.asarray(layout.pos_hw), jnp.asarray(feed["extract"]),
-                jnp.asarray(ids), jnp.asarray(positions),
-                jnp.asarray(kv_mask), jnp.asarray(img_pos),
-                jnp.asarray(s, jnp.int32), n_windows=layout.n_windows)
+                self.params, pix, st["perm"], st["valid"], st["pos_hw"],
+                st["extract"], st["ids"], st["positions"], st["kv_mask"],
+                st["img_pos"], st["true_len"], n_windows=layout.n_windows)
             return self._sample_first(prepared, logits, cache, s)
 
         img_tokens, img_positions = self._encode_images(prepared)
@@ -803,7 +837,7 @@ class Engine:
         t_gen0 = time.perf_counter()
 
         results: dict[int, GenResult] = {}
-        prep_pool = ThreadPoolExecutor(max_workers=4)
+        prep_pool = ThreadPoolExecutor(max_workers=8)
         prep_futures = {i: prep_pool.submit(self.prepare, r)
                         for i, r in enumerate(requests)}
         pending = list(enumerate(requests))
