@@ -226,7 +226,8 @@ class Engine:
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk_impl,
             static_argnames=("steps", "use_top_p", "use_sampling",
-                             "attend_len", "use_logprobs", "top_k_logprobs"),
+                             "attend_len", "use_logprobs", "top_k_logprobs",
+                             "use_guided"),
             donate_argnums=(1,))
         # static sampling gates: the nucleus sort / gumbel sampling only
         # compile in when some active slot actually needs them
@@ -234,6 +235,9 @@ class Engine:
         self._slot_temp = [0.0] * b
         # host mirror of per-slot lengths drives the static attend horizon
         self._slot_len = [0] * b
+        # host mirror of guided state: gates the per-step mask gather
+        # without a device readback per chunk
+        self._slot_guided = [False] * b
         self._attend_buckets = tuple(
             n for n in (1024, 2048, 4096, 8192, 16384)
             if n <= engine_cfg.max_seq_len) or (engine_cfg.max_seq_len,)
@@ -330,7 +334,7 @@ class Engine:
                            last_token, temps, top_ps, dfa_state,
                            allowed, next_state, key, *, steps, use_top_p,
                            use_sampling, attend_len, use_logprobs=False,
-                           top_k_logprobs=0):
+                           top_k_logprobs=0, use_guided=True):
         m = cache.k.shape[3]
 
         def step(carry, step_key):
@@ -342,13 +346,15 @@ class Engine:
                 jnp.minimum(cache_len, m - 1), attend_len=attend_len)
             logits = dec.logits_from_hidden(
                 params["text"], self.cfg.text, hidden[:, 0])
-            # guided decoding: mask disallowed tokens for each slot's state
-            mask = allowed[dfa_state]  # (B, V)
-            logits = jnp.where(mask, logits, -jnp.inf)
+            if use_guided:  # static gate: the (B, V) mask gather + where
+                # costs real HBM every step; skip when no slot is guided
+                mask = allowed[dfa_state]  # (B, V)
+                logits = jnp.where(mask, logits, -jnp.inf)
             tokens = sample_tokens(logits, step_key,
                                    temps if use_sampling else None,
                                    top_ps if use_top_p else None)
-            dfa_state = next_state[dfa_state, tokens]
+            if use_guided:
+                dfa_state = next_state[dfa_state, tokens]
             cache_len = jnp.minimum(cache_len + 1, m - 1)
             next_pos = next_pos + 1
             ys = tokens
@@ -761,6 +767,7 @@ class Engine:
             jnp.asarray(prepared.top_p, jnp.float32),
             jnp.asarray(dfa_val, jnp.int32))
         self.slot_free[slot] = False
+        self._slot_guided[slot] = dfa_val > 0
         self._slot_top_p[slot] = float(prepared.top_p)
         self._slot_temp[slot] = float(prepared.temperature)
         self._slot_len[slot] = true_len
@@ -796,6 +803,7 @@ class Engine:
         for i in active:
             self._slot_len[i] = min(self._slot_len[i] + steps,
                                     self.ecfg.max_seq_len - 1)
+        use_guided = any(self._slot_guided[i] for i in active)
         use_logprobs = any(self._slot_logprobs.get(i, 0) >= 0
                            and self._slot_wants_lp.get(i, False)
                            for i in active)
@@ -809,7 +817,7 @@ class Engine:
             self._allowed, self._next_state, sub, steps=steps,
             use_top_p=use_top_p, use_sampling=use_sampling,
             attend_len=attend_len, use_logprobs=use_logprobs,
-            top_k_logprobs=top_k)
+            top_k_logprobs=top_k, use_guided=use_guided)
         if use_logprobs:
             toks, chosen, top_vals, top_ids = ys
             self._last_logprobs = (np.asarray(chosen), np.asarray(top_vals),
@@ -820,6 +828,7 @@ class Engine:
 
     def free_slot(self, slot: int):
         self.slot_free[slot] = True
+        self._slot_guided[slot] = False
 
     # ------------------------------------------------------------------
 
