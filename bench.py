@@ -128,6 +128,7 @@ def main() -> None:
         max_batch_size=args.batch,
         max_seq_len=args.max_seq_len,
         decode_chunk=int(os.environ.get("KARANTA_BENCH_CHUNK", 64)),
+        prefill_batch=int(os.environ.get("KARANTA_PREFILL_BATCH", 1)),
         prefill_buckets=prefill_buckets,
         image_token_buckets=(2048,),
         dtype=dtype,

@@ -59,6 +59,12 @@ class EngineConfig:
     prefix_cache: bool = False
     prefix_min_tokens: int = 256
     prefix_cache_entries: int = 4
+    # batched prefill: admit up to this many same-shaped unguided pages
+    # through ONE fused vision+prefill executable. Default 1 (per-page):
+    # on v5e the K=4 batch measured ~25 ms/page SLOWER on device (operand
+    # concat copies + larger intermediates beat the saved dispatches); the
+    # path exists for hosts where per-call overhead dominates.
+    prefill_batch: int = 1
     # greedy speculative decoding: draft gamma tokens per step by n-gram
     # lookup over the slot's own prompt+output history (prompt-lookup /
     # "assisted generation"; vLLM exposes the same as speculative ngram),
@@ -222,7 +228,12 @@ class Engine:
         self._prefill_prefix_jit = jax.jit(self._prefill_prefix_impl)
         self._prefill_fused_jit = jax.jit(self._prefill_fused_impl,
                                           static_argnames=("n_windows",))
+        self._prefill_fused_batch_jit = jax.jit(
+            self._prefill_fused_batch_impl,
+            static_argnames=("n_windows", "n_images"))
         self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
+        self._insert_batch_jit = jax.jit(self._insert_batch_impl,
+                                         donate_argnums=(1,))
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk_impl,
             static_argnames=("steps", "use_top_p", "use_sampling",
@@ -285,6 +296,58 @@ class Engine:
         last = hidden[0, true_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
         return logits, cache
+
+    def _prefill_fused_batch_impl(self, params, pixel_values, perm, valid,
+                                  pos_hw, extract, ids, positions, kv_mask,
+                                  img_positions, true_len, *, n_windows,
+                                  n_images):
+        """K-page fused prefill: the K same-shaped page images run through
+        the vision encoder as one token-axis concatenation (full-attention
+        layers batch over the image axis), and the decoder prefill runs with
+        batch K. One executable dispatch + one pallas call per kernel per K
+        pages instead of per page."""
+        encoded = vis.encode_image(params["visual"], self.cfg.vision,
+                                   pixel_values, perm, valid, pos_hw,
+                                   n_windows, n_images=n_images)
+        img_tokens = jnp.take(encoded, extract, axis=0).reshape(
+            n_images, -1, encoded.shape[-1])
+        emb = dec.embed_tokens(params["text"], ids)          # (K, S, H)
+        emb = jax.vmap(
+            lambda e, t, p: e.at[p].set(t.astype(e.dtype), mode="drop"))(
+                emb, img_tokens, img_positions)
+        hidden, cache = dec.prefill_forward(
+            params["text"], self.cfg.text, emb, positions, kv_mask=kv_mask)
+        last = hidden[jnp.arange(n_images), true_len - 1]
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        return logits, cache
+
+    def _insert_batch_impl(self, prefill_cache, cache, cache_len, next_pos,
+                           last_token, temps, top_ps, dfa_state, slots,
+                           true_lens, first_tokens, pos_afters, temps_new,
+                           top_ps_new):
+        """Insert K prefilled pages into K slots (unguided fast path)."""
+        s = prefill_cache.k.shape[3]
+        if isinstance(cache, dec.QuantKVCache):
+            kq, ksc = dec.quantize_kv_rows(prefill_cache.k)
+            vq, vsc = dec.quantize_kv_rows(prefill_cache.v)
+            new_cache = dec.QuantKVCache(
+                cache.k.at[:, slots, :, :s].set(kq),
+                cache.v.at[:, slots, :, :s].set(vq),
+                cache.ks.at[:, slots, :, :s].set(ksc),
+                cache.vs.at[:, slots, :, :s].set(vsc))
+        else:
+            new_cache = dec.KVCache(
+                cache.k.at[:, slots, :, :s].set(prefill_cache.k),
+                cache.v.at[:, slots, :, :s].set(prefill_cache.v))
+        return (
+            new_cache,
+            cache_len.at[slots].set(true_lens),
+            next_pos.at[slots].set(pos_afters),
+            last_token.at[slots].set(first_tokens),
+            temps.at[slots].set(temps_new),
+            top_ps.at[slots].set(top_ps_new),
+            dfa_state.at[slots].set(0),
+        )
 
     def _prefill_prefix_impl(self, params, ids, positions, kv_mask,
                              img_tokens, img_positions, true_suffix_len,
@@ -755,6 +818,78 @@ class Engine:
         next_pos = (int(prepared.positions.max()) + 1) if s else 0
         return cache, first, s, next_pos, dfa_after
 
+    def prefill_insert_batch(self, group: list, slots: list):
+        """Fused prefill + insert for K same-shaped unguided pages.
+
+        group: list of _Prepared with identical staged shapes and one image
+        each. Returns the (K,) first-token device array (synced by the
+        caller's wave)."""
+        k = len(group)
+        st0 = group[0].staged
+        p_tokens = group[0].image_feeds[0]["pix_dev"].shape[0]
+        pad_merged = p_tokens // self.cfg.vision.merge_unit
+        layout0 = group[0].image_feeds[0]["layout"]
+
+        pix = jnp.concatenate([g.image_feeds[0]["pix_dev"] for g in group], 0)
+        perm = jnp.concatenate(
+            [g.staged["perm"] + i * p_tokens for i, g in enumerate(group)], 0)
+        valid = jnp.concatenate([g.staged["valid"] for g in group], 0)
+        pos_hw = jnp.concatenate([g.staged["pos_hw"] for g in group], 0)
+        extract = jnp.concatenate(
+            [g.staged["extract"] + i * pad_merged
+             for i, g in enumerate(group)], 0)
+        ids = jnp.stack([g.staged["ids"] for g in group])
+        positions = jnp.stack([g.staged["positions"] for g in group], axis=1)
+        kv_mask = jnp.stack([g.staged["kv_mask"] for g in group])
+        img_pos = jnp.stack([g.staged["img_pos"] for g in group])
+        true_lens = jnp.stack([g.staged["true_len"] for g in group])
+
+        logits, cache = self._prefill_fused_batch_jit(
+            self.params, pix, perm, valid, pos_hw, extract, ids, positions,
+            kv_mask, img_pos, true_lens,
+            n_windows=layout0.n_windows * k, n_images=k)
+
+        self._key, sub = jax.random.split(self._key)
+        temps = jnp.asarray([g.temperature for g in group], jnp.float32)
+        top_ps = jnp.asarray([g.top_p for g in group], jnp.float32)
+        firsts = sample_tokens(logits, sub, temps, top_ps)        # (K,)
+        pos_afters = jnp.asarray(
+            [int(g.positions.max()) + 1 for g in group], jnp.int32)
+
+        slots_a = jnp.asarray(slots, jnp.int32)
+        (self.cache, self.cache_len, self.next_pos, self.last_token,
+         self.temps, self.top_ps, self.dfa_state) = self._insert_batch_jit(
+            cache, self.cache, self.cache_len, self.next_pos,
+            self.last_token, self.temps, self.top_ps, self.dfa_state,
+            slots_a, true_lens, firsts, pos_afters, temps, top_ps)
+        for i, (g, slot) in enumerate(zip(group, slots)):
+            self.slot_free[slot] = False
+            self._slot_guided[slot] = False
+            self._slot_top_p[slot] = float(g.top_p)
+            self._slot_temp[slot] = float(g.temperature)
+            self._slot_len[slot] = len(g.ids)
+            self._slot_wants_lp[slot] = False
+            self._slot_logprobs[slot] = 0
+            if self.ecfg.speculative_ngram > 0:
+                m = self.ecfg.max_seq_len
+                arr = np.zeros((m,), np.int32)
+                arr[: len(g.ids)] = g.ids[:m]
+                self.token_hist = self._hist_insert_jit(
+                    self.token_hist, jnp.asarray(slot), jnp.asarray(arr),
+                    jnp.asarray(len(g.ids), jnp.int32), firsts[i])
+        return firsts
+
+    @staticmethod
+    def _batch_key(prepared: "_Prepared"):
+        """Pages batch together when every staged operand shape matches."""
+        if (prepared.staged is None or len(prepared.image_feeds) != 1
+                or prepared.guide is not None or prepared.logprobs):
+            return None
+        feed = prepared.image_feeds[0]
+        return (int(prepared.staged["ids"].shape[0]),
+                tuple(feed["pix_dev"].shape), int(feed["n_pad"]),
+                int(feed["layout"].n_windows))
+
     def insert(self, slot: int, prepared: _Prepared, cache, first_token,
                true_len: int, next_pos: int, dfa_val: int = 0):
         (self.cache, self.cache_len, self.next_pos, self.last_token,
@@ -860,18 +995,14 @@ class Engine:
             # ~78 ms/page over the remote-TPU tunnel (device exec is 163 ms)
             # — batching the syncs collapses it to one wait per wave.
             wave: list[tuple] = []
-            while pending and any(self.slot_free):
-                req_idx, request = pending.pop(0)
+            free_count = sum(self.slot_free)
+            partial: dict = {}
+            pb = max(1, self.ecfg.prefill_batch)
+
+            def dispatch_single(req_idx, prepared, start):
                 t0 = time.perf_counter()
-                prepared = prep_futures[req_idx].result()
-                tacc["prep_wait"] += time.perf_counter() - t0
-                # keep prompt + completion within the cache
-                prepared.max_tokens = min(
-                    prepared.max_tokens,
-                    max(1, self.ecfg.max_seq_len - len(prepared.ids) - 1))
-                start = time.time()
-                t0 = time.perf_counter()
-                cache, first, true_len, next_pos, dfa_val = self.prefill(prepared)
+                cache, first, true_len, next_pos, dfa_val = self.prefill(
+                    prepared)
                 tacc["prefill"] += time.perf_counter() - t0
                 tacc["prefills"] += 1
                 slot = self.slot_free.index(True)
@@ -880,6 +1011,47 @@ class Engine:
                             dfa_val)
                 tacc["insert"] += time.perf_counter() - t0
                 wave.append((req_idx, prepared, slot, start, first))
+
+            def dispatch_batch(chunk):
+                slots = [i for i, f in enumerate(self.slot_free)
+                         if f][: len(chunk)]
+                t0 = time.perf_counter()
+                firsts = self.prefill_insert_batch(
+                    [p for _, p, _ in chunk], slots)
+                tacc["prefill"] += time.perf_counter() - t0
+                tacc["prefills"] += len(chunk)
+                for i, (req_idx, prepared, start) in enumerate(chunk):
+                    wave.append((req_idx, prepared, slots[i], start,
+                                 firsts[i]))
+
+            # stream dispatches: a full group (or an unbatchable page) goes
+            # to the device immediately, so later pages' host prep overlaps
+            # earlier pages' prefill instead of idling the chip
+            while pending and free_count > 0:
+                req_idx, request = pending.pop(0)
+                t0 = time.perf_counter()
+                prepared = prep_futures[req_idx].result()
+                tacc["prep_wait"] += time.perf_counter() - t0
+                # keep prompt + completion within the cache
+                prepared.max_tokens = min(
+                    prepared.max_tokens,
+                    max(1, self.ecfg.max_seq_len - len(prepared.ids) - 1))
+                free_count -= 1
+                entry = (req_idx, prepared, time.time())
+                key = self._batch_key(prepared) if pb > 1 else None
+                if key is None:
+                    dispatch_single(*entry)
+                    continue
+                group = partial.setdefault(key, [])
+                group.append(entry)
+                if len(group) >= pb:
+                    dispatch_batch(group)
+                    partial[key] = []
+            # leftovers below pb run per-page (a partial-K batch would
+            # compile its own executable for little gain)
+            for group in partial.values():
+                for entry in group:
+                    dispatch_single(*entry)
             t0 = time.perf_counter()
             for req_idx, prepared, slot, start, first in wave:
                 first_host = int(np.asarray(first))

@@ -167,8 +167,13 @@ def _activation(cfg: VisionConfig, x):
 
 
 def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
-                full: bool, trainable: bool = False):
-    """x: (pad_tokens, hidden) window-ordered. Returns attention output."""
+                full: bool, trainable: bool = False, n_images: int = 1):
+    """x: (pad_tokens, hidden) window-ordered. Returns attention output.
+
+    With n_images > 1, x is the concatenation of n_images equally-sized
+    images: window layers are image-agnostic (windows never straddle the
+    per-image padding), and full-attention layers treat the image axis as
+    the attention batch so pages cannot attend across each other."""
     tokens, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
@@ -212,8 +217,8 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
         return out @ p["wo"] + p["bo"]
 
     if full:
-        shape = (1, tokens, nh, hd)
-        mask = valid[None, :]
+        shape = (n_images, tokens // n_images, nh, hd)
+        mask = valid.reshape(n_images, tokens // n_images)
     else:
         shape = (n_windows, tw, nh, hd)
         mask = valid.reshape(n_windows, tw)
@@ -243,9 +248,15 @@ def encode_image(params: Params, cfg: VisionConfig,
                  valid: jnp.ndarray,         # (pad_tokens,) float32
                  pos_hw: jnp.ndarray,        # (pad_tokens, 2) int32
                  n_windows: int,
-                 trainable: bool = False) -> jnp.ndarray:
-    """Encode one (padded) image. Returns (pad_merged, out_hidden) in
-    window-merged order; callers select real tokens via layout.extract."""
+                 trainable: bool = False,
+                 n_images: int = 1) -> jnp.ndarray:
+    """Encode one (padded) image — or, with n_images > 1, the token-axis
+    concatenation of that many same-shaped images in one pass (batched
+    prefill: per-call overheads amortize across pages; full-attention
+    layers use the image axis as the attention batch). Returns
+    (pad_merged, out_hidden) in window-merged order; callers select real
+    tokens via layout.extract (+ per-image pad_merged offsets when
+    batched)."""
     x = pixel_values @ params["patch_embed"]["kernel"]
     x = jnp.take(x, perm, axis=0)  # patchify order -> window order
 
@@ -269,7 +280,7 @@ def encode_image(params: Params, cfg: VisionConfig,
                 _vnorm(cfg, y, layer_params["norm1"],
                        layer_params.get("norm1_b")),
                 layer_params["attn"], cos, sin, valid, n_windows, cfg, full,
-                trainable)
+                trainable, n_images)
             y = y + attn_out
             y = y + _mlp(cfg, _vnorm(cfg, y, layer_params["norm2"],
                                      layer_params.get("norm2_b")),

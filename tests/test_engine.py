@@ -105,3 +105,38 @@ class TestEngine:
         both = engine.generate([req1, req2])
         assert both[0].token_ids == solo1.token_ids
         assert both[1].token_ids == solo2.token_ids
+
+
+def test_batched_prefill_matches_single():
+    """prefill_batch=K admission must emit identical greedy tokens to the
+    per-page path (vision runs as a K-image concatenation, decoder prefill
+    with batch K)."""
+    from PIL import Image
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cfg, tok = CFG, ByteTokenizer()
+
+    def img_b64(seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 255, size=(112, 112, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def msgs(seed):
+        return [{"role": "user", "content": [
+            {"type": "text", "text": "read this"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{img_b64(seed)}"}},
+        ]}]
+
+    reqs = [GenRequest(messages=msgs(i), max_tokens=8, temperature=0.0,
+                       request_id=f"r{i}") for i in range(3)]
+    outs = {}
+    for pb in (1, 4):
+        ecfg = EngineConfig(max_batch_size=4, max_seq_len=512, decode_chunk=4,
+                            prefill_buckets=(256,), image_token_buckets=(64,),
+                            dtype=jnp.float32, prefill_batch=pb)
+        eng = Engine(params, cfg, tok, ecfg, rng_seed=7)
+        outs[pb] = [r.token_ids for r in eng.generate(list(reqs))]
+    assert outs[1] == outs[4]
