@@ -437,9 +437,13 @@ def main(argv: Optional[list[str]] = None):
                         help="local HF checkpoint dir (safetensors + tokenizer)")
     parser.add_argument("--preset", default=None,
                         help="architecture preset (qwen2.5-vl-3b/7b/tiny)")
-    parser.add_argument("--max-batch-size", type=int, default=8)
-    parser.add_argument("--max-model-len", type=int, default=8192)
-    parser.add_argument("--decode-chunk", type=int, default=32)
+    # defaults = the measured v5e sweet spot for 1288 px pages (BENCH_NOTES):
+    # size --max-model-len to your real prompt+output budget — the dense
+    # decode path's cache read scales with it, and smaller buckets buy
+    # more slots; buckets >= 8192 auto-switch to the paged pallas kernel
+    parser.add_argument("--max-batch-size", type=int, default=32)
+    parser.add_argument("--max-model-len", type=int, default=4096)
+    parser.add_argument("--decode-chunk", type=int, default=64)
     parser.add_argument("--tensor-parallel-size", type=int, default=1)
     parser.add_argument("--data-parallel-size", type=int, default=1)
     parser.add_argument("--quantize", default=None, choices=["int8"])

@@ -165,27 +165,28 @@ def quantize_kv_rows(x: jnp.ndarray):
     return q, s.astype(jnp.bfloat16)
 
 
-def _paged_decode_mode() -> str:
-    """Pallas decode-kernel selection via KARANTA_PAGED_DECODE.
+def _paged_decode_mode(max_len: int) -> str:
+    """Pallas decode-kernel selection.
 
-    "" (default)     — XLA dense path: scatter the new row, dynamic-slice the
-                       layer, masked dense attention over the full bucket.
-    "append" or "1"  — fused paged_decode_append: the kernel owns BOTH the
-                       row write and a length-bounded read of the stacked
-                       cache, with the cache aliased input->output. This is
-                       what lets bounded reads pay off in-scan: the stacked
-                       read-only kernel ("stacked") was 35x slower end-to-end
-                       because XLA inserts a full-cache defensive copy per
-                       pallas call whenever the same carried buffer is also
-                       scatter-updated outside the kernel.
-    "stacked"        — scatter + read-only stacked kernel (kept for A/B).
+    Auto (KARANTA_PAGED_DECODE unset): the fused append kernel for KV
+    buckets >= 8192, the XLA dense path below. The dense path's cache read
+    scales with the bucket (23.6 ms/step at 16k, B32) while the kernel
+    reads only live rows — but each of the 36 per-layer pallas calls costs
+    ~125 us of dispatch (~4.5 ms/step floor), so at small buckets dense
+    wins. Overrides: "0" dense, "1"/"append" fused kernel, "stacked" the
+    read-only kernel + scatter (kept for A/B; 35x slower in-scan because
+    XLA copies the carried cache defensively per call).
     """
     import os
 
     import jax
 
-    mode = os.environ.get("KARANTA_PAGED_DECODE", "0")
-    if mode in ("0", "") or jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu":
+        return ""
+    mode = os.environ.get("KARANTA_PAGED_DECODE", "")
+    if mode == "":
+        return "append" if max_len >= 8192 else ""
+    if mode == "0":
         return ""
     return "append" if mode == "1" else mode
 
@@ -317,7 +318,7 @@ def decode_step(params: Params, cfg: TextConfig,
     if _PAGED_FORCE is not None:
         paged_mode, paged_interp = _PAGED_FORCE
     else:
-        paged_mode = _paged_decode_mode()
+        paged_mode = _paged_decode_mode(cache.k.shape[3])
         paged_interp = False
     # the quant cache only has the fused-append kernel (no stacked variant)
     quant_paged_mode = paged_mode if paged_mode == "append" else ""
