@@ -251,3 +251,20 @@ class TestAppendQuantKernel:
                                       np.asarray(c_ref.k))
         np.testing.assert_allclose(np.asarray(c_pag.ks),
                                    np.asarray(c_ref.ks), atol=1e-6)
+
+
+def test_paged_mode_auto_selection(monkeypatch):
+    """Auto gate: dense below 8192-row buckets, fused kernel at/above;
+    env overrides win."""
+    import karanta_tpu.models.qwen25_vl.decoder as dec
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("KARANTA_PAGED_DECODE", raising=False)
+    assert dec._paged_decode_mode(4096) == ""
+    assert dec._paged_decode_mode(8192) == "append"
+    monkeypatch.setenv("KARANTA_PAGED_DECODE", "0")
+    assert dec._paged_decode_mode(16384) == ""
+    monkeypatch.setenv("KARANTA_PAGED_DECODE", "1")
+    assert dec._paged_decode_mode(1024) == "append"
+    monkeypatch.setenv("KARANTA_PAGED_DECODE", "stacked")
+    assert dec._paged_decode_mode(1024) == "stacked"
