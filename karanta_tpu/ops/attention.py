@@ -33,6 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# tuning hook: (block_q, block_k) override for flash_attention, settable
+# via KARANTA_FLASH_BLOCKS="512,512" (sweeps / per-host tuning)
+_FLASH_BLOCKS_OVERRIDE = None
+if os.environ.get("KARANTA_FLASH_BLOCKS"):
+    _FLASH_BLOCKS_OVERRIDE = tuple(
+        int(x) for x in os.environ["KARANTA_FLASH_BLOCKS"].split(","))
+
 
 def _use_pallas() -> bool:
     force = os.environ.get("KARANTA_ATTENTION", "")
@@ -237,6 +244,8 @@ def flash_attention(
     interpret: bool = False,
     q_offset: int = 0,
 ) -> jnp.ndarray:
+    if _FLASH_BLOCKS_OVERRIDE is not None:
+        block_q, block_k = _FLASH_BLOCKS_OVERRIDE
     """Pallas flash attention. q (B,Sq,H,D), k/v (B,Sk,KVH,D), kv_mask (B,Sk).
 
     q_offset shifts query positions for causal masking: query row i sits at

@@ -28,8 +28,8 @@ def main():
 
     cfg = qwen25_vl_3b()
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    ecfg = EngineConfig(max_batch_size=8, max_seq_len=4096, decode_chunk=64,
-                        prefill_buckets=(2048, 4096), image_token_buckets=(2048,),
+    ecfg = EngineConfig(max_batch_size=8, max_seq_len=1920, decode_chunk=64,
+                        prefill_buckets=(1536, 2048), image_token_buckets=(2048,),
                         dtype=jnp.bfloat16, quantize="int8")
     engine = Engine(params, cfg, ByteTokenizer(), ecfg)
     del params
@@ -60,7 +60,7 @@ def main():
         n_windows=layout.n_windows)
     print(f"vision encode: {t(fn_vis):.1f} ms", flush=True)
 
-    s = len(prep.ids); s_pad = 2048
+    s = len(prep.ids); s_pad = 1536
     ids = np.zeros((s_pad,), np.int32); ids[:s] = prep.ids
     positions = np.zeros((3, s_pad), np.int32); positions[:, :s] = prep.positions
     kv_mask = np.zeros((s_pad,), np.float32); kv_mask[:s] = 1.0

@@ -22,6 +22,7 @@ def main():
     enable_compilation_cache()
     rng = np.random.default_rng(0)
     shapes = [
+        ("prefill-1.5k", 1, 1536, 1536, 16, 2, 128, True),
         ("prefill-2k", 1, 2048, 2048, 16, 2, 128, True),
         ("prefill-4k", 1, 4096, 4096, 16, 2, 128, True),
         ("vision-win", 416, 64, 64, 16, 16, 80, False),
