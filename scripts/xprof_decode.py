@@ -20,7 +20,9 @@ def main():
             self.eos_token_id = -1
 
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    ecfg = EngineConfig(max_batch_size=32, max_seq_len=4096, decode_chunk=64,
+    ecfg = EngineConfig(max_batch_size=int(os.environ.get("XB", 32)),
+                    max_seq_len=int(os.environ.get("XM", 2560)),
+                    decode_chunk=64,
                         prefill_buckets=(2048, 4096), image_token_buckets=(2048,),
                         dtype=jnp.bfloat16, quantize="int8",
                         kv_quantize=__import__("os").environ.get("KVQ") or None)
