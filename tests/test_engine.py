@@ -140,3 +140,22 @@ def test_batched_prefill_matches_single():
         eng = Engine(params, cfg, tok, ecfg, rng_seed=7)
         outs[pb] = [r.token_ids for r in eng.generate(list(reqs))]
     assert outs[1] == outs[4]
+
+
+def test_wave_admission_instant_finish():
+    """Pages that finish on their first token (max_tokens=1) must free their
+    slots inside the admission wave and still return results in order."""
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=256, decode_chunk=4,
+                        prefill_buckets=(128,), image_token_buckets=(64,),
+                        dtype=jnp.float32)
+    eng = Engine(params, CFG, ByteTokenizer(), ecfg)
+    reqs = [GenRequest(messages=_messages(with_image=False), max_tokens=1,
+                       temperature=0.0, request_id=f"one-{i}")
+            for i in range(5)]
+    results = eng.generate(reqs)
+    assert [r.request_id for r in results] == [f"one-{i}" for i in range(5)]
+    for r in results:
+        assert r.completion_tokens == 1
+        assert r.finish_reason in ("stop", "length")
+    assert all(eng.slot_free)
