@@ -613,7 +613,7 @@ def _decode_append_quant_kernel(
         layer_ref,             # SMEM (1,) int32
         q_ref,                 # VMEM (SPP, KVH*G, D)
         newk_ref, newv_ref,    # VMEM (SPP, KVH, D) int8
-        newks_ref, newvs_ref,  # VMEM (SPP, KVH) row scales
+        newks_ref, newvs_ref,  # VMEM (SPP, KVH, 1) row scales
         k_in, v_in,            # ANY int8 (L, B, KVH, M, D)
         ks_in, vs_in,          # ANY (L, B, KVH, M)
         o_ref,                 # VMEM (SPP, KVH*G, D)
@@ -678,10 +678,10 @@ def _decode_append_quant_kernel(
         col_sel = (jax.lax.broadcasted_iota(jnp.int32, (kvh, sslab), 1)
                    == seqs[sp] - sslab_starts[sp])
         ksslab[sp] = jnp.where(col_sel,
-                               newks_ref[sp][:, None].astype(ksslab.dtype),
+                               newks_ref[sp].astype(ksslab.dtype),
                                ksslab[sp])
         vsslab[sp] = jnp.where(col_sel,
-                               newvs_ref[sp][:, None].astype(vsslab.dtype),
+                               newvs_ref[sp].astype(vsslab.dtype),
                                vsslab[sp])
         wc = pltpu.make_async_copy(
             kslab.at[sp], k_out.at[lidx, slot, pl.ds(0, kvh),
@@ -791,8 +791,8 @@ def _decode_append_quant_kernel(
     for sp in range(spp):
         newk = newk_ref[sp]
         newv = newv_ref[sp]
-        newks = newks_ref[sp].astype(jnp.float32)
-        newvs = newvs_ref[sp].astype(jnp.float32)
+        newks = newks_ref[sp][:, 0].astype(jnp.float32)
+        newvs = newvs_ref[sp][:, 0].astype(jnp.float32)
         q = q_ref[sp]
         for h in range(kvh):
             rows = slice(h * group, (h + 1) * group)
@@ -879,9 +879,12 @@ def paged_decode_append_quant(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((spp, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((spp, kvh), lambda bb, lens, lay: (bb, 0),
+            # trailing unit dim: a (spp, kvh) block violates Mosaic's
+            # last-two-dims rule (kvh=2 not divisible by 8); (kvh, 1) blocks
+            # equal the array's own last two dims, which is allowed
+            pl.BlockSpec((spp, kvh, 1), lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((spp, kvh), lambda bb, lens, lay: (bb, 0),
+            pl.BlockSpec((spp, kvh, 1), lambda bb, lens, lay: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -932,7 +935,8 @@ def paged_decode_append_quant(
         interpret=interpret,
     )(cache_len.astype(jnp.int32),
       jnp.reshape(layer, (1,)).astype(jnp.int32),
-      qg, new_k, new_v, new_ks.astype(sdtype), new_vs.astype(sdtype),
+      qg, new_k, new_v,
+      new_ks.astype(sdtype)[..., None], new_vs.astype(sdtype)[..., None],
       k_cache, v_cache, ks_cache, vs_cache)
 
     attn, k_new, v_new, ks_new, vs_new = out
