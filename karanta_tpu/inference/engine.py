@@ -825,7 +825,6 @@ class Engine:
         each. Returns the (K,) first-token device array (synced by the
         caller's wave)."""
         k = len(group)
-        st0 = group[0].staged
         p_tokens = group[0].image_feeds[0]["pix_dev"].shape[0]
         pad_merged = p_tokens // self.cfg.vision.merge_unit
         layout0 = group[0].image_feeds[0]["layout"]

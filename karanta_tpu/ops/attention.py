@@ -244,13 +244,14 @@ def flash_attention(
     interpret: bool = False,
     q_offset: int = 0,
 ) -> jnp.ndarray:
-    if _FLASH_BLOCKS_OVERRIDE is not None:
-        block_q, block_k = _FLASH_BLOCKS_OVERRIDE
     """Pallas flash attention. q (B,Sq,H,D), k/v (B,Sk,KVH,D), kv_mask (B,Sk).
 
     q_offset shifts query positions for causal masking: query row i sits at
     global position q_offset + i while kv rows start at 0 (prefix-cache
     continuation prefill)."""
+    if _FLASH_BLOCKS_OVERRIDE is not None and (block_q, block_k) == (512, 1024):
+        # env tuning hook applies only to default-block call sites
+        block_q, block_k = _FLASH_BLOCKS_OVERRIDE
     b, sq, h, d = q.shape
     _, sk, kvh, _ = k.shape
     assert h % kvh == 0, (h, kvh)

@@ -540,6 +540,11 @@ def paged_decode_append(
     group = h // kvh
     scale = float(d ** -0.5 if scale is None else scale)
     block = min(block, m)
+    # block must divide the bucket: nblocks = m // block and the ring DMA
+    # slices pl.ds(i*block, block) — a non-divisor would run the last slice
+    # past the bucket (silently wrong if Mosaic clamps, OOB read otherwise)
+    while m % block:
+        block //= 2
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
     while b % spp:
@@ -852,6 +857,9 @@ def paged_decode_append_quant(
     group = h // kvh
     scale = float(d ** -0.5 if scale is None else scale)
     block = min(block, m)
+    # block must divide the bucket (ring DMA slices pl.ds(i*block, block))
+    while m % block:
+        block //= 2
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
     while b % spp:
@@ -860,7 +868,8 @@ def paged_decode_append_quant(
     slab = min(32, m)
     sslab = min(128, m)   # scale slab: full 128-lane tiles of the (KVH, M) dims
     if m % slab or m % sslab:
-        raise ValueError(f"max_seq_len {m} must be a multiple of {sslab}")
+        raise ValueError(
+            f"max_seq_len {m} must be a multiple of {slab} and {sslab}")
     compute_dtype = q.dtype
     sdtype = ks_cache.dtype   # scales stay in their storage dtype: a cast
                               # would break input_output aliasing (fresh
