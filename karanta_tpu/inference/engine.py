@@ -115,6 +115,11 @@ class _Prepared:
     staged: Optional[dict] = None        # fused-path operands pre-put on device
 
 
+class ContextLengthError(ValueError):
+    """Prompt does not fit the engine's context window (maps to HTTP 400,
+    like vLLM's maximum-context-length rejection)."""
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -155,6 +160,17 @@ class Engine:
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
+        # prefill buckets must fit the KV cache: a prefill padded past
+        # max_seq_len cannot be inserted into a slot (shape mismatch at
+        # insert). Clamp the ladder and make the full context a bucket.
+        engine_cfg = dataclasses.replace(
+            engine_cfg,
+            prefill_buckets=tuple(sorted(
+                {b for b in engine_cfg.prefill_buckets
+                 if b <= engine_cfg.max_seq_len} | {engine_cfg.max_seq_len})),
+            image_token_buckets=tuple(sorted(
+                {b for b in engine_cfg.image_token_buckets
+                 if b <= engine_cfg.max_seq_len} | {engine_cfg.max_seq_len})))
         self.ecfg = engine_cfg
         self._key = jax.random.PRNGKey(rng_seed)
 
@@ -567,6 +583,11 @@ class Engine:
             img_idx = np.flatnonzero(ids == self.tok.image_pad_id)
             if len(img_idx) and img_idx[0] >= self.ecfg.prefix_min_tokens:
                 prefix_len = int(img_idx[0])
+
+        if len(ids) >= self.ecfg.max_seq_len:
+            raise ContextLengthError(
+                f"prompt is {len(ids)} tokens but the maximum context length "
+                f"is {self.ecfg.max_seq_len} (>=1 output token required)")
 
         prepared = _Prepared(
             ids=ids, positions=positions, image_feeds=image_feeds,

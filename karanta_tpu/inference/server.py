@@ -302,7 +302,10 @@ class InferenceServer:
         try:
             result = await future
         except Exception as exc:
-            await self._respond(writer, 500, {"error": str(exc)})
+            from karanta_tpu.inference.engine import ContextLengthError
+
+            status = 400 if isinstance(exc, ContextLengthError) else 500
+            await self._respond(writer, status, {"error": str(exc)})
             return
 
         await self._respond(writer, 200, {

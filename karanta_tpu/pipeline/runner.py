@@ -94,6 +94,10 @@ class PipelineArgs:
     serve_inproc: bool = False
     model_path: Optional[str] = None
     server_extra_args: list[str] = field(default_factory=list)
+    # queue-depth worker admission (reference pipeline.py:815-843,1366)
+    admission_control: bool = True
+    admission_poll_interval: float = 1.0
+    admission_release_interval: float = 30.0
 
 
 async def build_page_query(local_pdf_path: str, page: int,
@@ -251,6 +255,9 @@ async def process_pdf(args, worker_id: int, pdf_orig_path: str) -> Optional[dict
     except FileNotFoundError:
         logger.info("source not found, skipping %s", pdf_orig_path)
         return None
+    except Exception:
+        logger.exception("could not fetch %s, skipping", pdf_orig_path)
+        return None
 
     if is_png(data) or is_jpeg(data):
         data = convert_image_to_pdf_bytes(data)
@@ -302,14 +309,29 @@ async def process_pdf(args, worker_id: int, pdf_orig_path: str) -> Optional[dict
 
 
 def _read_source_bytes(path: str) -> bytes:
+    """Read a work document: local path or s3://|gs:// URI with backoff
+    (reference pipeline.py:456-470 get_s3_bytes_with_backoff)."""
+    if "://" in path:
+        from karanta_tpu.pipeline.work_queue import fetch_remote_bytes
+
+        return fetch_remote_bytes(path)
     with open(path, "rb") as f:
         return f.read()
 
 
 async def worker(args, work_queue: WorkQueue, semaphore: asyncio.Semaphore,
-                 worker_id: int) -> None:
+                 worker_id: int, release_per_item: bool = False) -> None:
+    """Drain work groups. Under admission control (release_per_item=False)
+    a permit is consumed per work item and only the admission controller
+    mints new ones — the reference's one-at-a-time worker ramp
+    (pipeline.py:594-615,1366)."""
     backend = work_queue.backend
     while True:
+        if work_queue.size == 0:
+            # queue drained: exit without waiting for an admission permit,
+            # and post one so blocked siblings wake and exit too
+            semaphore.release()
+            return
         await semaphore.acquire()
         item = await work_queue.get_work()
         if item is None:
@@ -340,7 +362,8 @@ async def worker(args, work_queue: WorkQueue, semaphore: asyncio.Semaphore,
                              worker_id, item.hash)
         finally:
             await tracker.clear_work(worker_id)
-            semaphore.release()
+            if release_per_item:
+                semaphore.release()
 
 
 def _write_markdown(workspace: str, docs: list[dict]) -> None:
@@ -364,6 +387,79 @@ async def server_ready(server: str, attempts: int = 300) -> bool:
             pass
         await asyncio.sleep(1)
     return False
+
+
+async def admission_controller(args, semaphore: asyncio.Semaphore,
+                               stop: asyncio.Event) -> None:
+    """Ramp worker admission off the engine's queue depth.
+
+    Mirrors the reference's timeout_task (pipeline.py:815-843): poll the
+    server's /metrics running/waiting counters every poll interval and mint
+    one more worker permit when (a) the waiting queue has drained below 20%
+    of the peak running count, (b) at least admission_release_interval has
+    passed since the last release, (c) all existing permits are in use, and
+    (d) the engine is idle or its running count decreased since the last
+    poll. Keeps the engine saturated without letting its queue grow
+    unboundedly.
+    """
+    import time
+
+    base = args.server.rstrip("/")
+    if base.endswith("/v1"):
+        base = base[: -len("/v1")]
+    metrics_url = f"{base}/metrics"
+
+    peak_running = 0
+    last_running = 0
+    running_decreased = False
+    consecutive_failures = 0
+    last_release = time.monotonic()
+    while not stop.is_set():
+        try:
+            await asyncio.wait_for(stop.wait(), args.admission_poll_interval)
+            return
+        except asyncio.TimeoutError:
+            pass
+
+        try:
+            status, body = await aget(metrics_url, timeout=5)
+            data = json.loads(body) if status == 200 else None
+        except (ConnectionError, OSError, asyncio.TimeoutError,
+                json.JSONDecodeError):
+            data = None
+
+        now = time.monotonic()
+        if data is None:
+            # dead/unscrapable metrics must not wedge the pipeline: after
+            # ~30 failed polls fall back to timed releases
+            consecutive_failures += 1
+            if (consecutive_failures >= 30 and semaphore.locked()
+                    and now - last_release > args.admission_release_interval):
+                logger.warning(
+                    "admission: metrics unreachable %d polls; releasing on "
+                    "timer", consecutive_failures)
+                semaphore.release()
+                last_release = now
+            continue
+        consecutive_failures = 0
+
+        running = int(data.get("running", 0))
+        waiting = int(data.get("waiting", 0))
+        if running < last_running:
+            running_decreased = True
+        last_running = running
+        peak_running = max(peak_running, running)
+
+        if (waiting <= int(peak_running * 0.2)
+                and now - last_release > args.admission_release_interval
+                and semaphore.locked()
+                and (running == 0 or running_decreased)):
+            semaphore.release()
+            running_decreased = False
+            last_release = now
+            logger.info(
+                "admission: released a permit (running=%d waiting=%d peak=%d)",
+                running, waiting, peak_running)
 
 
 async def metrics_reporter(interval: float = 10.0) -> None:
@@ -415,10 +511,19 @@ async def amain(args: PipelineArgs) -> None:
         print_stats(backend.local_root)
         return
 
+    # fail fast on a broken environment (reference pipeline.py:1263,1342)
+    from karanta_tpu.pipeline.preflight import check_device, check_rasterizer
+
+    check_rasterizer()
+    if args.serve_inproc:
+        check_device(require_accelerator=True)
+
     if args.pdfs:
         paths: list[str] = []
         for pattern in args.pdfs:
-            if os.path.exists(pattern):
+            if "://" in pattern:
+                paths.append(pattern)  # remote URI, fetched per-document
+            elif os.path.exists(pattern):
                 paths.append(pattern)
             else:
                 paths.extend(globmod.glob(pattern, recursive=True))
@@ -455,10 +560,26 @@ async def amain(args: PipelineArgs) -> None:
             raise RuntimeError(f"server at {args.server} never became ready")
 
         reporter = asyncio.create_task(metrics_reporter())
-        semaphore = asyncio.Semaphore(args.workers)
-        workers = [asyncio.create_task(worker(args, work_queue, semaphore, i))
+        stop_admission = asyncio.Event()
+        admission = None
+        if args.admission_control:
+            # one permit to start; the controller ramps admission as the
+            # engine's queue drains (reference pipeline.py:1366)
+            semaphore = asyncio.Semaphore(1)
+            admission = asyncio.create_task(
+                admission_controller(args, semaphore, stop_admission))
+            release_per_item = False
+        else:
+            semaphore = asyncio.Semaphore(args.workers)
+            release_per_item = True
+        workers = [asyncio.create_task(
+                       worker(args, work_queue, semaphore, i,
+                              release_per_item=release_per_item))
                    for i in range(args.workers)]
         await asyncio.gather(*workers)
+        stop_admission.set()
+        if admission is not None:
+            await admission
         reporter.cancel()
         logger.info("final metrics:\n%s", metrics)
         print(json.dumps(metrics.get_metrics_summary(), default=str, indent=2))
@@ -534,8 +655,19 @@ def parse_args(argv: Optional[list[str]] = None) -> PipelineArgs:
     parser.add_argument("--serve-inproc", dest="serve_inproc",
                         action="store_true")
     parser.add_argument("--model-path", dest="model_path", default=None)
-    ns = parser.parse_args(argv)
-    return PipelineArgs(**vars(ns))
+    parser.add_argument("--no-admission-control", dest="admission_control",
+                        action="store_false",
+                        help="flat worker semaphore instead of queue-depth "
+                             "admission ramp")
+    parser.add_argument("--admission_poll_interval", type=float, default=1.0)
+    parser.add_argument("--admission_release_interval", type=float,
+                        default=30.0)
+    # unknown flags pass through to the spawned inference server, as the
+    # reference forwards unknowns to vLLM (pipeline.py:1249,733-734)
+    ns, extra = parser.parse_known_args(argv)
+    args = PipelineArgs(**vars(ns))
+    args.server_extra_args = extra
+    return args
 
 
 def main(argv: Optional[list[str]] = None) -> None:

@@ -197,6 +197,63 @@ class _GCSStore:
         return self._bucket.blob(key).exists()
 
 
+# scheme -> store class; tests swap in an in-memory store here so remote
+# workspaces and document fetches run hermetically without cloud SDKs
+STORE_FACTORIES: dict[str, type] = {"s3": _S3Store, "gs": _GCSStore}
+
+_STORE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def get_store(scheme: str, bucket: str):
+    """Cached store client for one bucket (one boto3/GCS client per bucket)."""
+    key = (scheme, bucket)
+    store = _STORE_CACHE.get(key)
+    if store is None:
+        factory = STORE_FACTORIES.get(scheme)
+        if factory is None:
+            raise ValueError(f"unsupported object-store scheme: {scheme}")
+        store = _STORE_CACHE[key] = factory(bucket)
+    return store
+
+
+def clear_store_cache() -> None:
+    _STORE_CACHE.clear()
+
+
+def fetch_remote_bytes(uri: str, attempts: int = 6,
+                       base_delay: float = 1.0) -> bytes:
+    """Read one s3://|gs:// object with jittered exponential backoff.
+
+    The pipeline hot path fetches every work document through this
+    (reference pipeline.py:456-470 get_s3_bytes_with_backoff). Raises
+    FileNotFoundError for a missing object — callers skip those documents —
+    and the last transport error once attempts are exhausted.
+    """
+    import random
+    import time
+
+    scheme, rest = uri.split("://", 1)
+    bucket, _, key = rest.partition("/")
+    store = get_store(scheme, bucket)
+    last_exc: Optional[Exception] = None
+    for attempt in range(attempts):
+        try:
+            data = store.get(key)
+            if data is None:
+                raise FileNotFoundError(uri)
+            return data
+        except FileNotFoundError:
+            raise
+        except Exception as exc:
+            last_exc = exc
+            delay = base_delay * (2 ** attempt) * (0.5 + random.random())
+            logger.warning("fetch %s attempt %d failed (%s); sleeping %.1fs",
+                           uri, attempt, exc, delay)
+            time.sleep(delay)
+    raise RuntimeError(f"could not fetch {uri} "
+                       f"after {attempts} attempts") from last_exc
+
+
 class RemoteBackend:
     """Work queue over an object store, LocalBackend-compatible surface.
 
@@ -213,12 +270,8 @@ class RemoteBackend:
         self.prefix = prefix.rstrip("/")
         if store is not None:
             self.store = store
-        elif scheme == "s3":
-            self.store = _S3Store(bucket)
-        elif scheme == "gs":
-            self.store = _GCSStore(bucket)
         else:
-            raise ValueError(f"unsupported workspace scheme: {scheme}")
+            self.store = get_store(scheme, bucket)
         self._mirror = local_mirror or os.path.join(
             os.path.expanduser("~/.cache/karanta_tpu/workspaces"),
             hashlib.sha1(workspace.encode()).hexdigest()[:16])

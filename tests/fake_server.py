@@ -20,6 +20,8 @@ class FakeOpenAIServer:
         self.calls: list[dict] = []
         self._server: Optional[asyncio.AbstractServer] = None
         self.port: Optional[int] = None
+        # mutable queue depths served on GET /metrics (admission-control tests)
+        self.metrics = {"running": 0, "waiting": 0}
 
     @staticmethod
     def page_json(text: str = "Hello from fake model", **overrides) -> dict:
@@ -92,6 +94,9 @@ class FakeOpenAIServer:
             if method == "GET" and path.endswith("/models"):
                 payload = json.dumps({"object": "list",
                                       "data": [{"id": "fake"}]}).encode()
+                status = 200
+            elif method == "GET" and path.endswith("/metrics"):
+                payload = json.dumps(dict(self.metrics)).encode()
                 status = 200
             elif method == "POST" and path.endswith("/chat/completions"):
                 request = json.loads(body)

@@ -57,6 +57,24 @@ class TestChat:
 
 
 class TestEngine:
+    def test_overlong_prompt_rejected_cleanly(self, engine):
+        from karanta_tpu.inference.engine import ContextLengthError
+
+        with pytest.raises(ContextLengthError):
+            engine.prepare(GenRequest(
+                messages=_messages("x" * 1024, with_image=False)))
+
+    def test_prefill_buckets_clamped_to_context(self):
+        """Buckets above max_seq_len would produce uninsertable prefills
+        (found by driving --serve-inproc with --max-model-len 256)."""
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        ecfg = EngineConfig(max_batch_size=1, max_seq_len=192,
+                            prefill_buckets=(256, 512, 1024),
+                            image_token_buckets=(256,), dtype=jnp.float32)
+        eng = Engine(params, CFG, ByteTokenizer(), ecfg)
+        assert max(eng.ecfg.prefill_buckets) == 192
+        assert max(eng.ecfg.image_token_buckets) == 192
+
     def test_text_generation(self, engine):
         req = GenRequest(messages=_messages(with_image=False),
                          max_tokens=12, temperature=0.0, request_id="r1")

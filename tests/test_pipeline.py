@@ -40,6 +40,7 @@ def _args(tmp_path, server_url, **kw):
     defaults = dict(
         workspace=str(tmp_path / "ws"), server=server_url, workers=2,
         max_page_retries=3, target_longest_image_dim=256,
+        admission_poll_interval=0.02, admission_release_interval=0.0,
     )
     defaults.update(kw)
     return PipelineArgs(**defaults)

@@ -22,8 +22,9 @@ def test_pipeline_spawns_and_supervises_server(tmp_path, monkeypatch):
     from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
     from karanta_tpu.pipeline.runner import PipelineArgs, amain
 
-    # the spawned server must run on CPU in tests
+    # the spawned server must run on CPU in tests; preflight must accept it
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("KARANTA_ALLOW_CPU", "1")
 
     img = Image.fromarray(np.random.default_rng(0).integers(
         180, 255, (60, 48, 3), dtype=np.uint8))
