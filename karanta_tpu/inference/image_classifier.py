@@ -4,8 +4,10 @@ Parity surface with reference karanta/inference/image_classifier.py:8-54:
 `load_image` accepts a path/URL-string, PIL image, numpy array, or
 torch-style tensor and normalizes to RGB; `predict_layout` returns the best
 {"label", "score"} over the segment/no_segment classes. The backing model is
-our JAX ViT (models/classifier/vit.py); a lazily-created singleton mirrors
-the reference's module-level pipeline.
+architecture-dispatched: SegFormer (the reference's production checkpoint
+`taresco/newspaper_classifier_segformer` — models/classifier/segformer.py)
+or ViT (models/classifier/vit.py); a lazily-created singleton mirrors the
+reference's module-level pipeline.
 """
 
 from __future__ import annotations
@@ -15,35 +17,70 @@ from typing import Any, Optional
 
 import numpy as np
 
-# ImageNet normalization used by HF image classifiers
-IMAGENET_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
-IMAGENET_STD = np.array([0.5, 0.5, 0.5], np.float32)
+# HF ViT-style processors normalize with 0.5s; SegFormer's processor uses
+# the ImageNet statistics
+HALF_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
+HALF_STD = np.array([0.5, 0.5, 0.5], np.float32)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class LayoutClassifier:
-    def __init__(self, params: Any, cfg: Any):
+    def __init__(self, params: Any, cfg: Any, arch: str = "vit"):
         import functools
 
         import jax
 
-        from karanta_tpu.models.classifier.vit import vit_forward
+        if arch == "vit":
+            from karanta_tpu.models.classifier.vit import vit_forward
 
+            forward, self.mean, self.std = vit_forward, HALF_MEAN, HALF_STD
+        elif arch == "segformer":
+            from karanta_tpu.models.classifier.segformer import (
+                segformer_forward,
+            )
+
+            forward = segformer_forward
+            self.mean, self.std = IMAGENET_MEAN, IMAGENET_STD
+        else:
+            raise ValueError(f"unknown classifier arch {arch!r}")
+        self.arch = arch
         self.params = params
         self.cfg = cfg
-        self._forward = jax.jit(functools.partial(vit_forward, cfg=cfg))
+        self._forward = jax.jit(functools.partial(forward, cfg=cfg))
 
     @classmethod
     def from_checkpoint(cls, path: str) -> "LayoutClassifier":
-        """Load from an HF ViTForImageClassification directory (safetensors)."""
+        """Load an HF image-classification directory (safetensors).
+
+        Dispatches on config.json model_type: segformer (the reference's
+        production classifier) or vit.
+        """
         import glob as globmod
         import json
 
         from safetensors import safe_open
 
-        from karanta_tpu.models.classifier.vit import ViTConfig, convert_hf_vit
-
         with open(os.path.join(path, "config.json")) as f:
             hf_cfg = json.load(f)
+        state = {}
+        for file in globmod.glob(os.path.join(path, "*.safetensors")):
+            with safe_open(file, framework="np") as f:
+                for key in f.keys():
+                    state[key] = f.get_tensor(key)
+
+        model_type = hf_cfg.get("model_type", "vit")
+        if model_type == "segformer":
+            from karanta_tpu.models.classifier.segformer import (
+                convert_hf_segformer, segformer_config_from_hf,
+            )
+
+            cfg = segformer_config_from_hf(hf_cfg)
+            return cls(convert_hf_segformer(state, cfg), cfg,
+                       arch="segformer")
+
+        from karanta_tpu.models.classifier.vit import ViTConfig, convert_hf_vit
+
         id2label = hf_cfg.get("id2label", {"0": "no_segment", "1": "segment"})
         labels = tuple(id2label[str(i)] for i in range(len(id2label)))
         cfg = ViTConfig(
@@ -54,17 +91,20 @@ class LayoutClassifier:
             num_heads=hf_cfg.get("num_attention_heads", 12),
             intermediate_size=hf_cfg.get("intermediate_size", 3072),
             num_classes=len(labels), labels=labels)
-        state = {}
-        for file in globmod.glob(os.path.join(path, "*.safetensors")):
-            with safe_open(file, framework="np") as f:
-                for key in f.keys():
-                    state[key] = f.get_tensor(key)
         return cls(convert_hf_vit(state, cfg), cfg)
 
     @classmethod
-    def random(cls, seed: int = 0) -> "LayoutClassifier":
+    def random(cls, seed: int = 0, arch: str = "vit") -> "LayoutClassifier":
         import jax
 
+        if arch == "segformer":
+            from karanta_tpu.models.classifier.segformer import (
+                SegFormerConfig, init_segformer_params,
+            )
+
+            cfg = SegFormerConfig()
+            return cls(init_segformer_params(cfg, jax.random.PRNGKey(seed)),
+                       cfg, arch="segformer")
         from karanta_tpu.models.classifier.vit import ViTConfig, init_vit_params
 
         cfg = ViTConfig()
@@ -77,7 +117,7 @@ class LayoutClassifier:
         pil = pil.resize((self.cfg.image_size, self.cfg.image_size),
                          Image.Resampling.BILINEAR)
         arr = np.asarray(pil, np.float32) / 255.0
-        return (arr - IMAGENET_MEAN) / IMAGENET_STD
+        return (arr - self.mean) / self.std
 
     def predict(self, image) -> dict:
         import jax

@@ -27,6 +27,9 @@ class ClassifierArguments:
     dataset_dir: str = ""                # imagefolder: <dir>/<label>/*.png
     dataset_mix: Optional[List[str]] = None  # "dir:fraction" entries
     output_dir: str = "runs/classifier"
+    # architecture: vit | segformer (mit-b0, the reference's production
+    # arch) | segformer-tiny (2-stage, for dummy/integration configs)
+    arch: str = "vit"
     image_size: int = 224
     patch_size: int = 16
     hidden_size: int = 384
@@ -111,20 +114,31 @@ def _augment(pil, rng: np.random.Generator):
     return canvas
 
 
-def _load_batch(paths: list[str], size: int, rng=None) -> np.ndarray:
-    from PIL import Image
-
+def _norm_stats(arch: str) -> tuple[np.ndarray, np.ndarray]:
+    """Normalization must match what inference uses for the arch
+    (image_classifier.LayoutClassifier): 0.5s for ViT-style processors,
+    ImageNet statistics for SegFormer's."""
     from karanta_tpu.inference.image_classifier import (
-        IMAGENET_MEAN, IMAGENET_STD,
+        HALF_MEAN, HALF_STD, IMAGENET_MEAN, IMAGENET_STD,
     )
 
+    if arch.startswith("segformer"):
+        return IMAGENET_MEAN, IMAGENET_STD
+    return HALF_MEAN, HALF_STD
+
+
+def _load_batch(paths: list[str], size: int, rng=None,
+                arch: str = "vit") -> np.ndarray:
+    from PIL import Image
+
+    mean, std = _norm_stats(arch)
     out = np.zeros((len(paths), size, size, 3), np.float32)
     for i, path in enumerate(paths):
         pil = Image.open(path).convert("RGB")
         if rng is not None:
             pil = _augment(pil, rng)
         pil = pil.resize((size, size), Image.Resampling.BILINEAR)
-        out[i] = (np.asarray(pil, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        out[i] = (np.asarray(pil, np.float32) / 255.0 - mean) / std
     return out
 
 
@@ -151,18 +165,33 @@ def main(argv: Optional[list[str]] = None) -> dict:
         raise RuntimeError("no training images found")
     logger.info("%d images, labels=%s", len(paths), labels)
 
-    cfg = ViTConfig(image_size=args.image_size, patch_size=args.patch_size,
-                    hidden_size=args.hidden_size, num_layers=args.num_layers,
-                    num_heads=args.num_heads,
-                    intermediate_size=args.intermediate_size,
-                    num_classes=len(labels), labels=tuple(labels))
+    if args.arch == "vit":
+        cfg = ViTConfig(image_size=args.image_size, patch_size=args.patch_size,
+                        hidden_size=args.hidden_size,
+                        num_layers=args.num_layers, num_heads=args.num_heads,
+                        intermediate_size=args.intermediate_size,
+                        num_classes=len(labels), labels=tuple(labels))
+        init_params_fn, forward_fn = init_vit_params, vit_forward
+    elif args.arch in ("segformer", "segformer-tiny"):
+        from karanta_tpu.models.classifier.segformer import (
+            SegFormerConfig, init_segformer_params, segformer_forward,
+            tiny_segformer,
+        )
+
+        base = (tiny_segformer(len(labels)) if args.arch == "segformer-tiny"
+                else SegFormerConfig(num_classes=len(labels)))
+        cfg = dataclasses.replace(base, image_size=args.image_size,
+                                  labels=tuple(labels))
+        init_params_fn, forward_fn = init_segformer_params, segformer_forward
+    else:
+        raise ValueError(f"unknown arch {args.arch!r}")
 
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(len(paths))
     n_eval = max(1, int(len(paths) * args.eval_fraction)) if len(paths) > 2 else 0
     eval_idx, train_idx = order[:n_eval], order[n_eval:]
 
-    params = init_vit_params(cfg, jax.random.PRNGKey(args.seed))
+    params = init_params_fn(cfg, jax.random.PRNGKey(args.seed))
     steps_per_epoch = max(1, len(train_idx) // args.batch_size)
     total_steps = (args.max_steps if args.max_steps > 0
                    else steps_per_epoch * args.num_epochs)
@@ -171,7 +200,7 @@ def main(argv: Optional[list[str]] = None) -> dict:
     optimizer = optax.adamw(schedule, weight_decay=args.weight_decay)
     opt_state = optimizer.init(params)
 
-    forward = functools.partial(vit_forward, cfg=cfg)
+    forward = functools.partial(forward_fn, cfg=cfg)
 
     @jax.jit
     def train_step(params, opt_state, images, label_ids):
@@ -205,7 +234,7 @@ def main(argv: Optional[list[str]] = None) -> dict:
         sel = [int(train_idx[(step * args.batch_size + k) % len(train_idx)])
                for k in range(args.batch_size)]
         images = _load_batch([paths[i] for i in sel], args.image_size,
-                             rng if args.augment else None)
+                             rng if args.augment else None, arch=args.arch)
         label_ids = jnp.asarray([ids[i] for i in sel])
         params, opt_state, loss, acc = train_step(
             params, opt_state, jnp.asarray(images), label_ids)
@@ -224,7 +253,8 @@ def main(argv: Optional[list[str]] = None) -> dict:
         correct = total = 0
         for start in range(0, len(eval_idx), args.batch_size):
             sel = [int(i) for i in eval_idx[start:start + args.batch_size]]
-            images = _load_batch([paths[i] for i in sel], args.image_size)
+            images = _load_batch([paths[i] for i in sel], args.image_size,
+                                 arch=args.arch)
             logits = np.asarray(eval_logits(params, jnp.asarray(images)))
             correct += (logits.argmax(-1) == np.asarray(
                 [ids[i] for i in sel])).sum()

@@ -86,6 +86,61 @@ class TestViTParity:
         np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=1e-3)
 
 
+class TestSegFormerParity:
+    def _hf_tiny(self, num_labels=3):
+        torch = pytest.importorskip("torch")
+        from transformers import SegformerConfig as HFSegConfig
+        from transformers import SegformerForImageClassification
+
+        torch.manual_seed(0)
+        return SegformerForImageClassification(HFSegConfig(
+            num_encoder_blocks=2, hidden_sizes=[8, 16], depths=[1, 1],
+            num_attention_heads=[1, 2], sr_ratios=[4, 1], patch_sizes=[7, 3],
+            strides=[4, 2], mlp_ratios=[2, 2], num_labels=num_labels,
+            id2label={0: "a", 1: "b", 2: "c"},
+            label2id={"a": 0, "b": 1, "c": 2})).eval()
+
+    def test_matches_hf_segformer(self):
+        torch = pytest.importorskip("torch")
+        from karanta_tpu.models.classifier.segformer import (
+            convert_hf_segformer, segformer_forward, tiny_segformer,
+        )
+
+        cfg = tiny_segformer(num_classes=3)
+        hf = self._hf_tiny()
+        params = convert_hf_segformer(hf.state_dict(), cfg)
+
+        rng = np.random.default_rng(1)
+        images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            hf_logits = hf(torch.tensor(
+                images.transpose(0, 3, 1, 2))).logits.numpy()
+        import jax.numpy as jnp
+
+        ours = np.asarray(segformer_forward(params, cfg, jnp.asarray(images)))
+        np.testing.assert_allclose(ours, hf_logits, atol=5e-4, rtol=1e-3)
+
+    def test_from_checkpoint_dispatches_segformer(self, tmp_path):
+        """The reference's production checkpoint layout
+        (taresco/newspaper_classifier_segformer) loads through
+        LayoutClassifier.from_checkpoint via config.json model_type."""
+        pytest.importorskip("torch")
+        hf = self._hf_tiny()
+        hf.save_pretrained(tmp_path / "ckpt", safe_serialization=True)
+
+        clf = LayoutClassifier.from_checkpoint(str(tmp_path / "ckpt"))
+        assert clf.arch == "segformer"
+        assert clf.cfg.labels == ("a", "b", "c")
+        out = clf.predict(_sample_image())
+        assert out["label"] in clf.cfg.labels
+        assert 0.0 <= out["score"] <= 1.0
+
+    def test_predict_layout_segformer_random(self):
+        clf = LayoutClassifier.random(arch="segformer")
+        out = clf.predict(_sample_image())
+        assert out["label"] in ("no_segment", "segment")
+
+
 class TestClassifierTrainer:
     def test_trains_on_imagefolder(self, tmp_path):
         from PIL import Image
@@ -113,4 +168,29 @@ class TestClassifierTrainer:
         ])
         assert np.isfinite(metrics["loss"])
         # trivially separable colors: should fit quickly
+        assert metrics["accuracy"] >= 0.75
+
+    def test_trains_segformer_arch(self, tmp_path):
+        from PIL import Image
+
+        from karanta_tpu.training.classifier_train import main
+
+        rng = np.random.default_rng(3)
+        for label, base in (("no_segment", 30), ("segment", 220)):
+            d = tmp_path / "data" / label
+            d.mkdir(parents=True)
+            for i in range(4):
+                arr = np.full((64, 64, 3), base, np.uint8)
+                arr += rng.integers(0, 20, arr.shape, dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+        metrics = main([
+            "--dataset_dir", str(tmp_path / "data"),
+            "--output_dir", str(tmp_path / "run"),
+            "--arch", "segformer-tiny", "--image_size", "64",
+            "--batch_size", "4", "--max_steps", "10",
+            "--learning_rate", "0.002", "--checkpointing_steps", "0",
+            "--logging_steps", "5", "--augment", "false",
+        ])
+        assert np.isfinite(metrics["loss"])
         assert metrics["accuracy"] >= 0.75
