@@ -108,7 +108,8 @@ class _Prepared:
     temperature: float
     top_p: float
     request_id: str
-    guide: Optional[Any] = None          # guided-decoding automaton state
+    guide: Optional[Any] = None          # DFA start state, bound at prefill
+    guide_regex: Optional[str] = None    # requested constraint (unbound)
     prefix_len: int = 0                  # shared-prefix tokens (0 = no reuse)
     logprobs: bool = False
     top_logprobs: int = 0
@@ -118,6 +119,12 @@ class _Prepared:
 class ContextLengthError(ValueError):
     """Prompt does not fit the engine's context window (maps to HTTP 400,
     like vLLM's maximum-context-length rejection)."""
+
+
+class GuidedRegexBusy(RuntimeError):
+    """A different guided regex is active with live slots. Callers defer the
+    request until the active automaton drains — the constraint is never
+    silently dropped."""
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -574,10 +581,9 @@ class Engine:
         ids = np.asarray(ids, np.int32)
         positions = mrope_positions(ids, grids, self.tok.image_pad_id,
                                     self.cfg.vision.spatial_merge_size)
-        guide = None
-        if request.guided_regex:
-            guide = self._ensure_automaton(request.guided_regex)
-
+        # the automaton is bound at prefill time, not here: prepare() runs in
+        # a thread pool, and an eager table swap could invalidate another
+        # in-flight request's start state between its prepare and insert
         prefix_len = 0
         if self.ecfg.prefix_cache and img_token_counts:
             img_idx = np.flatnonzero(ids == self.tok.image_pad_id)
@@ -593,7 +599,8 @@ class Engine:
             ids=ids, positions=positions, image_feeds=image_feeds,
             img_token_counts=img_token_counts, max_tokens=request.max_tokens,
             temperature=request.temperature, top_p=request.top_p,
-            request_id=request.request_id, guide=guide, prefix_len=prefix_len,
+            request_id=request.request_id, guide=None,
+            guide_regex=request.guided_regex or None, prefix_len=prefix_len,
             logprobs=request.logprobs,
             top_logprobs=min(int(request.top_logprobs or 0), 5))
 
@@ -624,23 +631,31 @@ class Engine:
                 true_len=jnp.asarray(s, jnp.int32))
         return prepared
 
-    def _ensure_automaton(self, regex: str) -> Optional[int]:
+    def guided_available(self, regex: str) -> bool:
+        """Can a request with this regex be admitted right now? True when it
+        matches the active automaton or no live slot is still guided."""
+        with self._automaton_lock:
+            if regex == self._guided_regex:
+                return True
+            return not self._active_guided_locked()
+
+    def _active_guided_locked(self) -> bool:
+        return any(guided and not free for guided, free
+                   in zip(self._slot_guided, self.slot_free))
+
+    def _ensure_automaton(self, regex: str) -> int:
         """Compile/activate the token automaton for `regex`. Returns the DFA
-        start state for the new slot, or None if guiding is unavailable
-        (different regex already active with live guided slots). Thread-safe:
-        prepare() may run in a worker pool."""
+        start state for the new slot; raises GuidedRegexBusy when a different
+        regex still has live guided slots (callers defer until it drains)."""
         with self._automaton_lock:
             return self._ensure_automaton_locked(regex)
 
-    def _ensure_automaton_locked(self, regex: str) -> Optional[int]:
+    def _ensure_automaton_locked(self, regex: str) -> int:
         if regex == self._guided_regex:
             return self._automaton_start
-        active_guided = bool(np.any(np.asarray(self.dfa_state) > 0)) and \
-            not all(self.slot_free)
-        if self._guided_regex is not None and active_guided:
-            logger.warning("another guided regex is active; running this "
-                           "request unguided")
-            return None
+        if self._guided_regex is not None and self._active_guided_locked():
+            raise GuidedRegexBusy(
+                "another guided regex has live slots; retry when it drains")
         from karanta_tpu.inference.guided import (
             build_token_automaton, token_bytes_from_tokenizer,
         )
@@ -732,6 +747,10 @@ class Engine:
 
     def prefill(self, prepared: _Prepared):
         """Run prefill; returns (cache, first_token_array, true_len, next_pos)."""
+        if prepared.guide_regex and prepared.guide is None:
+            # bind the automaton now (not at prepare): raises GuidedRegexBusy
+            # when a different regex still has live slots
+            prepared.guide = self._ensure_automaton(prepared.guide_regex)
         s = len(prepared.ids)
 
         if len(prepared.image_feeds) == 1 and not prepared.prefix_len:
@@ -903,7 +922,7 @@ class Engine:
     def _batch_key(prepared: "_Prepared"):
         """Pages batch together when every staged operand shape matches."""
         if (prepared.staged is None or len(prepared.image_feeds) != 1
-                or prepared.guide is not None or prepared.logprobs):
+                or prepared.guide_regex or prepared.logprobs):
             return None
         feed = prepared.image_feeds[0]
         return (int(prepared.staged["ids"].shape[0]),
@@ -1047,8 +1066,15 @@ class Engine:
             # stream dispatches: a full group (or an unbatchable page) goes
             # to the device immediately, so later pages' host prep overlaps
             # earlier pages' prefill instead of idling the chip
+            deferred: list[tuple] = []
             while pending and free_count > 0:
                 req_idx, request = pending.pop(0)
+                if (request.guided_regex
+                        and not self.guided_available(request.guided_regex)):
+                    # a different regex has live slots: hold this request
+                    # until they drain rather than dropping the constraint
+                    deferred.append((req_idx, request))
+                    continue
                 t0 = time.perf_counter()
                 prepared = prep_futures[req_idx].result()
                 tacc["prep_wait"] += time.perf_counter() - t0
@@ -1072,6 +1098,8 @@ class Engine:
             for group in partial.values():
                 for entry in group:
                     dispatch_single(*entry)
+            if deferred:
+                pending = deferred + pending
             t0 = time.perf_counter()
             for req_idx, prepared, slot, start, first in wave:
                 first_host = int(np.asarray(first))

@@ -81,10 +81,19 @@ class InferenceServer:
                 await asyncio.sleep(0.002)
 
     async def _admit(self) -> bool:
+        from karanta_tpu.inference.engine import GuidedRegexBusy
+
         admitted = False
+        deferred: list[tuple] = []
         while any(self.engine.slot_free) and not self.queue.empty():
             request, future, stream_q = self.queue.get_nowait()
             if future.cancelled():
+                continue
+            if (request.guided_regex
+                    and not self.engine.guided_available(request.guided_regex)):
+                # another regex has live guided slots: hold this request
+                # until they drain (never silently drop the constraint)
+                deferred.append((request, future, stream_q))
                 continue
             try:
                 prepared = await asyncio.to_thread(self.engine.prepare, request)
@@ -112,10 +121,14 @@ class InferenceServer:
                 else:
                     self.active[slot] = state
                 admitted = True
+            except GuidedRegexBusy:
+                deferred.append((request, future, stream_q))
             except Exception as exc:
                 logger.exception("failed to admit request")
                 if not future.done():
                     future.set_exception(exc)
+        for item in deferred:
+            self.queue.put_nowait(item)
         return admitted
 
     def _distribute_lists(self, emitted: dict):

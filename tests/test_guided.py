@@ -90,6 +90,30 @@ class TestEngineGuided:
             max_tokens=6, temperature=0.0)])
         assert free.completion_tokens <= 6
 
+    def test_two_regexes_in_flight_both_guided(self):
+        """Requests with different regexes in one batch: the second defers
+        until the first automaton drains, and BOTH outputs match their own
+        constraints (previously the second silently ran unguided)."""
+        tok = ByteTokenizer()
+        cfg = tiny_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        ecfg = EngineConfig(max_batch_size=2, max_seq_len=128, decode_chunk=4,
+                            prefill_buckets=(64, 128),
+                            image_token_buckets=(16,), dtype=jnp.float32)
+        engine = Engine(params, cfg, tok, ecfg)
+
+        p1 = r"(?:yes|no): [0-9]{1,3}"
+        p2 = r"[a-f]{2}-[0-9]{2}"
+        reqs = [
+            GenRequest(messages=[{"role": "user", "content": "classify"}],
+                       max_tokens=24, temperature=1.0, guided_regex=p1),
+            GenRequest(messages=[{"role": "user", "content": "code"}],
+                       max_tokens=24, temperature=1.0, guided_regex=p2),
+        ]
+        r1, r2 = engine.generate(reqs)
+        assert match_full(compile_regex(p1), r1.text.encode()), r1.text
+        assert match_full(compile_regex(p2), r2.text.encode()), r2.text
+
 
 class TestAutomatonBucketing:
     def test_same_bucket_same_shapes(self):

@@ -129,6 +129,32 @@ class TestHTTPSurface:
         results = asyncio.run(go())
         assert all(status == 200 for status, _ in results)
 
+    def test_two_guided_regexes_concurrently(self, server_url):
+        """Two in-flight requests with different guided regexes: the server
+        defers the second until the first automaton drains; both responses
+        match their own constraints (OpenAI-compatible per-request guiding)."""
+        from karanta_tpu.inference.guided import compile_regex, match_full
+
+        p1, p2 = r"(?:yes|no): [0-9]{1,3}", r"[a-f]{2}-[0-9]{2}"
+
+        async def go():
+            def body(pattern):
+                b = _chat_body(text="classify", max_tokens=24)
+                b["temperature"] = 1.0
+                b["guided_regex"] = pattern
+                return b
+
+            return await asyncio.gather(
+                apost(f"{server_url}/v1/chat/completions", body(p1)),
+                apost(f"{server_url}/v1/chat/completions", body(p2)))
+
+        (s1, b1), (s2, b2) = asyncio.run(go())
+        assert s1 == 200 and s2 == 200
+        t1 = json.loads(b1)["choices"][0]["message"]["content"]
+        t2 = json.loads(b2)["choices"][0]["message"]["content"]
+        assert match_full(compile_regex(p1), t1.encode()), t1
+        assert match_full(compile_regex(p2), t2.encode()), t2
+
     def test_bad_request(self, server_url):
         async def go():
             return await apost(f"{server_url}/v1/chat/completions",
