@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 
 QUANT_KEY = "int8_q"  # marker key distinguishing quantized leaves
 
@@ -80,13 +81,15 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
 
 NF4_BLOCK = 64
 
-# the 16 NormalFloat4 code points (QLoRA paper, appendix E), ascending
-NF4_CODE = jnp.asarray(
+# the 16 NormalFloat4 code points (QLoRA paper, appendix E), ascending.
+# numpy on purpose: a module-level jnp constant would initialize the XLA
+# backend at import, breaking jax.distributed.initialize() ordering
+NF4_CODE = np.asarray(
     [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
      -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
      0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
      0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
-     0.7229568362236023, 1.0], jnp.float32)
+     0.7229568362236023, 1.0], np.float32)
 
 NF4_KEY = "nf4_q"
 

@@ -57,25 +57,43 @@ def clean_last_n_checkpoints(output_dir: str, keep_last: int = 2) -> None:
 def save_checkpoint(output_dir: str, step: int, state: Any,
                     metadata: Optional[dict] = None,
                     keep_last: int = 2) -> str:
-    """Save a pytree state to <output_dir>/step_<N>/ atomically."""
+    """Save a pytree state to <output_dir>/step_<N>/ atomically.
+
+    Multi-process safe: the orbax save itself is a collective (every process
+    calls it and writes the shards it owns — fsdp-sharded state never
+    materializes on one host), while the host-side file operations (rmtree,
+    metadata, COMPLETED marker, retention) run on process 0 only, fenced by
+    device barriers.
+    """
+    import jax
     import orbax.checkpoint as ocp
 
+    multiprocess = jax.process_count() > 1
+    primary = not multiprocess or jax.process_index() == 0
+    if multiprocess:
+        from jax.experimental import multihost_utils
+
     path = os.path.join(output_dir, f"step_{step}")
-    os.makedirs(output_dir, exist_ok=True)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    if primary:
+        os.makedirs(output_dir, exist_ok=True)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+    if multiprocess:  # nobody writes into a directory being deleted
+        multihost_utils.sync_global_devices(f"ckpt_pre_{step}")
 
     checkpointer = ocp.StandardCheckpointer()
     checkpointer.save(os.path.abspath(os.path.join(path, "state")), state)
     checkpointer.wait_until_finished()
+    if multiprocess:  # COMPLETED must postdate every process's shards
+        multihost_utils.sync_global_devices(f"ckpt_post_{step}")
 
-    with open(os.path.join(path, "metadata.json"), "w") as f:
-        json.dump({"step": step, **(metadata or {})}, f)
-    with open(os.path.join(path, COMPLETED), "w") as f:
-        f.write("done\n")
-
-    if keep_last:
-        clean_last_n_checkpoints(output_dir, keep_last)
+    if primary:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump({"step": step, **(metadata or {})}, f)
+        with open(os.path.join(path, COMPLETED), "w") as f:
+            f.write("done\n")
+        if keep_last:
+            clean_last_n_checkpoints(output_dir, keep_last)
     logger.info("saved checkpoint %s", path)
     return path
 

@@ -234,17 +234,16 @@ def main(argv: Optional[list[str]] = None) -> dict:
             except ImportError:
                 logger.warning("wandb not installed; logging to stdout only")
 
-        micro = exp.per_device_train_batch_size * mesh.devices.shape[0]
         step = start_step
         last_metrics: dict = {}
         t_start = time.time()
         tokens_seen = 0
+        sampler = EpochSampler(exp.seed, len(train_samples))
         while step < total_steps:
-            idx = [(step * batch_size + k) % len(train_samples)
+            idx = [sampler.index(step * batch_size + k)
                    for k in range(max(batch_size, 1))]
             batch = collator([train_samples[i] for i in idx])
-            batch = _to_device_batch(batch, exp.gradient_accumulation_steps,
-                                     micro)
+            batch = _to_device_batch(batch, mesh)
             if exp.is_profile and (step + 1) % exp.profile_steps == 0:
                 from karanta_tpu.utils.profiling import profile_step
 
@@ -270,7 +269,8 @@ def main(argv: Optional[list[str]] = None) -> dict:
                     tracker.log(last_metrics, step=step)
 
             if exp.eval_steps and step % exp.eval_steps == 0 and eval_samples:
-                eval_loss = _run_eval(eval_fn, eval_params(state), collator, eval_samples)
+                eval_loss = _run_eval(eval_fn, eval_params(state),
+                                      collator, eval_samples, mesh=mesh)
                 logger.info("eval at %d: loss=%.4f", step, eval_loss)
                 if tracker:
                     tracker.log({"eval_loss": eval_loss}, step=step)
@@ -282,7 +282,8 @@ def main(argv: Optional[list[str]] = None) -> dict:
         ckpt.save_checkpoint(exp.output_dir, step, state,
                              keep_last=exp.keep_last_n_checkpoints)
         if eval_samples:
-            final_eval = _run_eval(eval_fn, eval_params(state), collator, eval_samples)
+            final_eval = _run_eval(eval_fn, eval_params(state),
+                                   collator, eval_samples, mesh=mesh)
             last_metrics["final_eval_loss"] = final_eval
             logger.info("final eval loss: %.4f", final_eval)
         if tracker:
@@ -290,30 +291,96 @@ def main(argv: Optional[list[str]] = None) -> dict:
         return last_metrics
 
 
+class EpochSampler:
+    """Seedable per-epoch reshuffle, resume-stable.
+
+    The sample at global position p depends only on (seed, p): epoch
+    ``p // n`` gets its own permutation, so multi-epoch runs see a fresh
+    order each epoch (reference ocr_training.py:128-207's seedable sampler)
+    and resume at any step reproduces the original order exactly.
+    """
+
+    def __init__(self, seed: int, n: int):
+        self.seed = seed
+        self.n = max(1, n)
+        self._epoch = -1
+        self._order: Optional[np.ndarray] = None
+
+    def index(self, position: int) -> int:
+        epoch, offset = divmod(position, self.n)
+        if epoch != self._epoch:
+            self._order = np.random.default_rng(
+                [self.seed, epoch]).permutation(self.n)
+            self._epoch = epoch
+        return int(self._order[offset])
+
+
 def _batch_windows(collator, samples) -> int:
     probe = collator(samples[:1])
     return int(probe.get("n_windows", 0))
 
 
-def _run_eval(eval_fn, params, collator, eval_samples, batch_size: int = 2
-              ) -> float:
+def _run_eval(eval_fn, params, collator, eval_samples, batch_size: int = 2,
+              mesh=None) -> float:
     losses = []
     for start in range(0, len(eval_samples), batch_size):
         chunk = eval_samples[start:start + batch_size]
-        batch = _to_device_batch(collator(chunk), 1, len(chunk))
+        # replicated: eval chunks are small and need not divide the data axis
+        batch = _to_device_batch(collator(chunk), mesh, replicated=True)
         metrics = eval_fn(params, batch)
         losses.append(float(metrics["loss"]))
     return float(np.mean(losses)) if losses else float("nan")
 
 
-def _to_device_batch(batch: dict, grad_accum: int, micro: int) -> dict:
+def _batch_axis(key: str) -> int:
+    # positions are (3, B, S); everything else leads with the batch dim
+    return 1 if key == "positions" else 0
+
+
+def _to_device_batch(batch: dict, mesh, replicated: bool = False) -> dict:
     """Move a collated batch to device (microbatch split happens inside the
-    jitted step so the reshape fuses with the scan)."""
+    jitted step so the reshape fuses with the scan).
+
+    Single-process: plain device transfer, pjit reshards. Multi-process
+    (pod slice): every process computes the same global batch indices but
+    ships only its own rows, assembled into global arrays with
+    jax.make_array_from_process_local_data — the multi-host feeding the
+    reference gets from Accelerate's distributed sampler.
+    """
+    import jax
     import jax.numpy as jnp
 
-    del grad_accum, micro
-    return {key: jnp.asarray(np.asarray(value))
-            for key, value in batch.items() if key != "n_windows"}
+    arrays = {key: np.asarray(value)
+              for key, value in batch.items() if key != "n_windows"}
+    if jax.process_count() == 1:
+        return {key: jnp.asarray(value) for key, value in arrays.items()}
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from karanta_tpu.parallel.mesh import DATA_AXIS
+
+    nproc, pid = jax.process_count(), jax.process_index()
+    out = {}
+    for key, arr in arrays.items():
+        if replicated:
+            out[key] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), arr, arr.shape)
+            continue
+        axis = _batch_axis(key)
+        b = arr.shape[axis]
+        if b % nproc:
+            raise ValueError(
+                f"global batch dim {b} for {key!r} must divide the "
+                f"{nproc} processes")
+        per = b // nproc
+        # mesh axes are laid out process-major (create_mesh uses the default
+        # jax.devices() order), so this process owns a contiguous row block
+        local = np.take(arr, np.arange(pid * per, (pid + 1) * per), axis=axis)
+        spec = [None] * arr.ndim
+        spec[axis] = DATA_AXIS
+        out[key] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(*spec)), local, arr.shape)
+    return out
 
 
 if __name__ == "__main__":

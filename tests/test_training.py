@@ -151,6 +151,27 @@ class TestTrainLoop:
         assert metrics2["step"] == 4
 
 
+class TestEpochSampler:
+    def test_reshuffles_per_epoch_and_resume_stable(self):
+        from karanta_tpu.training.train import EpochSampler
+
+        n = 13
+        s = EpochSampler(seed=7, n=n)
+        epoch0 = [s.index(p) for p in range(n)]
+        epoch1 = [s.index(p) for p in range(n, 2 * n)]
+        # each epoch is a permutation, and epochs differ
+        assert sorted(epoch0) == list(range(n))
+        assert sorted(epoch1) == list(range(n))
+        assert epoch0 != epoch1
+        # resume-stable: a fresh sampler reproduces any position exactly,
+        # including out-of-order access across epoch boundaries
+        fresh = EpochSampler(seed=7, n=n)
+        for pos in (17, 3, 22, 0, n - 1, n):
+            assert fresh.index(pos) == (epoch0 + epoch1)[pos]
+        # different seed -> different order
+        assert [EpochSampler(seed=8, n=n).index(p) for p in range(n)] != epoch0
+
+
 class TestGradAccumBf16:
     def test_accum_with_bf16_params(self):
         """bf16 params + grad_accum>1: f32-accumulated grads must return to
