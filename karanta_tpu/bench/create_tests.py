@@ -65,6 +65,56 @@ def generate_tests_for_page(client, pdf_name: str, page: int,
     return tests
 
 
+def heuristic_tests_for_page(pdf_name: str, page: int, transcription: str,
+                             kinds: list[str], per_page: int = 3,
+                             seed: int = 0) -> list[dict]:
+    """Deterministic offline teacher: derive test cases from the ground
+    truth itself (no LLM, no network). present = contiguous word spans from
+    the page; absent = spans with words mangled into strings that do not
+    occur; order = two spans in reading order. Lets the full
+    create_tests -> convert -> scoring loop run hermetically (the LLM
+    providers remain the production path)."""
+    import random
+
+    rng = random.Random(f"{pdf_name}|{page}|{seed}")
+    words = re.sub(r"\s+", " ", transcription).strip().split()
+    tests: list[dict] = []
+
+    def span(width: int) -> Optional[tuple[str, int]]:
+        if len(words) < width or width <= 0:
+            return None
+        i = rng.randrange(0, len(words) - width + 1)
+        return " ".join(words[i:i + width]), i
+
+    for kind in kinds:
+        for t in range(per_page):
+            test: Optional[dict] = None
+            if kind == "present":
+                got = span(min(4, len(words)))
+                if got:
+                    test = {"type": "present", "text": got[0]}
+            elif kind == "absent":
+                got = span(min(3, len(words)))
+                if got:
+                    mangled = " ".join(w[::-1] + "qz" for w in got[0].split())
+                    if mangled not in transcription:
+                        test = {"type": "absent", "text": mangled}
+            elif kind == "order":
+                if len(words) >= 4:
+                    half = len(words) // 2
+                    i = rng.randrange(0, half)
+                    j = rng.randrange(half, len(words))
+                    width = min(3, half)
+                    test = {"type": "order",
+                            "before": " ".join(words[i:i + width]),
+                            "after": " ".join(words[j:j + width])}
+            if test:
+                test.update(pdf=pdf_name, page=page, max_diffs=0,
+                            id=f"{pdf_name}_pg{page}_{kind}_{t}")
+                tests.append(test)
+    return tests
+
+
 def main(argv: Optional[list[str]] = None):
     parser = argparse.ArgumentParser(
         prog="python -m karanta_tpu.bench.create_tests")
@@ -80,11 +130,13 @@ def main(argv: Optional[list[str]] = None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
-    kwargs = {}
-    if args.base_url:
-        kwargs.update(base_url=args.base_url, api_key="-",
-                      check_credentials=False)
-    client = get_client(args.provider, args.model, **kwargs)
+    client = None
+    if args.provider != "heuristic":
+        kwargs = {}
+        if args.base_url:
+            kwargs.update(base_url=args.base_url, api_key="-",
+                          check_credentials=False)
+        client = get_client(args.provider, args.model, **kwargs)
 
     count = 0
     with open(args.output, "w") as out:
@@ -96,9 +148,14 @@ def main(argv: Optional[list[str]] = None):
             pdf_name = name.split("_pg")[0] + ".pdf"
             with open(path) as f:
                 transcription = f.read()
-            for test in generate_tests_for_page(
+            if args.provider == "heuristic":
+                tests = heuristic_tests_for_page(
+                    pdf_name, page, transcription, args.kinds, args.per_page)
+            else:
+                tests = generate_tests_for_page(
                     client, pdf_name, page, transcription, args.kinds,
-                    args.per_page):
+                    args.per_page)
+            for test in tests:
                 out.write(json.dumps(test, ensure_ascii=False) + "\n")
                 count += 1
     print(json.dumps({"tests": count}))
