@@ -27,9 +27,37 @@ from typing import Any, Callable, Optional
 logger = logging.getLogger("karanta_tpu.bench")
 
 # method name -> "module:function" (async fn(pdf_path, page_num, **kwargs) -> str|None)
+#
+# Native methods ship in-repo. The reference's other 13 registry entries
+# (karanta/bench/convert.py:367-390) are adapters importing the external
+# `olmocr` pip package's runners (marker, mineru, gotocr, chatgpt, ...) —
+# third-party OCR engines, deliberately NOT re-implemented here. The same
+# names resolve below when `olmocr` is installed and fail with a clear
+# message when it is not.
 METHOD_REGISTRY: dict[str, str] = {
     "karanta_pipeline": "karanta_tpu.bench.runners.run_karanta:run_karanta_pipeline",
+    "karantaocr_pipeline": "karanta_tpu.bench.runners.run_karanta:run_karanta_pipeline",
     "anchor_text": "karanta_tpu.bench.runners.run_karanta:run_anchor_baseline",
+}
+
+# external-engine adapters, resolved only if the olmocr package is present
+# (reference registry names, convert.py:367-390)
+OLMOCR_METHODS: dict[str, str] = {
+    "olmocr_pipeline": "olmocr.bench.runners.run_olmocr_pipeline:run_olmocr_pipeline",
+    "gotocr": "olmocr.bench.runners.run_gotocr:run_gotocr",
+    "nanonetsocr": "olmocr.bench.runners.run_nanonetsocr:run_nanonetsocr",
+    "nanonetsocr_2": "olmocr.bench.runners.run_nanonetsocr_2:run_server",
+    "marker": "olmocr.bench.runners.run_marker:run_marker",
+    "mineru": "olmocr.bench.runners.run_mineru:run_mineru",
+    "chatgpt": "olmocr.bench.runners.run_chatgpt:run_chatgpt",
+    "gemini": "olmocr.bench.runners.run_gemini:run_gemini",
+    "mistral": "olmocr.bench.runners.run_mistral:run_mistral",
+    "docling": "olmocr.bench.runners.run_docling:run_docling",
+    "rolmocr": "olmocr.bench.runners.run_rolmocr:run_rolmocr",
+    "paddlepaddle": "olmocr.bench.runners.run_paddlepaddle:run_paddlepaddle",
+    "paddlevl": "olmocr.bench.runners.run_paddlevl:run_paddlevl",
+    "transformers": "olmocr.bench.runners.run_transformers:run_transformers",
+    "server": "olmocr.bench.runners.run_server:run_server",
 }
 
 
@@ -56,10 +84,20 @@ def parse_method_arg(spec: str) -> tuple[str, dict[str, Any]]:
 
 
 def resolve_method(name: str) -> Callable:
-    if name not in METHOD_REGISTRY:
-        raise KeyError(f"Unknown method {name!r}; known: {sorted(METHOD_REGISTRY)}")
-    module_name, _, fn_name = METHOD_REGISTRY[name].partition(":")
-    module = importlib.import_module(module_name)
+    spec = METHOD_REGISTRY.get(name) or OLMOCR_METHODS.get(name)
+    if spec is None:
+        known = sorted(METHOD_REGISTRY) + sorted(OLMOCR_METHODS)
+        raise KeyError(f"Unknown method {name!r}; known: {known}")
+    module_name, _, fn_name = spec.partition(":")
+    try:
+        module = importlib.import_module(module_name)
+    except ImportError as exc:
+        if name in OLMOCR_METHODS:
+            raise ImportError(
+                f"method {name!r} adapts the external `olmocr` package's "
+                f"runner ({module_name}); install olmocr to use it"
+            ) from exc
+        raise
     return getattr(module, fn_name)
 
 
