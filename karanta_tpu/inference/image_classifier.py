@@ -42,6 +42,18 @@ class LayoutClassifier:
 
             forward = segformer_forward
             self.mean, self.std = IMAGENET_MEAN, IMAGENET_STD
+        elif arch == "convnextv2":
+            from karanta_tpu.models.classifier.convnets import (
+                convnextv2_forward,
+            )
+
+            forward = convnextv2_forward
+            self.mean, self.std = IMAGENET_MEAN, IMAGENET_STD
+        elif arch == "resnet":
+            from karanta_tpu.models.classifier.convnets import resnet_forward
+
+            forward = resnet_forward
+            self.mean, self.std = IMAGENET_MEAN, IMAGENET_STD
         else:
             raise ValueError(f"unknown classifier arch {arch!r}")
         self.arch = arch
@@ -78,6 +90,21 @@ class LayoutClassifier:
             cfg = segformer_config_from_hf(hf_cfg)
             return cls(convert_hf_segformer(state, cfg), cfg,
                        arch="segformer")
+        if model_type in ("convnextv2", "convnext"):
+            from karanta_tpu.models.classifier.convnets import (
+                convert_hf_convnextv2, convnextv2_config_from_hf,
+            )
+
+            cfg = convnextv2_config_from_hf(hf_cfg)
+            return cls(convert_hf_convnextv2(state, cfg), cfg,
+                       arch="convnextv2")
+        if model_type == "resnet":
+            from karanta_tpu.models.classifier.convnets import (
+                convert_hf_resnet, resnet_config_from_hf,
+            )
+
+            cfg = resnet_config_from_hf(hf_cfg)
+            return cls(convert_hf_resnet(state, cfg), cfg, arch="resnet")
 
         from karanta_tpu.models.classifier.vit import ViTConfig, convert_hf_vit
 
@@ -105,6 +132,22 @@ class LayoutClassifier:
             cfg = SegFormerConfig()
             return cls(init_segformer_params(cfg, jax.random.PRNGKey(seed)),
                        cfg, arch="segformer")
+        if arch == "convnextv2":
+            from karanta_tpu.models.classifier.convnets import (
+                ConvNeXtV2Config, init_convnextv2_params,
+            )
+
+            cfg = ConvNeXtV2Config()
+            return cls(init_convnextv2_params(cfg, jax.random.PRNGKey(seed)),
+                       cfg, arch="convnextv2")
+        if arch == "resnet":
+            from karanta_tpu.models.classifier.convnets import (
+                ResNetConfig, init_resnet_params,
+            )
+
+            cfg = ResNetConfig()
+            return cls(init_resnet_params(cfg, jax.random.PRNGKey(seed)),
+                       cfg, arch="resnet")
         from karanta_tpu.models.classifier.vit import ViTConfig, init_vit_params
 
         cfg = ViTConfig()

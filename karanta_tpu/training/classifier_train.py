@@ -117,12 +117,12 @@ def _augment(pil, rng: np.random.Generator):
 def _norm_stats(arch: str) -> tuple[np.ndarray, np.ndarray]:
     """Normalization must match what inference uses for the arch
     (image_classifier.LayoutClassifier): 0.5s for ViT-style processors,
-    ImageNet statistics for SegFormer's."""
+    ImageNet statistics for SegFormer/ConvNeXt/ResNet processors."""
     from karanta_tpu.inference.image_classifier import (
         HALF_MEAN, HALF_STD, IMAGENET_MEAN, IMAGENET_STD,
     )
 
-    if arch.startswith("segformer"):
+    if arch.startswith(("segformer", "convnextv2", "resnet")):
         return IMAGENET_MEAN, IMAGENET_STD
     return HALF_MEAN, HALF_STD
 
@@ -183,6 +183,27 @@ def main(argv: Optional[list[str]] = None) -> dict:
         cfg = dataclasses.replace(base, image_size=args.image_size,
                                   labels=tuple(labels))
         init_params_fn, forward_fn = init_segformer_params, segformer_forward
+    elif args.arch in ("convnextv2", "convnextv2-tiny"):
+        from karanta_tpu.models.classifier.convnets import (
+            ConvNeXtV2Config, convnextv2_forward, init_convnextv2_params,
+            tiny_convnextv2,
+        )
+
+        base = (tiny_convnextv2(len(labels)) if args.arch.endswith("-tiny")
+                else ConvNeXtV2Config(num_classes=len(labels)))
+        cfg = dataclasses.replace(base, image_size=args.image_size,
+                                  labels=tuple(labels))
+        init_params_fn, forward_fn = init_convnextv2_params, convnextv2_forward
+    elif args.arch in ("resnet", "resnet-tiny"):
+        from karanta_tpu.models.classifier.convnets import (
+            ResNetConfig, init_resnet_params, resnet_forward, tiny_resnet,
+        )
+
+        base = (tiny_resnet(len(labels)) if args.arch.endswith("-tiny")
+                else ResNetConfig(num_classes=len(labels)))
+        cfg = dataclasses.replace(base, image_size=args.image_size,
+                                  labels=tuple(labels))
+        init_params_fn, forward_fn = init_resnet_params, resnet_forward
     else:
         raise ValueError(f"unknown arch {args.arch!r}")
 

@@ -141,6 +141,97 @@ class TestSegFormerParity:
         assert out["label"] in ("no_segment", "segment")
 
 
+class TestConvNetParity:
+    def test_matches_hf_convnextv2(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from transformers import ConvNextV2Config as HFCNConfig
+        from transformers import ConvNextV2ForImageClassification
+
+        from karanta_tpu.models.classifier.convnets import (
+            convert_hf_convnextv2, convnextv2_forward, tiny_convnextv2,
+        )
+
+        torch.manual_seed(0)
+        hf = ConvNextV2ForImageClassification(HFCNConfig(
+            num_stages=2, hidden_sizes=[8, 16], depths=[1, 1], num_labels=3,
+            id2label={0: "a", 1: "b", 2: "c"},
+            label2id={"a": 0, "b": 1, "c": 2})).eval()
+        cfg = tiny_convnextv2(3)
+        params = convert_hf_convnextv2(hf.state_dict(), cfg)
+        rng = np.random.default_rng(1)
+        images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.tensor(images.transpose(0, 3, 1, 2))).logits.numpy()
+        import jax.numpy as jnp
+
+        ours = np.asarray(convnextv2_forward(params, cfg, jnp.asarray(images)))
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+        # checkpoint round trip dispatches on model_type
+        hf.save_pretrained(tmp_path / "ckpt", safe_serialization=True)
+        clf = LayoutClassifier.from_checkpoint(str(tmp_path / "ckpt"))
+        assert clf.arch == "convnextv2"
+        out = clf.predict(_sample_image())
+        assert out["label"] in ("a", "b", "c")
+
+    def test_matches_hf_resnet(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from transformers import ResNetConfig as HFRNConfig
+        from transformers import ResNetForImageClassification
+
+        from karanta_tpu.models.classifier.convnets import (
+            convert_hf_resnet, resnet_forward, tiny_resnet,
+        )
+
+        torch.manual_seed(0)
+        hf = ResNetForImageClassification(HFRNConfig(
+            embedding_size=8, hidden_sizes=[8, 16], depths=[1, 1],
+            layer_type="bottleneck", num_labels=3,
+            id2label={0: "a", 1: "b", 2: "c"},
+            label2id={"a": 0, "b": 1, "c": 2})).eval()
+        cfg = tiny_resnet(3)
+        params = convert_hf_resnet(hf.state_dict(), cfg)
+        rng = np.random.default_rng(1)
+        images = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.tensor(images.transpose(0, 3, 1, 2))).logits.numpy()
+        import jax.numpy as jnp
+
+        ours = np.asarray(resnet_forward(params, cfg, jnp.asarray(images)))
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+        hf.save_pretrained(tmp_path / "ckpt", safe_serialization=True)
+        clf = LayoutClassifier.from_checkpoint(str(tmp_path / "ckpt"))
+        assert clf.arch == "resnet"
+        out = clf.predict(_sample_image())
+        assert out["label"] in ("a", "b", "c")
+
+    def test_trainer_runs_both_archs(self, tmp_path):
+        from PIL import Image
+
+        from karanta_tpu.training.classifier_train import main
+
+        rng = np.random.default_rng(5)
+        for label, base in (("no_segment", 30), ("segment", 220)):
+            d = tmp_path / "data" / label
+            d.mkdir(parents=True)
+            for i in range(4):
+                arr = np.full((64, 64, 3), base, np.uint8)
+                arr += rng.integers(0, 20, arr.shape, dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+        for arch in ("convnextv2-tiny", "resnet-tiny"):
+            metrics = main([
+                "--dataset_dir", str(tmp_path / "data"),
+                "--output_dir", str(tmp_path / f"run_{arch}"),
+                "--arch", arch, "--image_size", "64",
+                "--batch_size", "4", "--max_steps", "8",
+                "--learning_rate", "0.002", "--checkpointing_steps", "0",
+                "--logging_steps", "4", "--augment", "false",
+            ])
+            assert np.isfinite(metrics["loss"]), arch
+
+
 class TestClassifierTrainer:
     def test_trains_on_imagefolder(self, tmp_path):
         from PIL import Image
