@@ -47,10 +47,12 @@ class TestEngineEdges:
         assert res.prompt_tokens + res.completion_tokens <= 128
 
     def test_prompt_too_long_raises(self, engine):
-        prepared = engine.prepare(GenRequest(
-            messages=[{"role": "user", "content": "b" * 500}]))
-        with pytest.raises(ValueError):
-            engine.prefill(prepared)
+        from karanta_tpu.inference.engine import ContextLengthError
+
+        # rejected at prepare, before any device work (maps to HTTP 400)
+        with pytest.raises(ContextLengthError):
+            engine.prepare(GenRequest(
+                messages=[{"role": "user", "content": "b" * 500}]))
 
     def test_empty_user_text(self, engine):
         (res,) = engine.generate([GenRequest(
