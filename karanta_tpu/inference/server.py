@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import dataclasses
 import json
 import logging
 import time
@@ -424,7 +425,12 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         from karanta_tpu.models.qwen25_vl.loading import load_hf_checkpoint
 
         cfg = get_config(args.preset or args.model_path)
-        params = load_hf_checkpoint(args.model_path, cfg, dtype)
+        # quantize on transfer (leaf-by-leaf): loading bf16 then quantizing
+        # in the engine would OOM a 16 GB chip on 7B checkpoints
+        params = load_hf_checkpoint(args.model_path, cfg, dtype,
+                                    quantize=ecfg.quantize)
+        if ecfg.quantize:
+            ecfg = dataclasses.replace(ecfg, quantize=None)
         tok = HFTokenizer(args.model_path)
         name = args.model_path
     else:

@@ -51,8 +51,15 @@ def _to_np(t) -> Array:
 
 
 def convert_state_dict(state: Mapping[str, Any], cfg: VLMConfig,
-                       dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Convert an HF state dict (torch tensors or numpy) to our param pytree."""
+                       dtype=jnp.bfloat16,
+                       quantize: str | None = None) -> Dict[str, Any]:
+    """Convert an HF state dict (torch tensors or numpy) to our param pytree.
+
+    quantize="int8" quantizes the decoder matmul stacks leaf-by-leaf AS they
+    transfer: device peak stays at one bf16 stack + its int8 copy. The
+    naive load-then-quantize path keeps the full bf16 decoder alive next to
+    the int8 copies (~22 GB for the 7B) and OOMs a 16 GB chip.
+    """
     sd = {_normalize_key(k): v for k, v in state.items()}
 
     def get(key: str) -> Array:
@@ -70,6 +77,22 @@ def convert_state_dict(state: Mapping[str, Any], cfg: VLMConfig,
 
     def tstack(fn: Callable[[int], Array]) -> jnp.ndarray:
         return jnp.asarray(np.stack([fn(i) for i in range(t.num_layers)]), dtype)
+
+    def tstack_q(fn: Callable[[int], Array]):
+        """Decoder matmul stack: quantized on transfer when requested."""
+        stacked = np.stack([fn(i) for i in range(t.num_layers)])
+        if quantize == "int8":
+            from karanta_tpu.ops.quantization import quantize_weight
+
+            return quantize_weight(jnp.asarray(stacked, dtype))
+        return jnp.asarray(stacked, dtype)
+
+    def _q(arr: np.ndarray):
+        if quantize == "int8":
+            from karanta_tpu.ops.quantization import quantize_weight
+
+            return quantize_weight(jnp.asarray(arr, dtype))
+        return jnp.asarray(arr, dtype)
 
     vb = "model.visual.blocks.{}."
 
@@ -144,30 +167,41 @@ def convert_state_dict(state: Mapping[str, Any], cfg: VLMConfig,
             "ln1": tstack(lambda i: get(tb.format(i) + "input_layernorm.weight")),
             "ln2": tstack(lambda i: get(tb.format(i) + "post_attention_layernorm.weight")),
             "attn": {
-                "wq": tstack(lambda i: lin(tb.format(i) + "self_attn.q_proj.weight")),
+                "wq": tstack_q(lambda i: lin(tb.format(i) + "self_attn.q_proj.weight")),
                 "bq": tstack(lambda i: get(tb.format(i) + "self_attn.q_proj.bias")),
-                "wk": tstack(lambda i: lin(tb.format(i) + "self_attn.k_proj.weight")),
+                "wk": tstack_q(lambda i: lin(tb.format(i) + "self_attn.k_proj.weight")),
                 "bk": tstack(lambda i: get(tb.format(i) + "self_attn.k_proj.bias")),
-                "wv": tstack(lambda i: lin(tb.format(i) + "self_attn.v_proj.weight")),
+                "wv": tstack_q(lambda i: lin(tb.format(i) + "self_attn.v_proj.weight")),
                 "bv": tstack(lambda i: get(tb.format(i) + "self_attn.v_proj.bias")),
-                "wo": tstack(lambda i: lin(tb.format(i) + "self_attn.o_proj.weight")),
+                "wo": tstack_q(lambda i: lin(tb.format(i) + "self_attn.o_proj.weight")),
             },
             "mlp": {
-                "gate": tstack(lambda i: lin(tb.format(i) + "mlp.gate_proj.weight")),
-                "up": tstack(lambda i: lin(tb.format(i) + "mlp.up_proj.weight")),
-                "down": tstack(lambda i: lin(tb.format(i) + "mlp.down_proj.weight")),
+                "gate": tstack_q(lambda i: lin(tb.format(i) + "mlp.gate_proj.weight")),
+                "up": tstack_q(lambda i: lin(tb.format(i) + "mlp.up_proj.weight")),
+                "down": tstack_q(lambda i: lin(tb.format(i) + "mlp.down_proj.weight")),
             },
         },
         "final_norm": jnp.asarray(get("model.language_model.norm.weight"), dtype),
     }
     if not t.tie_word_embeddings:
-        text["lm_head"] = jnp.asarray(lin("lm_head.weight"), dtype)
+        text["lm_head"] = _q(lin("lm_head.weight"))
+    elif quantize == "int8":
+        # tied embeddings: per-step logits matmul served off an int8 table
+        # (hidden, vocab) = embed transposed, matching quantize_decoder_params
+        text["logits_head"] = _q(
+            get("model.language_model.embed_tokens.weight").T)
 
     return {"visual": visual, "text": text}
 
 
-def load_hf_checkpoint(path: str, cfg: VLMConfig, dtype=jnp.bfloat16):
-    """Load all *.safetensors under `path` and convert."""
+def load_hf_checkpoint(path: str, cfg: VLMConfig, dtype=jnp.bfloat16,
+                       quantize: str | None = None):
+    """Load all *.safetensors under `path` and convert.
+
+    quantize="int8": decoder matmuls quantize on transfer (see
+    convert_state_dict) — required to fit 7B-class checkpoints on a 16 GB
+    chip; callers must then construct the Engine with quantize=None.
+    """
     from safetensors import safe_open
 
     state: Dict[str, Array] = {}
@@ -178,4 +212,4 @@ def load_hf_checkpoint(path: str, cfg: VLMConfig, dtype=jnp.bfloat16):
         with safe_open(file, framework="np") as f:
             for key in f.keys():
                 state[key] = f.get_tensor(key)
-    return convert_state_dict(state, cfg, dtype)
+    return convert_state_dict(state, cfg, dtype, quantize=quantize)

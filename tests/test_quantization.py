@@ -79,3 +79,38 @@ class TestQuantizedDecoder:
         assert res.completion_tokens <= 8
         assert engine.params["text"]["layers"]["mlp"]["gate"][
             "int8_q"].dtype == jnp.int8
+
+    def test_quantize_on_load_matches_engine_quantize(self):
+        """convert_state_dict(quantize='int8') — the memory-lean load path
+        for 7B checkpoints — must produce the same serving outputs as the
+        load-bf16-then-quantize-in-engine path."""
+        from karanta_tpu.models.qwen25_vl.exporting import to_hf_state_dict
+        from karanta_tpu.models.qwen25_vl.loading import convert_state_dict
+
+        params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+        state = to_hf_state_dict(params, CFG)
+        ecfg = EngineConfig(max_batch_size=1, max_seq_len=128, decode_chunk=4,
+                            prefill_buckets=(64, 128),
+                            image_token_buckets=(16,), dtype=jnp.float32)
+
+        plain = convert_state_dict(state, CFG, dtype=jnp.float32)
+        eng_a = Engine(plain, CFG, TOK,
+                       dataclasses_replace(ecfg, quantize="int8"))
+
+        preq = convert_state_dict(state, CFG, dtype=jnp.float32,
+                                  quantize="int8")
+        assert preq["text"]["layers"]["mlp"]["gate"]["int8_q"].dtype == jnp.int8
+        assert "logits_head" in preq["text"] or "lm_head" in preq["text"]
+        eng_b = Engine(preq, CFG, TOK, ecfg)
+
+        req = GenRequest(messages=[{"role": "user", "content": "hello"}],
+                         max_tokens=8, temperature=0.0)
+        (ra,) = eng_a.generate([req])
+        (rb,) = eng_b.generate([req])
+        assert ra.token_ids == rb.token_ids
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
