@@ -82,6 +82,30 @@ class TestAdmissionController:
         asyncio.run(run())
 
 
+class TestAdmissionFallback:
+    def test_unreachable_metrics_releases_on_timer(self, tmp_path):
+        """A dead/unscrapable metrics endpoint must not wedge the pipeline:
+        after ~30 failed polls the controller falls back to timed releases."""
+
+        async def run():
+            args = _args(tmp_path, "http://127.0.0.1:1/v1",  # nothing there
+                         admission_poll_interval=0.01,
+                         admission_release_interval=0.0)
+            sem = asyncio.Semaphore(1)
+            await sem.acquire()
+            stop = asyncio.Event()
+            task = asyncio.create_task(admission_controller(args, sem, stop))
+            for _ in range(300):
+                if not sem.locked():
+                    break
+                await asyncio.sleep(0.02)
+            assert not sem.locked(), "controller never fell back"
+            stop.set()
+            await task
+
+        asyncio.run(run())
+
+
 class TestAdmissionEndToEnd:
     def test_workers_ramp_with_queue_depth(self, tmp_path):
         """Two one-document groups, two workers: while the engine reports a
