@@ -115,16 +115,21 @@ def init_params_bench(cfg, dtype, quantize):
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default=os.environ.get(
-        "KARANTA_BENCH_PRESET", "qwen2.5-vl-3b"))
+        "KARANTA_BENCH_PRESET", "qwen2.5-vl-7b"),
+        help="default qwen2.5-vl-7b: the honest like-for-like comparison — "
+             "the reference pipeline's default model is olmOCR-2-7B-FP8 "
+             "(pipeline.py:1128-1131) and the driver baseline is an "
+             "A100+vLLM 7B. Use qwen2.5-vl-3b for the fine-tune-base "
+             "geometry (configs/training/ocr/).")
     parser.add_argument("--pages", type=int, default=None,
                         help="default: 2x batch (two full decode waves)")
     parser.add_argument("--decode-tokens", type=int, default=512,
                         help="fixed completion budget per page")
-    parser.add_argument("--batch", type=int, default=64,
-                        help="decode slots. 64 is the v5e sweet spot at the "
-                             "1920-row KV bucket (bf16 cache 4.5 GB + int8 "
-                             "weights fit 16 GB; 96 OOMs); decode cost per "
-                             "slot-step drops ~30%% from 32.")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="decode slots. Default per preset: 7B -> 48 "
+                             "(int8 weights 9.5 GB + int8 KV 2.6 GB; 64 "
+                             "OOMs the 16 GB chip), 3B -> 64 (the v5e sweet "
+                             "spot at the 1920-row bf16 KV bucket; 96 OOMs).")
     parser.add_argument("--max-seq-len", dest="max_seq_len", type=int,
                         default=int(os.environ.get("KARANTA_BENCH_MAX_SEQ",
                                                    1920)),
@@ -143,11 +148,18 @@ def main() -> None:
              "operating point. Pass 'none' for bf16.")
     parser.add_argument("--kv-quantize", dest="kv_quantize",
                         default=os.environ.get("KARANTA_BENCH_KV_QUANTIZE",
-                                               "none"),
+                                               None),
                         choices=["none", "int8"],
                         help="int8 KV cache (per-row scales): halves the "
-                             "decode cache stream")
+                             "decode cache bytes. Default per preset: int8 "
+                             "for 7B (required to fit), none for 3B "
+                             "(XLA's int8-KV path is perf-neutral there).")
     args = parser.parse_args()
+    is_7b = "7b" in args.preset.lower()
+    if args.batch is None:
+        args.batch = 48 if is_7b else 64
+    if args.kv_quantize is None:
+        args.kv_quantize = "int8" if is_7b else "none"
     if args.pages is None:
         args.pages = max(16, 2 * args.batch)
 
