@@ -1,4 +1,8 @@
-"""XLA op-level profile of one decode chunk at bench shapes (B32, int8)."""
+"""XLA op-level profile of one decode chunk at bench shapes.
+
+Env knobs: XPRESET (model preset, default qwen2.5-vl-7b), XB (batch, 48),
+XM (KV bucket, 1920), KVQ (int8|empty), XPROF_DIR.
+"""
 import os, sys, glob
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
@@ -9,32 +13,34 @@ def main():
     enable_compilation_cache()
     from karanta_tpu.inference.engine import Engine, EngineConfig
     from karanta_tpu.inference.tokenizer import ByteTokenizer
-    from karanta_tpu.models.qwen25_vl.config import qwen25_vl_3b
-    from karanta_tpu.models.qwen25_vl.model import init_params
+    from karanta_tpu.models.qwen25_vl.config import get_config
+    from bench import init_params_bench
 
-    cfg = qwen25_vl_3b()
+    cfg = get_config(os.environ.get("XPRESET", "qwen2.5-vl-7b"))
 
     class NoStop(ByteTokenizer):
         def __init__(self):
             super().__init__()
             self.eos_token_id = -1
 
-    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    ecfg = EngineConfig(max_batch_size=int(os.environ.get("XB", 32)),
-                    max_seq_len=int(os.environ.get("XM", 2560)),
-                    decode_chunk=64,
-                        prefill_buckets=(2048, 4096), image_token_buckets=(2048,),
-                        dtype=jnp.bfloat16, quantize="int8",
-                        kv_quantize=__import__("os").environ.get("KVQ") or None)
+    # quantized leaves generated directly (bf16-then-quantize OOMs at 7B)
+    params, engine_q = init_params_bench(cfg, jnp.bfloat16, "int8")
+    ecfg = EngineConfig(max_batch_size=int(os.environ.get("XB", 48)),
+                        max_seq_len=int(os.environ.get("XM", 1920)),
+                        decode_chunk=64,
+                        prefill_buckets=(1536,), image_token_buckets=(2048,),
+                        dtype=jnp.bfloat16, quantize=engine_q,
+                        kv_quantize=os.environ.get("KVQ") or None)
     engine = Engine(params, cfg, NoStop(), ecfg)
     del params
     toks = engine.decode_chunk()
     print("warm chunk:", np.asarray(toks).shape, flush=True)
-    os.makedirs(__import__("os").environ.get("XPROF_DIR", "/tmp/xprof_dec"), exist_ok=True)
-    with jax.profiler.trace(__import__("os").environ.get("XPROF_DIR", "/tmp/xprof_dec")):
+    out_dir = os.environ.get("XPROF_DIR", "/tmp/xprof_dec")
+    os.makedirs(out_dir, exist_ok=True)
+    with jax.profiler.trace(out_dir):
         toks = engine.decode_chunk()
         print("traced:", int(np.asarray(toks)[0, 0]), flush=True)
-    for f in glob.glob("/tmp/xprof_dec/**/*.gz", recursive=True):
+    for f in glob.glob(out_dir + "/**/*.gz", recursive=True):
         print(f, flush=True)
     print("OK", flush=True)
 
