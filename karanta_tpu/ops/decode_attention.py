@@ -514,6 +514,36 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
         o_ref[sp] = (acc_ref[sp] / l).astype(o_ref.dtype)
 
 
+def _fit_ring(m: int, block: int, spp: int, b: int, kvh: int, d: int,
+              esize: int, nbuf: int, budget: int = 6 << 20) -> tuple[int, int]:
+    """Pick a legal (block, spp) for the ring-DMA append kernels.
+
+    Constraints, in order: spp divides the batch; block divides the bucket
+    (the ring slices pl.ds(i*block, block) — a non-divisor runs the last
+    slice past the bucket) and is a multiple of 32 rows (tile-legal for
+    every cache dtype); the K+V ring scratch (spp*nbuf*kvh*block*d*esize*2)
+    fits a VMEM budget — preferring to shrink block before slots-per-program
+    (the measured-best 3B long-context point is spp4/blk512, and a 7B
+    kvh=4 cache at block 960 would need 15.7 MB of scratch)."""
+    while b % spp:
+        spp //= 2
+    spp = max(spp, 1)
+    block = max(32, min(block, m))
+    while m % block:
+        block -= 32
+
+    def scratch() -> int:
+        return spp * nbuf * kvh * block * d * esize * 2
+
+    while scratch() > budget and block > 32:
+        block -= 32
+        while m % block:
+            block -= 32
+    while scratch() > budget and spp > 1:
+        spp //= 2
+    return block, spp
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block", "scale", "interpret", "nbuf",
                                     "spp"))
@@ -539,17 +569,10 @@ def paged_decode_append(
     m = k_cache.shape[3]
     group = h // kvh
     scale = float(d ** -0.5 if scale is None else scale)
-    block = min(block, m)
-    # block must divide the bucket: nblocks = m // block and the ring DMA
-    # slices pl.ds(i*block, block) — a non-divisor would run the last slice
-    # past the bucket (silently wrong if Mosaic clamps, OOB read otherwise)
-    while m % block:
-        block //= 2
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
-    while b % spp:
-        spp //= 2
-    spp = max(spp, 1)
+    block, spp = _fit_ring(m, block, spp, b, kvh, d,
+                           jnp.dtype(k_cache.dtype).itemsize, nbuf)
     # slab for the row RMW: 32 rows is tile-aligned for every cache dtype
     # (f32 8, bf16 16, int8 32 sublanes) and must divide the bucket length
     slab = min(32, m)
@@ -856,15 +879,9 @@ def paged_decode_append_quant(
     m = k_cache.shape[3]
     group = h // kvh
     scale = float(d ** -0.5 if scale is None else scale)
-    block = min(block, m)
-    # block must divide the bucket (ring DMA slices pl.ds(i*block, block))
-    while m % block:
-        block //= 2
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
-    while b % spp:
-        spp //= 2
-    spp = max(spp, 1)
+    block, spp = _fit_ring(m, block, spp, b, kvh, d, 1, nbuf)
     slab = min(32, m)
     sslab = min(128, m)   # scale slab: full 128-lane tiles of the (KVH, M) dims
     if m % slab or m % sslab:
