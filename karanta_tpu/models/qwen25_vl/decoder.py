@@ -165,17 +165,20 @@ def quantize_kv_rows(x: jnp.ndarray):
     return q, s.astype(jnp.bfloat16)
 
 
-def _paged_decode_mode(max_len: int) -> str:
+def _paged_decode_mode(max_len: int, quant: bool = False) -> str:
     """Pallas decode-kernel selection.
 
     Auto (KARANTA_PAGED_DECODE unset): the fused append kernel for KV
-    buckets >= 8192, the XLA dense path below. The dense path's cache read
-    scales with the bucket (23.6 ms/step at 16k, B32) while the kernel
-    reads only live rows — but each of the 36 per-layer pallas calls costs
-    ~125 us of dispatch (~4.5 ms/step floor), so at small buckets dense
-    wins. Overrides: "0" dense, "1"/"append" fused kernel, "stacked" the
-    read-only kernel + scatter (kept for A/B; 35x slower in-scan because
-    XLA copies the carried cache defensively per call).
+    buckets >= 8192, and for int8 caches at ANY bucket — XLA's dense int8
+    path materializes a bf16 copy of each layer's cache per step (measured
+    5.1 ms/step of multiply_convert fusions at 7B B48 M1920; the kernel
+    beat dense 2.35 vs 2.29 pages/s there). For bf16 caches below 8192 the
+    dense path wins: its cache read scales with the bucket (23.6 ms/step
+    at 16k, B32) while the kernel reads only live rows, but each of the
+    per-layer pallas calls costs ~125 us of dispatch (~4.5 ms/step floor
+    at 36 layers). Overrides: "0" dense, "1"/"append" fused kernel,
+    "stacked" the read-only kernel + scatter (kept for A/B; 35x slower
+    in-scan because XLA copies the carried cache defensively per call).
     """
     import os
 
@@ -185,7 +188,7 @@ def _paged_decode_mode(max_len: int) -> str:
         return ""
     mode = os.environ.get("KARANTA_PAGED_DECODE", "")
     if mode == "":
-        return "append" if max_len >= 8192 else ""
+        return "append" if (quant or max_len >= 8192) else ""
     if mode == "0":
         return ""
     return "append" if mode == "1" else mode
@@ -318,7 +321,7 @@ def decode_step(params: Params, cfg: TextConfig,
     if _PAGED_FORCE is not None:
         paged_mode, paged_interp = _PAGED_FORCE
     else:
-        paged_mode = _paged_decode_mode(cache.k.shape[3])
+        paged_mode = _paged_decode_mode(cache.k.shape[3], quant=quant)
         paged_interp = False
     # the quant cache only has the fused-append kernel (no stacked variant)
     quant_paged_mode = paged_mode if paged_mode == "append" else ""

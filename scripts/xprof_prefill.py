@@ -1,4 +1,8 @@
-"""Attempt an XLA op-level profile of the fused prefill over the axon device."""
+"""XLA op-level profile of the fused vision+prefill executable.
+
+Env knobs: XPRESET (default qwen2.5-vl-7b), XM (KV bucket, 1920),
+XPREFILL (prefill bucket, 1536), XPROF_DIR (/tmp/xprof).
+"""
 import os, sys, glob
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
@@ -7,17 +11,19 @@ from karanta_tpu.utils.compile_cache import enable_compilation_cache
 
 def main():
     enable_compilation_cache()
-    from bench import make_page_png
+    from bench import init_params_bench, make_page_png
     from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
     from karanta_tpu.inference.tokenizer import ByteTokenizer
-    from karanta_tpu.models.qwen25_vl.config import qwen25_vl_3b
-    from karanta_tpu.models.qwen25_vl.model import init_params
+    from karanta_tpu.models.qwen25_vl.config import get_config
 
-    cfg = qwen25_vl_3b()
-    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    ecfg = EngineConfig(max_batch_size=8, max_seq_len=4096, decode_chunk=64,
-                        prefill_buckets=(2048, 4096), image_token_buckets=(2048,),
-                        dtype=jnp.bfloat16, quantize="int8")
+    cfg = get_config(os.environ.get("XPRESET", "qwen2.5-vl-7b"))
+    params, engine_q = init_params_bench(cfg, jnp.bfloat16, "int8")
+    ecfg = EngineConfig(max_batch_size=2,
+                        max_seq_len=int(os.environ.get("XM", 1920)),
+                        decode_chunk=64,
+                        prefill_buckets=(int(os.environ.get("XPREFILL", 1536)),),
+                        image_token_buckets=(2048,),
+                        dtype=jnp.bfloat16, quantize=engine_q)
     engine = Engine(params, cfg, ByteTokenizer(), ecfg)
     del params
     page = make_page_png()
@@ -30,15 +36,15 @@ def main():
     out = engine.prefill(prep)
     print("warm:", int(np.asarray(out[1])), flush=True)
 
-    os.makedirs("/tmp/xprof", exist_ok=True)
-    with jax.profiler.trace("/tmp/xprof"):
+    out_dir = os.environ.get("XPROF_DIR", "/tmp/xprof")
+    os.makedirs(out_dir, exist_ok=True)
+    with jax.profiler.trace(out_dir):
         prep2 = engine.prepare(GenRequest(messages=messages, max_tokens=8,
                                           temperature=0.0, request_id="p2"))
         out = engine.prefill(prep2)
         print("traced:", int(np.asarray(out[1])), flush=True)
-    files = glob.glob("/tmp/xprof/**/*", recursive=True)
-    for f in files:
-        print(f, os.path.getsize(f) if os.path.isfile(f) else "dir", flush=True)
+    for f in glob.glob(out_dir + "/**/*.gz", recursive=True):
+        print(f, flush=True)
     print("OK", flush=True)
 
 if __name__ == "__main__":
