@@ -154,6 +154,15 @@ def main() -> None:
                              "decode cache bytes. Default per preset: int8 "
                              "for 7B (required to fit), none for 3B "
                              "(XLA's int8-KV path is perf-neutral there).")
+    parser.add_argument("--act-quant", dest="act_quant",
+                        default=os.environ.get("KARANTA_BENCH_ACT_QUANT",
+                                               None),
+                        choices=["none", "int8"],
+                        help="W8A8 prefill: dynamic per-token int8 "
+                             "activations x int8 weights on the MXU's 2x "
+                             "int8 path. Defaults to int8 whenever weights "
+                             "are int8 (the reference's FP8 vLLM serving "
+                             "also quantizes activations dynamically).")
     args = parser.parse_args()
     is_7b = "7b" in args.preset.lower()
     if args.batch is None:
@@ -212,6 +221,8 @@ def main() -> None:
         quantize=engine_quantize,
         kv_quantize=(args.kv_quantize if args.kv_quantize != "none"
                      and jax.default_backend() == "tpu" else None),
+        act_quant=("int8" if quantize == "int8"
+                   and args.act_quant != "none" else None),
     )
     # pass params without keeping a reference so originals are freeable
     # before the KV cache is allocated

@@ -54,6 +54,11 @@ class EngineConfig:
     dtype: Any = jnp.bfloat16
     quantize: Optional[str] = None       # None | "int8" (decoder weights)
     kv_quantize: Optional[str] = None    # None | "int8" (KV cache rows)
+    # None | "int8": run prefill matmuls W8A8 (dynamic per-token int8
+    # activations on the MXU's 2x int8 path). Requires int8 weights; decode
+    # stays weight-only (HBM-bound). Mirrors vLLM FP8 serving's dynamic
+    # activation quantization (reference default model is olmOCR-2-7B-FP8).
+    act_quant: Optional[str] = None
     # prefix KV caching: reuse the cached KV of a shared instruction prefix
     # (every OCR page shares one) so prefill runs only over the suffix
     prefix_cache: bool = False
@@ -164,6 +169,16 @@ class Engine:
                       "text": quantize_decoder_params(params["text"])}
         elif engine_cfg.quantize:
             raise ValueError(f"unknown quantize mode {engine_cfg.quantize!r}")
+        if engine_cfg.act_quant not in (None, "int8"):
+            raise ValueError(f"unknown act_quant {engine_cfg.act_quant!r}")
+        if engine_cfg.act_quant:
+            from karanta_tpu.ops.quantization import is_quantized
+
+            if not is_quantized(params["text"]["layers"]["attn"]["wq"]):
+                raise ValueError(
+                    "act_quant requires int8 decoder weights (set "
+                    "quantize='int8' or pass pre-quantized params)")
+        self._act_quant = bool(engine_cfg.act_quant)
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -294,7 +309,7 @@ class Engine:
             img_tokens.astype(emb.dtype), mode="drop")
         hidden, cache = dec.prefill_forward(
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
-            kv_mask=kv_mask[None])
+            kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
         return logits, cache
@@ -315,7 +330,7 @@ class Engine:
                                         mode="drop")
         hidden, cache = dec.prefill_forward(
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
-            kv_mask=kv_mask[None])
+            kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
         return logits, cache
@@ -339,7 +354,8 @@ class Engine:
             lambda e, t, p: e.at[p].set(t.astype(e.dtype), mode="drop"))(
                 emb, img_tokens, img_positions)
         hidden, cache = dec.prefill_forward(
-            params["text"], self.cfg.text, emb, positions, kv_mask=kv_mask)
+            params["text"], self.cfg.text, emb, positions, kv_mask=kv_mask,
+            act_quant=self._act_quant)
         last = hidden[jnp.arange(n_images), true_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
         return logits, cache
@@ -384,7 +400,7 @@ class Engine:
         hidden, cache = dec.prefill_with_prefix(
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
             dec.KVCache(prefix_k, prefix_v), prefix_mask[None],
-            kv_mask=kv_mask[None])
+            kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_suffix_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
         return logits, cache

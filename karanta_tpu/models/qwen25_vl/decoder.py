@@ -33,6 +33,7 @@ from karanta_tpu.ops.attention import (attention, decode_attention,
                                         decode_attention_multi)
 from karanta_tpu.ops.norms import rms_norm
 from karanta_tpu.ops.quantization import matmul as qmm
+from karanta_tpu.ops.quantization import matmul_w8a8
 from karanta_tpu.ops.rotary import apply_rope, mrope_cos_sin
 
 Params = Any
@@ -199,24 +200,31 @@ def _paged_decode_mode(max_len: int, quant: bool = False) -> str:
 _PAGED_FORCE: Optional[tuple] = None
 
 
-def _project_qkv(x, p, cfg: TextConfig):
+def _project_qkv(x, p, cfg: TextConfig, mm=qmm):
     b, s, _ = x.shape
-    q = (qmm(x, p["wq"]) + p["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = (qmm(x, p["wk"]) + p["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = (qmm(x, p["wv"]) + p["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = (mm(x, p["wq"]) + p["bq"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = (mm(x, p["wk"]) + p["bk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = (mm(x, p["wv"]) + p["bv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
-def _mlp(x, p):
-    return qmm(jax.nn.silu(qmm(x, p["gate"])) * qmm(x, p["up"]), p["down"])
+def _mlp(x, p, mm=qmm):
+    return mm(jax.nn.silu(mm(x, p["gate"])) * mm(x, p["up"]), p["down"])
 
 
 def prefill_forward(params: Params, cfg: TextConfig,
                     embeds: jnp.ndarray,           # (B, S, hidden)
                     positions: jnp.ndarray,        # (3, B, S) int32
                     kv_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=valid
+                    act_quant: bool = False,
                     ) -> tuple[jnp.ndarray, KVCache]:
-    """Full-sequence causal forward. Returns (hidden_states, kv cache of S)."""
+    """Full-sequence causal forward. Returns (hidden_states, kv cache of S).
+
+    act_quant=True runs the layer matmuls W8A8 (dynamic per-token int8
+    activations x int8 weights on the MXU's 2x int8 path); requires
+    quantized weights — plain bf16 leaves pass through unchanged.
+    """
+    mm = matmul_w8a8 if act_quant else qmm
     b, s, _ = embeds.shape
     cos, sin = jax.vmap(
         lambda p: mrope_cos_sin(p, cfg.head_dim, cfg.mrope_section, cfg.rope_theta),
@@ -226,11 +234,12 @@ def prefill_forward(params: Params, cfg: TextConfig,
 
     def body(x, layer):
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(xn, layer["attn"], cfg)
+        q, k, v = _project_qkv(xn, layer["attn"], cfg, mm=mm)
         q, k = apply_rope(q, k, cos, sin)
         attn = attention(q, k, v, kv_mask=kv_mask, causal=True)
-        x = x + qmm(attn.reshape(b, s, -1), layer["attn"]["wo"])
-        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
+        x = x + mm(attn.reshape(b, s, -1), layer["attn"]["wo"])
+        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"],
+                     mm=mm)
         # store (B, KVH, S, D): contiguous per-head slabs for decode reads
         return x, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
@@ -245,6 +254,7 @@ def prefill_with_prefix(params: Params, cfg: TextConfig,
                         prefix: KVCache,              # (L, B, KVH, P, D)
                         prefix_mask: jnp.ndarray,     # (B, P) 1=valid
                         kv_mask: Optional[jnp.ndarray] = None,  # (B, S)
+                        act_quant: bool = False,
                         ) -> tuple[jnp.ndarray, KVCache]:
     """Continuation prefill over a cached prompt prefix.
 
@@ -267,10 +277,12 @@ def prefill_with_prefix(params: Params, cfg: TextConfig,
     full_mask = jnp.concatenate(
         [prefix_mask.astype(jnp.float32), suffix_mask.astype(jnp.float32)], 1)
 
+    mm = matmul_w8a8 if act_quant else qmm
+
     def body(x, layer_and_prefix):
         layer, pk, pv = layer_and_prefix
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(xn, layer["attn"], cfg)
+        q, k, v = _project_qkv(xn, layer["attn"], cfg, mm=mm)
         q, k = apply_rope(q, k, cos, sin)
         pk_bshd = pk.astype(k.dtype).transpose(0, 2, 1, 3)  # -> (B, P, KVH, D)
         pv_bshd = pv.astype(v.dtype).transpose(0, 2, 1, 3)
@@ -278,8 +290,9 @@ def prefill_with_prefix(params: Params, cfg: TextConfig,
         v_full = jnp.concatenate([pv_bshd, v], axis=1)
         attn = attention(q, k_full, v_full, kv_mask=full_mask, causal=True,
                          q_offset=p)
-        x = x + qmm(attn.reshape(b, s, -1), layer["attn"]["wo"])
-        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
+        x = x + mm(attn.reshape(b, s, -1), layer["attn"]["wo"])
+        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"],
+                     mm=mm)
         return x, (k_full.transpose(0, 2, 1, 3), v_full.transpose(0, 2, 1, 3))
 
     x, (ks, vs) = jax.lax.scan(body, embeds,

@@ -64,6 +64,34 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def matmul_w8a8(x: jnp.ndarray, w: Any) -> jnp.ndarray:
+    """x @ w with dynamic per-token int8 activations (prefill fast path).
+
+    Prefill is compute-bound: the v5e MXU runs int8 x int8 -> int32 at 2x
+    the bf16 rate, so quantizing activations on the fly (symmetric absmax
+    per token) roughly halves the dominant matmul time. Scheme matches
+    vLLM's FP8 W8A8 serving role (the reference's default engine model is
+    olmOCR-2-7B-FP8, pipeline.py:1128-1131): per-token activation scales x
+    per-output-channel weight scales applied to the int32 accumulator.
+
+    Only worth it where arithmetic dominates — decode stays weight-only
+    int8 (HBM-bound; the activation quantize would be pure overhead).
+    """
+    if not is_quantized(w):
+        return x @ w
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jnp.matmul(xq, w[QUANT_KEY], preferred_element_type=jnp.int32)
+    scale = w["scale"]
+    if acc.ndim < scale.ndim:  # 1-D x: drop the broadcast row axis
+        scale = jnp.squeeze(scale, axis=-2)
+        xs = jnp.squeeze(xs, axis=-1)
+    out = acc.astype(jnp.float32) * xs * scale
+    return out.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # NF4 (4-bit NormalFloat) for QLoRA training.
 #

