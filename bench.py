@@ -154,6 +154,13 @@ def main() -> None:
                              "decode cache bytes. Default per preset: int8 "
                              "for 7B (required to fit), none for 3B "
                              "(XLA's int8-KV path is perf-neutral there).")
+    parser.add_argument("--vision-quant", dest="vision_quant",
+                        default=os.environ.get("KARANTA_BENCH_VISION_QUANT",
+                                               "none"),
+                        choices=["none", "int8"],
+                        help="W8A8 vision tower (opt-in: goes beyond the "
+                             "reference's FP8 serving, which keeps the "
+                             "vision tower bf16).")
     parser.add_argument("--act-quant", dest="act_quant",
                         default=os.environ.get("KARANTA_BENCH_ACT_QUANT",
                                                None),
@@ -206,8 +213,10 @@ def main() -> None:
     quantize = args.quantize if args.quantize != "none" else None
     if jax.default_backend() != "tpu":
         quantize = None  # int8 fusion targets the TPU path
+    # 1408 fits the bench page's 1390-token prompt with 1.3% pad (1536 wastes
+    # 9.5%); 1390 prompt + 512 decode = 1902 rows still fits the 1920 bucket
     prefill_buckets = tuple(
-        b for b in (512, 1024, 1536, 2048, 4096) if b <= args.max_seq_len) \
+        b for b in (512, 1024, 1408, 2048, 4096) if b <= args.max_seq_len) \
         or (args.max_seq_len,)
     params, engine_quantize = init_params_bench(cfg, dtype, quantize)
     ecfg = EngineConfig(
@@ -223,6 +232,8 @@ def main() -> None:
                      and jax.default_backend() == "tpu" else None),
         act_quant=("int8" if quantize == "int8"
                    and args.act_quant != "none" else None),
+        vision_quant=(args.vision_quant if args.vision_quant != "none"
+                      and jax.default_backend() == "tpu" else None),
     )
     # pass params without keeping a reference so originals are freeable
     # before the KV cache is allocated

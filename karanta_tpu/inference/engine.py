@@ -59,6 +59,11 @@ class EngineConfig:
     # stays weight-only (HBM-bound). Mirrors vLLM FP8 serving's dynamic
     # activation quantization (reference default model is olmOCR-2-7B-FP8).
     act_quant: Optional[str] = None
+    # None | "int8": quantize the vision encoder's weights and run its
+    # matmuls W8A8. Opt-in separately from `quantize` (vLLM FP8 checkpoints
+    # typically keep the vision tower bf16, so this goes beyond the
+    # reference's serving precision).
+    vision_quant: Optional[str] = None
     # prefix KV caching: reuse the cached KV of a shared instruction prefix
     # (every OCR page shares one) so prefill runs only over the suffix
     prefix_cache: bool = False
@@ -169,6 +174,14 @@ class Engine:
                       "text": quantize_decoder_params(params["text"])}
         elif engine_cfg.quantize:
             raise ValueError(f"unknown quantize mode {engine_cfg.quantize!r}")
+        if engine_cfg.vision_quant == "int8":
+            from karanta_tpu.ops.quantization import quantize_vision_params
+
+            params = {**params,
+                      "visual": quantize_vision_params(params["visual"])}
+        elif engine_cfg.vision_quant:
+            raise ValueError(
+                f"unknown vision_quant {engine_cfg.vision_quant!r}")
         if engine_cfg.act_quant not in (None, "int8"):
             raise ValueError(f"unknown act_quant {engine_cfg.act_quant!r}")
         if engine_cfg.act_quant:

@@ -30,6 +30,7 @@ from karanta_tpu.models.qwen25_vl.config import VisionConfig
 from karanta_tpu.models.qwen25_vl.layout import VisionLayout
 from karanta_tpu.ops.attention import _use_pallas, attention, window_attention
 from karanta_tpu.ops.norms import rms_norm
+from karanta_tpu.ops.quantization import matmul_auto as amm
 from karanta_tpu.ops.rotary import apply_rope, vision_rope_cos_sin
 
 Params = Any
@@ -177,9 +178,9 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
     tokens, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
-    q = x @ p["wq"] + p["bq"]
-    k = x @ p["wk"] + p["bk"]
-    v = x @ p["wv"] + p["bv"]
+    q = amm(x, p["wq"]) + p["bq"]
+    k = amm(x, p["wk"]) + p["bk"]
+    v = amm(x, p["wv"]) + p["bv"]
 
     import os
 
@@ -214,7 +215,7 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
                                                 kv_mask=valid[None, :],
                                                 cos=cs, sin=sn)
         out = out.reshape(tokens, nh * hd)
-        return out @ p["wo"] + p["bo"]
+        return amm(out, p["wo"]) + p["bo"]
 
     if full:
         shape = (n_images, tokens // n_images, nh, hd)
@@ -231,15 +232,16 @@ def _attn_block(x, p, cos, sin, valid, n_windows, cfg: VisionConfig,
     q, k = apply_rope(q, k, cs, sn)
     out = attention(q, k, v, kv_mask=mask, causal=False)
     out = out.reshape(tokens, nh * hd)
-    return out @ p["wo"] + p["bo"]
+    return amm(out, p["wo"]) + p["bo"]
 
 
 def _mlp(cfg: VisionConfig, x, p):
     if cfg.mlp_type == "plain":
-        return _activation(cfg, x @ p["fc1"] + p["fc1_b"]) @ p["fc2"] + p["fc2_b"]
-    gate = _activation(cfg, x @ p["gate"] + p["gate_b"])
-    up = x @ p["up"] + p["up_b"]
-    return (gate * up) @ p["down"] + p["down_b"]
+        return amm(_activation(cfg, amm(x, p["fc1"]) + p["fc1_b"]),
+                   p["fc2"]) + p["fc2_b"]
+    gate = _activation(cfg, amm(x, p["gate"]) + p["gate_b"])
+    up = amm(x, p["up"]) + p["up_b"]
+    return amm(gate * up, p["down"]) + p["down_b"]
 
 
 def encode_image(params: Params, cfg: VisionConfig,
@@ -257,7 +259,7 @@ def encode_image(params: Params, cfg: VisionConfig,
     (pad_merged, out_hidden) in window-merged order; callers select real
     tokens via layout.extract (+ per-image pad_merged offsets when
     batched)."""
-    x = pixel_values @ params["patch_embed"]["kernel"]
+    x = amm(pixel_values, params["patch_embed"]["kernel"])
     x = jnp.take(x, perm, axis=0)  # patchify order -> window order
 
     cos, sin = vision_rope_cos_sin(pos_hw, cfg.head_dim, cfg.rope_theta)
@@ -302,8 +304,8 @@ def encode_image(params: Params, cfg: VisionConfig,
     m = params["merger"]
     x = _vnorm(cfg, x, m["ln_q"], m.get("ln_q_b"))
     x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
-    x = jax.nn.gelu(x @ m["w1"] + m["b1"], approximate=False)
-    return x @ m["w2"] + m["b2"]
+    x = jax.nn.gelu(amm(x, m["w1"]) + m["b1"], approximate=False)
+    return amm(x, m["w2"]) + m["b2"]
 
 
 def extract_image_tokens(encoded: jnp.ndarray, layout: VisionLayout) -> jnp.ndarray:

@@ -92,6 +92,48 @@ def matmul_w8a8(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def matmul_auto(x: jnp.ndarray, w: Any) -> jnp.ndarray:
+    """x @ w, taking the W8A8 path iff the weight leaf is quantized.
+
+    Lets compute-bound modules (vision encoder) write one matmul call whose
+    precision is decided entirely by the params pytree — plain bf16 weights
+    cost nothing extra, int8 weights run W8A8 on the MXU's 2x int8 path.
+    """
+    if is_quantized(w):
+        return matmul_w8a8(x, w)
+    return x @ w
+
+
+def quantize_vision_params(visual: dict) -> dict:
+    """Quantize the vision encoder's matmul weights (blocks + merger + patch
+    embed) to per-channel int8. The encoder is compute-bound during prefill,
+    so these run W8A8 via matmul_auto. Biases and norms stay as-is.
+
+    More aggressive than the reference's FP8 serving (vLLM FP8 checkpoints
+    typically keep the vision tower in bf16) — hence opt-in via
+    EngineConfig.vision_quant rather than implied by weight quantization.
+    """
+    blocks = dict(visual["blocks"])
+    attn = dict(blocks["attn"])
+    for name in ("wq", "wk", "wv", "wo"):
+        attn[name] = quantize_weight(blocks["attn"][name])
+    blocks["attn"] = attn
+    mlp = dict(blocks["mlp"])
+    for name in ("gate", "up", "down", "fc1", "fc2"):
+        if name in mlp:
+            mlp[name] = quantize_weight(mlp[name])
+    blocks["mlp"] = mlp
+    out = dict(visual)
+    out["blocks"] = blocks
+    out["patch_embed"] = {"kernel": quantize_weight(
+        visual["patch_embed"]["kernel"])}
+    merger = dict(visual["merger"])
+    merger["w1"] = quantize_weight(merger["w1"])
+    merger["w2"] = quantize_weight(merger["w2"])
+    out["merger"] = merger
+    return out
+
+
 # ---------------------------------------------------------------------------
 # NF4 (4-bit NormalFloat) for QLoRA training.
 #

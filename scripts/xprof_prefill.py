@@ -23,7 +23,8 @@ def main():
                         decode_chunk=64,
                         prefill_buckets=(int(os.environ.get("XPREFILL", 1536)),),
                         image_token_buckets=(2048,),
-                        dtype=jnp.bfloat16, quantize=engine_q)
+                        dtype=jnp.bfloat16, quantize=engine_q,
+                        act_quant=os.environ.get("AQ") or None)
     engine = Engine(params, cfg, ByteTokenizer(), ecfg)
     del params
     page = make_page_png()

@@ -127,6 +127,37 @@ class TestQuantizedDecoder:
         assert res.completion_tokens <= 8
         assert all(isinstance(t, int) for t in res.token_ids)
 
+    def test_vision_quant_engine(self):
+        """Multimodal generation with the vision tower quantized (W8A8 via
+        matmul_auto) runs end to end and stays near the bf16 tower's greedy
+        output."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        buf = io.BytesIO()
+        Image.fromarray(np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3)).astype("uint8")).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        msgs = [{"role": "user", "content": [
+            {"type": "text", "text": "Read this"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}}]}]
+        base = EngineConfig(max_batch_size=1, max_seq_len=256, decode_chunk=4,
+                            prefill_buckets=(128, 256),
+                            image_token_buckets=(64,), dtype=jnp.float32,
+                            quantize="int8")
+        req = GenRequest(messages=msgs, max_tokens=8, temperature=0.0)
+        (plain,) = Engine(params, CFG, TOK, base).generate([req])
+        (vq,) = Engine(params, CFG, TOK, dataclasses_replace(
+            base, vision_quant="int8")).generate([req])
+        assert len(vq.token_ids) == len(plain.token_ids)
+        agree = np.mean([a == b for a, b in
+                         zip(plain.token_ids, vq.token_ids)])
+        assert agree >= 0.5, (plain.token_ids, vq.token_ids)
+
     def test_act_quant_requires_quantized_weights(self):
         import pytest
 
