@@ -985,16 +985,25 @@ class Engine:
                 jnp.asarray(true_len, jnp.int32), first_token)
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
+        """K decode steps for all active slots; blocks and returns (K, B)
+        tokens. See decode_chunk_async for the non-blocking variant."""
+        return self.decode_chunk_async(steps)()
+
+    def decode_chunk_async(self, steps: Optional[int] = None):
+        """Dispatch a decode chunk WITHOUT blocking on its tokens.
+
+        JAX dispatch is asynchronous: the returned handles (and the engine's
+        updated cache/state handles) exist immediately, so a caller can
+        dispatch chunk k+1 against chunk k's output handles before reading
+        chunk k's tokens — the host<->device round trip (readback + next
+        dispatch, ~0.3 s/chunk over remote tunnels) hides behind device
+        execution. Returns a zero-arg callable that materializes the tokens
+        ((K, B) np.ndarray) when invoked."""
         steps = steps or self.ecfg.decode_chunk
         active = [i for i, free in enumerate(self.slot_free) if not free]
         use_sampling = any(self._slot_temp[i] > 0.0 for i in active)
         use_top_p = use_sampling and any(
             self._slot_top_p[i] < 1.0 for i in active)
-        # Static read horizon: measured SLOWER on v5e (the bounded slice of
-        # the carried cache materializes a copy, costing more than the saved
-        # reads), so the full buffer is read by default. The plumbing stays
-        # for a future pallas decode kernel that can honor the bound without
-        # a copy (set KARANTA_ATTEND_BUCKETS=1 to re-enable).
         if os.environ.get("KARANTA_ATTEND_BUCKETS") == "1":
             needed = max((self._slot_len[i] for i in active),
                          default=0) + steps + 1
@@ -1012,7 +1021,10 @@ class Engine:
                            for i in active)
         top_k = max([self._slot_logprobs.get(i, 0) for i in active
                      if self._slot_wants_lp.get(i, False)] or [0])
-        self._key, sub = jax.random.split(self._key)
+        if use_sampling:
+            self._key, sub = jax.random.split(self._key)
+        else:
+            sub = self._key
         (self.cache, self.cache_len, self.next_pos, self.last_token,
          self.dfa_state, ys) = self._decode_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
@@ -1021,6 +1033,16 @@ class Engine:
             use_top_p=use_top_p, use_sampling=use_sampling,
             attend_len=attend_len, use_logprobs=use_logprobs,
             top_k_logprobs=top_k, use_guided=use_guided)
+        return lambda: self._collect_chunk(ys, use_logprobs)
+
+    def decode_headroom(self, steps: int) -> bool:
+        """True if every active slot can absorb `steps` more cache rows —
+        the safety bound for dispatching a lookahead chunk."""
+        active = [i for i, free in enumerate(self.slot_free) if not free]
+        top = max((self._slot_len[i] for i in active), default=0)
+        return top + steps + 1 < self.ecfg.max_seq_len
+
+    def _collect_chunk(self, ys, use_logprobs: bool) -> np.ndarray:
         if use_logprobs:
             toks, chosen, top_vals, top_ids = ys
             self._last_logprobs = (np.asarray(chosen), np.asarray(top_vals),
@@ -1055,6 +1077,10 @@ class Engine:
         pending = list(enumerate(requests))
         # slot -> (req_idx, prepared, collected tokens, start time, first token)
         active: dict[int, list] = {}
+        # lookahead: collector for a decode chunk dispatched before the
+        # previous chunk's tokens were read (admission waits until drained —
+        # inserting into a slot the inflight chunk still writes would race)
+        inflight = None
 
         while pending or active:
             # Admission wave: dispatch prefill+insert for every free slot
@@ -1063,7 +1089,7 @@ class Engine:
             # ~78 ms/page over the remote-TPU tunnel (device exec is 163 ms)
             # — batching the syncs collapses it to one wait per wave.
             wave: list[tuple] = []
-            free_count = sum(self.slot_free)
+            free_count = sum(self.slot_free) if inflight is None else 0
             partial: dict = {}
             pb = max(1, self.ecfg.prefill_batch)
 
@@ -1148,10 +1174,20 @@ class Engine:
                 tacc["sync"] += time.perf_counter() - t0
 
             if not active:
+                if inflight is not None:
+                    inflight()  # every slot finished via eos: drain + discard
+                    inflight = None
                 continue
 
             t0 = time.perf_counter()
-            if self._spec_ok():
+            if inflight is not None and self._spec_ok():
+                # slot mix changed under the inflight chunk: drain it through
+                # the normal path before switching to speculative decode
+                toks = inflight()
+                inflight = None
+                emitted = {slot: [int(t) for t in toks[:, slot]]
+                           for slot in active}
+            elif self._spec_ok():
                 spec_toks, spec_counts = self.decode_chunk_spec()
                 emitted = {
                     slot: [int(tok)
@@ -1161,7 +1197,22 @@ class Engine:
                     for slot in active
                 }
             else:
-                toks = self.decode_chunk()  # (K, B)
+                steps = self.ecfg.decode_chunk
+                collect = inflight if inflight is not None \
+                    else self.decode_chunk_async()
+                inflight = None
+                # Dispatch the NEXT chunk before blocking on this one when
+                # every active slot still needs more than `steps` tokens (so
+                # another chunk is required regardless, barring eos) and the
+                # cache has headroom: the readback + host turnaround
+                # (~0.3 s/chunk over remote tunnels) then hides behind the
+                # device executing chunk k+1.
+                min_remaining = min(
+                    (st[1].max_tokens - len(st[2]) for st in active.values()),
+                    default=0)
+                if min_remaining > steps and self.decode_headroom(steps):
+                    inflight = self.decode_chunk_async()
+                toks = collect()  # (K, B)
                 emitted = {slot: [int(t) for t in toks[:, slot]]
                            for slot in active}
             tacc["decode"] += time.perf_counter() - t0
