@@ -36,7 +36,9 @@ from karanta_tpu.models.qwen25_vl import decoder as dec
 from karanta_tpu.models.qwen25_vl import vision as vis
 from karanta_tpu.models.qwen25_vl.config import VLMConfig
 from karanta_tpu.models.qwen25_vl.layout import build_vision_layout, mrope_positions
-from karanta_tpu.ops.image_prep import patchify, preprocess_host
+from karanta_tpu.ops.image_prep import (patchify, plan_image,
+                                        preprocess_host, resize_patchify,
+                                        src_px_bucket)
 
 logger = logging.getLogger(__name__)
 
@@ -75,6 +77,12 @@ class EngineConfig:
     # concat copies + larger intermediates beat the saved dispatches); the
     # path exists for hosts where per-call overhead dominates.
     prefill_batch: int = 1
+    # on-device page resize: ship the decoded (unresized) page to the chip
+    # and run the bicubic resize as two resampling matmuls inside the
+    # patchify executable. PIL-equivalent numerics (intermediate uint8
+    # rounding reproduced; parity-tested to one u8 step) but removes the
+    # ~60 ms/page host resize — the dominant prepare() cost on small hosts.
+    device_resize: bool = True
     # greedy speculative decoding: draft gamma tokens per step by n-gram
     # lookup over the slot's own prompt+output history (prompt-lookup /
     # "assisted generation"; vLLM exposes the same as speculative ngram),
@@ -135,6 +143,14 @@ class GuidedRegexBusy(RuntimeError):
     """A different guided regex is active with live slots. Callers defer the
     request until the active automaton drains — the constraint is never
     silently dropped."""
+
+
+def _greedy_token(logits):
+    """Greedy pick inside the prefill executable (last axis). Matches
+    sample_tokens' temperature-0 branch (argmax over f32) so the greedy
+    fast path needs no separate sampling dispatch — each extra jitted call
+    is a full host round trip on remote/tunneled TPUs."""
+    return jnp.argmax(logits.astype(jnp.float32), axis=-1)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -283,6 +299,9 @@ class Engine:
             self._prefill_fused_batch_impl,
             static_argnames=("n_windows", "n_images"))
         self._insert_jit = jax.jit(self._insert_impl, donate_argnums=(1,))
+        self._prefill_insert_jit = jax.jit(
+            self._prefill_insert_impl, static_argnames=("n_windows",),
+            donate_argnums=(11, 12, 13, 14, 15, 16, 17))
         self._insert_batch_jit = jax.jit(self._insert_batch_impl,
                                          donate_argnums=(1,))
         self._decode_chunk_jit = jax.jit(
@@ -325,7 +344,7 @@ class Engine:
             kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
-        return logits, cache
+        return logits, _greedy_token(logits), cache
 
     def _prefill_fused_impl(self, params, pixel_values, perm, valid, pos_hw,
                             extract, ids, positions, kv_mask, img_positions,
@@ -346,7 +365,53 @@ class Engine:
             kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
-        return logits, cache
+        return logits, _greedy_token(logits), cache
+
+    def _prefill_insert_impl(self, params, pixel_values, perm, valid, pos_hw,
+                             extract, ids, positions, kv_mask, img_positions,
+                             true_len, cache, cache_len, next_pos, last_token,
+                             temps, top_ps, dfa_state, slot, pos_after,
+                             *, n_windows):
+        """Greedy single-page fast path: vision encode + decoder prefill +
+        first-token argmax + slot insert fused into ONE executable. Each
+        jitted dispatch is a full host round trip on remote/tunneled TPUs,
+        so collapsing prefill→sample→insert (three dispatches) to one is a
+        material per-page saving; it also keeps the page's prefill KV from
+        round-tripping through an executable output."""
+        encoded = vis.encode_image(params["visual"], self.cfg.vision,
+                                   pixel_values, perm, valid, pos_hw,
+                                   n_windows)
+        img_tokens = jnp.take(encoded, extract, axis=0)
+        emb = dec.embed_tokens(params["text"], ids)
+        emb = emb.at[img_positions].set(img_tokens.astype(emb.dtype),
+                                        mode="drop")
+        hidden, pcache = dec.prefill_forward(
+            params["text"], self.cfg.text, emb[None], positions[:, None, :],
+            kv_mask=kv_mask[None], act_quant=self._act_quant)
+        last = hidden[0, true_len - 1]
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        first = _greedy_token(logits)
+        s = pcache.k.shape[3]
+        if isinstance(cache, dec.QuantKVCache):
+            kq, ksc = dec.quantize_kv_rows(pcache.k[:, 0])
+            vq, vsc = dec.quantize_kv_rows(pcache.v[:, 0])
+            new_cache = dec.QuantKVCache(
+                cache.k.at[:, slot, :, :s].set(kq),
+                cache.v.at[:, slot, :, :s].set(vq),
+                cache.ks.at[:, slot, :, :s].set(ksc),
+                cache.vs.at[:, slot, :, :s].set(vsc))
+        else:
+            new_cache = dec.KVCache(
+                cache.k.at[:, slot, :, :s].set(pcache.k[:, 0]),
+                cache.v.at[:, slot, :, :s].set(pcache.v[:, 0]))
+        return (new_cache,
+                cache_len.at[slot].set(true_len),
+                next_pos.at[slot].set(pos_after),
+                last_token.at[slot].set(first),
+                temps.at[slot].set(jnp.float32(0.0)),
+                top_ps.at[slot].set(jnp.float32(1.0)),
+                dfa_state.at[slot].set(0),
+                first)
 
     def _prefill_fused_batch_impl(self, params, pixel_values, perm, valid,
                                   pos_hw, extract, ids, positions, kv_mask,
@@ -371,7 +436,7 @@ class Engine:
             act_quant=self._act_quant)
         last = hidden[jnp.arange(n_images), true_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
-        return logits, cache
+        return logits, _greedy_token(logits), cache
 
     def _insert_batch_impl(self, prefill_cache, cache, cache_len, next_pos,
                            last_token, temps, top_ps, dfa_state, slots,
@@ -416,7 +481,7 @@ class Engine:
             kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_suffix_len - 1]
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
-        return logits, cache
+        return logits, _greedy_token(logits), cache
 
     def _insert_impl(self, prefill_cache, cache, cache_len, next_pos,
                      last_token, temps, top_ps, dfa_state, slot, true_len,
@@ -584,20 +649,47 @@ class Engine:
             from PIL import Image
 
             pil = Image.open(io.BytesIO(raw))
-            arr, plan = preprocess_host(pil, self.ecfg.min_pixels,
-                                        self.ecfg.max_pixels)
+            if pil.mode != "RGB":
+                pil = pil.convert("RGB")
+            sbh = src_px_bucket(pil.height) if self.ecfg.device_resize \
+                else None
+            sbw = src_px_bucket(pil.width) if self.ecfg.device_resize \
+                else None
+            if sbh is not None and sbw is not None:
+                # on-device resize: ship the decoded page and run the PIL-
+                # equivalent bicubic + patchify in one executable (the host
+                # resize is ~60 ms/page on one core; the matmuls are free)
+                plan = plan_image(pil.height, pil.width,
+                                  self.ecfg.min_pixels, self.ecfg.max_pixels)
+                src = np.zeros((sbh, sbw, 3), np.uint8)
+                src[: pil.height, : pil.width] = np.asarray(pil, np.uint8)
+                arr = None
+                pix_dev = resize_patchify(
+                    jax.device_put(src),
+                    jnp.asarray(pil.height, jnp.int32),
+                    jnp.asarray(pil.width, jnp.int32),
+                    grid_h=plan.grid_h, grid_w=plan.grid_w,
+                    pad_grid_h=plan.pad_grid_h, pad_grid_w=plan.pad_grid_w,
+                    out_dtype=self.ecfg.dtype)
+            else:
+                arr, plan = preprocess_host(pil, self.ecfg.min_pixels,
+                                            self.ecfg.max_pixels)
+                pix_dev = None
             layout = build_vision_layout(plan, self.cfg.vision)
             n_pad = _bucket(layout.num_merged, self.ecfg.image_token_buckets)
             extract = np.zeros((n_pad,), np.int32)
             extract[: layout.num_merged] = layout.extract
-            # stage the image on device from the prepare thread: device_put +
-            # patchify dispatch asynchronously, so the H2D transfer (~40 ms
-            # over the remote tunnel) and the patch reshape overlap with the
-            # previous page's prefill instead of serializing in prefill()
-            pix_dev = patchify(jax.device_put(arr), grid_h=plan.grid_h,
-                               grid_w=plan.grid_w, pad_grid_h=plan.pad_grid_h,
-                               pad_grid_w=plan.pad_grid_w,
-                               out_dtype=self.ecfg.dtype)
+            if pix_dev is None:
+                # stage the image on device from the prepare thread:
+                # device_put + patchify dispatch asynchronously, so the H2D
+                # transfer (~40 ms over the remote tunnel) and the patch
+                # reshape overlap with the previous page's prefill instead
+                # of serializing in prefill()
+                pix_dev = patchify(jax.device_put(arr), grid_h=plan.grid_h,
+                                   grid_w=plan.grid_w,
+                                   pad_grid_h=plan.pad_grid_h,
+                                   pad_grid_w=plan.pad_grid_w,
+                                   out_dtype=self.ecfg.dtype)
             image_feeds.append(dict(
                 image_u8=arr, plan=plan, layout=layout, extract=extract,
                 n_pad=n_pad, pix_dev=pix_dev))
@@ -762,7 +854,7 @@ class Engine:
         kv_mask[:p] = 1.0
         dummy_tokens = jnp.zeros((1, self.cfg.vision.out_hidden_size),
                                  self.ecfg.dtype)
-        _, cache = self._prefill_jit(
+        _, _, cache = self._prefill_jit(
             self.params, jnp.asarray(ids), jnp.asarray(positions),
             jnp.asarray(kv_mask), dummy_tokens,
             jnp.asarray(np.full((1,), s_pad, np.int32)),
@@ -813,11 +905,11 @@ class Engine:
                     pos_hw=jnp.asarray(layout.pos_hw),
                     extract=jnp.asarray(feed["extract"]),
                     true_len=jnp.asarray(s, jnp.int32))
-            logits, cache = self._prefill_fused_jit(
+            logits, greedy, cache = self._prefill_fused_jit(
                 self.params, pix, st["perm"], st["valid"], st["pos_hw"],
                 st["extract"], st["ids"], st["positions"], st["kv_mask"],
                 st["img_pos"], st["true_len"], n_windows=layout.n_windows)
-            return self._sample_first(prepared, logits, cache, s)
+            return self._sample_first(prepared, logits, cache, s, greedy)
 
         img_tokens, img_positions = self._encode_images(prepared)
 
@@ -837,7 +929,7 @@ class Engine:
                                    s_pad).astype(np.int32)
             img_pos_sfx = np.where(img_pos_sfx < s_pad, img_pos_sfx, s_pad)
             prefix_mask = jnp.ones((p,), jnp.float32)
-            logits, cache = self._prefill_prefix_jit(
+            logits, greedy, cache = self._prefill_prefix_jit(
                 self.params, jnp.asarray(ids), jnp.asarray(positions),
                 jnp.asarray(kv_mask), img_tokens, jnp.asarray(img_pos_sfx),
                 jnp.asarray(n_sfx, jnp.int32),
@@ -854,16 +946,26 @@ class Engine:
             img_positions = np.where(img_positions < s_pad, img_positions,
                                      s_pad)
 
-            logits, cache = self._prefill_jit(
+            logits, greedy, cache = self._prefill_jit(
                 self.params, jnp.asarray(ids), jnp.asarray(positions),
                 jnp.asarray(kv_mask), img_tokens,
                 jnp.asarray(img_positions.astype(np.int32)),
                 jnp.asarray(s, jnp.int32))
 
-        return self._sample_first(prepared, logits, cache, s)
+        return self._sample_first(prepared, logits, cache, s, greedy)
 
-    def _sample_first(self, prepared: _Prepared, logits, cache, s: int):
-        """Shared prefill tail: guided mask, first-token sample, dfa advance."""
+    def _sample_first(self, prepared: _Prepared, logits, cache, s: int,
+                      greedy=None):
+        """Shared prefill tail: guided mask, first-token sample, dfa advance.
+
+        greedy is the argmax token computed INSIDE the prefill executable;
+        for greedy unguided no-logprobs requests it is used directly, saving
+        the random-split + sample_tokens dispatches (two host round trips
+        per page over remote tunnels)."""
+        if (greedy is not None and prepared.temperature <= 0.0
+                and prepared.guide is None and not prepared.logprobs):
+            next_pos = (int(prepared.positions.max()) + 1) if s else 0
+            return cache, greedy, s, next_pos, 0
         state0 = prepared.guide if prepared.guide is not None else 0
         if prepared.guide is not None:
             logits = jnp.where(self._allowed[state0], logits, -jnp.inf)
@@ -912,15 +1014,18 @@ class Engine:
         img_pos = jnp.stack([g.staged["img_pos"] for g in group])
         true_lens = jnp.stack([g.staged["true_len"] for g in group])
 
-        logits, cache = self._prefill_fused_batch_jit(
+        logits, greedy, cache = self._prefill_fused_batch_jit(
             self.params, pix, perm, valid, pos_hw, extract, ids, positions,
             kv_mask, img_pos, true_lens,
             n_windows=layout0.n_windows * k, n_images=k)
 
-        self._key, sub = jax.random.split(self._key)
         temps = jnp.asarray([g.temperature for g in group], jnp.float32)
         top_ps = jnp.asarray([g.top_p for g in group], jnp.float32)
-        firsts = sample_tokens(logits, sub, temps, top_ps)        # (K,)
+        if all(g.temperature <= 0.0 for g in group):
+            firsts = greedy  # computed inside the prefill executable
+        else:
+            self._key, sub = jax.random.split(self._key)
+            firsts = sample_tokens(logits, sub, temps, top_ps)    # (K,)
         pos_afters = jnp.asarray(
             [int(g.positions.max()) + 1 for g in group], jnp.int32)
 
@@ -983,6 +1088,52 @@ class Engine:
             self.token_hist = self._hist_insert_jit(
                 self.token_hist, jnp.asarray(slot), jnp.asarray(ids),
                 jnp.asarray(true_len, jnp.int32), first_token)
+
+    def prefill_insert(self, slot: int, prepared: _Prepared):
+        """Prefill a page and insert it into `slot`; returns the first-token
+        device scalar (unsynced). Greedy unguided single-image pages take
+        the fused one-dispatch executable; everything else falls back to
+        prefill() + insert()."""
+        feed = (prepared.image_feeds[0]
+                if len(prepared.image_feeds) == 1 else None)
+        st = prepared.staged
+        fast = (st is not None and feed is not None
+                and feed.get("pix_dev") is not None
+                and not prepared.prefix_len
+                and prepared.temperature <= 0.0
+                and not prepared.guide_regex and not prepared.logprobs)
+        if not fast:
+            cache, first, true_len, next_pos, dfa_val = self.prefill(prepared)
+            self.insert(slot, prepared, cache, first, true_len, next_pos,
+                        dfa_val)
+            return first
+        layout = feed["layout"]
+        pos_after = ((int(prepared.positions.max()) + 1)
+                     if len(prepared.ids) else 0)
+        (self.cache, self.cache_len, self.next_pos, self.last_token,
+         self.temps, self.top_ps, self.dfa_state,
+         first) = self._prefill_insert_jit(
+            self.params, feed["pix_dev"], st["perm"], st["valid"],
+            st["pos_hw"], st["extract"], st["ids"], st["positions"],
+            st["kv_mask"], st["img_pos"], st["true_len"], self.cache,
+            self.cache_len, self.next_pos, self.last_token, self.temps,
+            self.top_ps, self.dfa_state, jnp.asarray(slot),
+            jnp.asarray(pos_after, jnp.int32), n_windows=layout.n_windows)
+        self.slot_free[slot] = False
+        self._slot_guided[slot] = False
+        self._slot_top_p[slot] = 1.0
+        self._slot_temp[slot] = 0.0
+        self._slot_len[slot] = len(prepared.ids)
+        self._slot_wants_lp[slot] = False
+        self._slot_logprobs[slot] = 0
+        if self.ecfg.speculative_ngram > 0:
+            m = self.ecfg.max_seq_len
+            arr = np.zeros((m,), np.int32)
+            arr[: len(prepared.ids)] = prepared.ids[:m]
+            self.token_hist = self._hist_insert_jit(
+                self.token_hist, jnp.asarray(slot), jnp.asarray(arr),
+                jnp.asarray(len(prepared.ids), jnp.int32), first)
+        return first
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
         """K decode steps for all active slots; blocks and returns (K, B)
@@ -1094,16 +1245,11 @@ class Engine:
             pb = max(1, self.ecfg.prefill_batch)
 
             def dispatch_single(req_idx, prepared, start):
-                t0 = time.perf_counter()
-                cache, first, true_len, next_pos, dfa_val = self.prefill(
-                    prepared)
-                tacc["prefill"] += time.perf_counter() - t0
-                tacc["prefills"] += 1
                 slot = self.slot_free.index(True)
                 t0 = time.perf_counter()
-                self.insert(slot, prepared, cache, first, true_len, next_pos,
-                            dfa_val)
-                tacc["insert"] += time.perf_counter() - t0
+                first = self.prefill_insert(slot, prepared)
+                tacc["prefill"] += time.perf_counter() - t0
+                tacc["prefills"] += 1
                 wave.append((req_idx, prepared, slot, start, first))
 
             def dispatch_batch(chunk):

@@ -117,16 +117,32 @@ def patchify(image_u8: jnp.ndarray, *, grid_h: int, grid_w: int,
     Padded tokens (beyond grid_h/grid_w) are zero; callers mask them.
     """
     x = image_u8.astype(jnp.float32) / 255.0
+    ph, pw = pad_grid_h * PATCH_SIZE, pad_grid_w * PATCH_SIZE
+    x = jnp.pad(x, ((0, ph - x.shape[0]), (0, pw - x.shape[1]), (0, 0)))
+    return _patchify_core(x, valid_h=grid_h * PATCH_SIZE,
+                          valid_w=grid_w * PATCH_SIZE,
+                          pad_grid_h=pad_grid_h, pad_grid_w=pad_grid_w,
+                          grayscale=grayscale, out_dtype=out_dtype)
+
+
+def _patchify_core(x: jnp.ndarray, *, valid_h: int, valid_w: int,
+                   pad_grid_h: int, pad_grid_w: int,
+                   grayscale: bool, out_dtype) -> jnp.ndarray:
+    """float [0,1] pixels (pad_grid_h*14, pad_grid_w*14, 3) -> (pad_seq, 1176).
+
+    Pixels at/beyond (valid_h, valid_w) are forced to exactly zero AFTER
+    normalization, preserving the zero-padded-feature contract for tokens
+    the vision mask drops."""
     if grayscale:
         luma = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
         x = jnp.stack([luma, luma, luma], axis=-1)
     mean = jnp.asarray(CLIP_MEAN, jnp.float32)
     std = jnp.asarray(CLIP_STD, jnp.float32)
     x = (x - mean) / std
-
-    # pad pixels to the bucketed grid
-    ph, pw = pad_grid_h * PATCH_SIZE, pad_grid_w * PATCH_SIZE
-    x = jnp.pad(x, ((0, ph - x.shape[0]), (0, pw - x.shape[1]), (0, 0)))
+    if valid_h < x.shape[0] or valid_w < x.shape[1]:
+        row_ok = (jnp.arange(x.shape[0]) < valid_h)[:, None, None]
+        col_ok = (jnp.arange(x.shape[1]) < valid_w)[None, :, None]
+        x = jnp.where(row_ok & col_ok, x, 0.0)
 
     # HWC -> (C, gh//2, 2, 14, gw//2, 2, 14)
     x = x.transpose(2, 0, 1)
@@ -149,6 +165,77 @@ def _temporal_expand(x: jnp.ndarray) -> jnp.ndarray:
     x = x.reshape(seq, 3, 1, PATCH_SIZE, PATCH_SIZE)
     x = jnp.broadcast_to(x, (seq, 3, TEMPORAL_PATCH_SIZE, PATCH_SIZE, PATCH_SIZE))
     return x.reshape(seq, 3 * TEMPORAL_PATCH_SIZE * PATCH_SIZE * PATCH_SIZE)
+
+
+# Source-pixel buckets for the on-device resize path: decoded pages are
+# zero-padded per side to one of these so each (src bucket, grid) pair
+# compiles once. Pages beyond the largest bucket fall back to host resize.
+SRC_PX_BUCKETS = (448, 896, 1344, 1792, 2240, 2688, 3136, 3584, 4032)
+
+
+def src_px_bucket(px: int) -> int | None:
+    for b in SRC_PX_BUCKETS:
+        if px <= b:
+            return b
+    return None
+
+
+def _cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """Keys bicubic, a = -0.5 (PIL's BICUBIC filter)."""
+    ax = jnp.abs(x)
+    return jnp.where(
+        ax < 1.0, (1.5 * ax - 2.5) * ax * ax + 1.0,
+        jnp.where(ax < 2.0, ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0, 0.0))
+
+
+def _resample_matrix(n_src: int, n_dst: int, src_valid, dst_valid: int):
+    """(n_src, n_dst) f32 resampling matrix, column j = filter taps for
+    output pixel j. Reproduces PIL's resampling scheme: antialiased kernel
+    (support scaled by the downscale factor), edge taps clipped to the valid
+    source range and renormalized. src_valid is traced, so one executable
+    serves every true source size within the bucket."""
+    scale = src_valid / dst_valid                     # traced f32
+    fscale = jnp.maximum(scale, 1.0)                  # antialias on downscale
+    centers = (jnp.arange(n_dst, dtype=jnp.float32) + 0.5) * scale - 0.5
+    i = jnp.arange(n_src, dtype=jnp.float32)
+    w = _cubic_kernel((i[:, None] - centers[None, :]) / fscale)
+    w = jnp.where(i[:, None] < src_valid, w, 0.0)     # clip to valid source
+    return w / jnp.maximum(jnp.abs(w.sum(0, keepdims=True)), 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "pad_grid_h",
+                                             "pad_grid_w", "grayscale",
+                                             "out_dtype"))
+def resize_patchify(src_u8: jnp.ndarray, src_h, src_w, *, grid_h: int,
+                    grid_w: int, pad_grid_h: int, pad_grid_w: int,
+                    grayscale: bool = False,
+                    out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Decoded page -> pixel_values entirely on device.
+
+    src_u8 is the raw decoded image zero-padded to (src_bucket_h,
+    src_bucket_w, 3); src_h/src_w are its true (traced) dimensions. The
+    bicubic resize runs as two dense resampling matmuls on the MXU
+    (microseconds) instead of PIL on the host (~60 ms/page on one core —
+    the dominant prepare() cost), then feeds the normalize/patchify core.
+    Replaces preprocess_host + patchify on the serving hot path (SURVEY.md
+    §7.2's device-side preprocessing design; reference host path:
+    karanta/data/process_pdf_utils.py:50-75 + HF processor inside vLLM)."""
+    x = src_u8.astype(jnp.float32)
+    rh, rw = grid_h * PATCH_SIZE, grid_w * PATCH_SIZE
+    wh = _resample_matrix(x.shape[0], pad_grid_h * PATCH_SIZE,
+                          jnp.asarray(src_h, jnp.float32), rh)  # (SBH, ph)
+    ww = _resample_matrix(x.shape[1], pad_grid_w * PATCH_SIZE,
+                          jnp.asarray(src_w, jnp.float32), rw)  # (SBW, pw)
+    # PIL resamples horizontally first and stores the intermediate as uint8;
+    # reproduce both (the round/clip between passes bounds bicubic overshoot
+    # exactly the way PIL does)
+    y = jnp.einsum("wt,swc->stc", ww, x, precision="highest")
+    y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    y = jnp.einsum("sd,swc->dwc", wh, y, precision="highest")
+    y = jnp.clip(jnp.round(y), 0.0, 255.0) / 255.0    # PIL emits uint8
+    return _patchify_core(y, valid_h=rh, valid_w=rw, pad_grid_h=pad_grid_h,
+                          pad_grid_w=pad_grid_w, grayscale=grayscale,
+                          out_dtype=out_dtype)
 
 
 def preprocess_host(image: "np.ndarray | object",

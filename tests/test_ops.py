@@ -87,6 +87,32 @@ class TestImagePrep:
         assert plan.pad_grid_h >= plan.grid_h
         assert plan_image(130, 260).grid_thw[0] == 1
 
+    @pytest.mark.parametrize("h,w", [(56, 84), (333, 517), (1288, 994)])
+    def test_resize_patchify_matches_pil_path(self, h, w):
+        """Device-side bicubic resize (resampling matmuls, PIL pass order +
+        intermediate uint8 rounding) matches preprocess_host(PIL bicubic) +
+        patchify to within one uint8 quantization step per pixel."""
+        from karanta_tpu.ops.image_prep import resize_patchify, src_px_bucket
+
+        rng = np.random.default_rng(h * 1000 + w)
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        arr, plan = preprocess_host(img)
+        ref = np.asarray(patchify(
+            jnp.asarray(arr), grid_h=plan.grid_h, grid_w=plan.grid_w,
+            pad_grid_h=plan.pad_grid_h, pad_grid_w=plan.pad_grid_w,
+            out_dtype=jnp.float32))
+        sbh, sbw = src_px_bucket(h), src_px_bucket(w)
+        src = np.zeros((sbh, sbw, 3), np.uint8)
+        src[:h, :w] = img
+        got = np.asarray(resize_patchify(
+            jnp.asarray(src), h, w, grid_h=plan.grid_h, grid_w=plan.grid_w,
+            pad_grid_h=plan.pad_grid_h, pad_grid_w=plan.pad_grid_w,
+            out_dtype=jnp.float32))
+        # one u8 step in CLIP-normalized units is 1/255/std ~ 0.0145
+        assert np.abs(got - ref).max() <= 0.016
+        if (h, w) == (56, 84):  # scale 1.0: identity to f32 rounding
+            np.testing.assert_allclose(got, ref, atol=1e-6)
+
 
 class TestNewtonSchulz:
     def test_orthogonalizes(self):
