@@ -29,12 +29,14 @@ import time
 import numpy as np
 
 
-def make_page_png(height: int = 1288, width: int = 994) -> str:
+def make_page_png(height: int = 1288, width: int = 994, seed: int = 0) -> str:
     """Synthetic page: text-like high-frequency content at pipeline render dims
-    (1288 px longest side — reference pipeline.py:1170-1175)."""
+    (1288 px longest side — reference pipeline.py:1170-1175). Distinct seeds
+    give distinct page content so the engine's decoded-image cache cannot
+    fire — every benched page pays full host prep like a real corpus."""
     from PIL import Image
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     page = np.full((height, width), 235, np.uint8)
     # rows of dark "text" lines
     for y in range(60, height - 60, 22):
@@ -223,6 +225,10 @@ def main() -> None:
     prefill_buckets = tuple(
         b for b in (512, 1024, 1408, 2048, 4096) if b <= args.max_seq_len) \
         or (args.max_seq_len,)
+    # keep the bench honest: no decoded-image caching — every page pays the
+    # full host decode cost, like a real corpus of distinct pages
+    os.environ.setdefault("KARANTA_IMG_CACHE_MB", "0")
+
     def build_engine(batch: int):
         params, engine_quantize = init_params_bench(cfg, dtype, quantize)
         ecfg = EngineConfig(
@@ -247,22 +253,29 @@ def main() -> None:
 
     engine = build_engine(args.batch)
 
-    page_b64 = make_page_png()
-    messages = [{
-        "role": "user",
-        "content": [
-            {"type": "text",
-             "text": "Return the plain text representation of this document"
-                     " as if you were reading it naturally.\n"},
-            {"type": "image_url",
-             "image_url": {"url": f"data:image/png;base64,{page_b64}"}},
-        ],
-    }]
+    # distinct page content per request: the engine caches decoded images by
+    # content hash (as vLLM's processor cache does), so identical pages would
+    # skip host decode and overstate corpus throughput
+    pages_b64 = [make_page_png(seed=i) for i in range(args.pages)]
+
+    def page_messages(i: int):
+        return [{
+            "role": "user",
+            "content": [
+                {"type": "text",
+                 "text": "Return the plain text representation of this "
+                         "document as if you were reading it naturally.\n"},
+                {"type": "image_url",
+                 "image_url": {"url": "data:image/png;base64,"
+                                      f"{pages_b64[i % len(pages_b64)]}"}},
+            ],
+        }]
 
     def run(n_pages: int):
         # temperature 0 matches the pipeline's production operating point
         # (reference pipeline.py:170: first-attempt temperature is 0.0)
-        reqs = [GenRequest(messages=messages, max_tokens=args.decode_tokens,
+        reqs = [GenRequest(messages=page_messages(i),
+                           max_tokens=args.decode_tokens,
                            temperature=0.0, request_id=f"page-{i}")
                 for i in range(n_pages)]
         start = time.time()

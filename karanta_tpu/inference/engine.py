@@ -273,6 +273,17 @@ class Engine:
         from collections import OrderedDict
 
         self._prefix_kv: "OrderedDict[bytes, Any]" = OrderedDict()
+        # decoded-image cache: raw-bytes sha1 -> RGB uint8 array. Repeated
+        # images (retries, rotation-correction re-requests, duplicated blank
+        # pages) skip the PNG/JPEG decode (~18 ms/page on one core). vLLM
+        # serves the same role with its multimodal processor cache.
+        import threading
+
+        self._img_cache: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
+        self._img_cache_bytes = 0
+        self._img_cache_cap = int(os.environ.get(
+            "KARANTA_IMG_CACHE_MB", "256")) * (1 << 20)
+        self._img_cache_lock = threading.Lock()
         self._slot_wants_lp: dict = {}
         self._slot_logprobs: dict = {}
         self._last_logprobs = None
@@ -640,39 +651,68 @@ class Engine:
     # host-side orchestration
     # ------------------------------------------------------------------
 
+    def _decode_image(self, raw: bytes) -> np.ndarray:
+        """Decode image bytes to an RGB uint8 array, LRU-cached by content
+        hash (KARANTA_IMG_CACHE_MB, 0 disables). Retries and rotation
+        re-requests resend identical bytes; the decode is the single most
+        expensive host step (~18 ms/page on one core)."""
+        import hashlib
+
+        key = hashlib.sha1(raw).digest() if self._img_cache_cap else None
+        if key is not None:
+            with self._img_cache_lock:
+                hit = self._img_cache.get(key)
+                if hit is not None:
+                    self._img_cache.move_to_end(key)
+                    return hit
+        from PIL import Image
+
+        pil = Image.open(io.BytesIO(raw))
+        if pil.mode != "RGB":
+            pil = pil.convert("RGB")
+        rgb = np.asarray(pil, np.uint8)
+        rgb.setflags(write=False)  # shared across cache hits
+        if key is not None:
+            with self._img_cache_lock:
+                self._img_cache[key] = rgb
+                self._img_cache_bytes += rgb.nbytes
+                while self._img_cache_bytes > self._img_cache_cap \
+                        and len(self._img_cache) > 1:
+                    _, old = self._img_cache.popitem(last=False)
+                    self._img_cache_bytes -= old.nbytes
+        return rgb
+
     def prepare(self, request: GenRequest) -> _Prepared:
         parsed = chat.parse_openai_messages(request.messages)
         image_feeds = []
         img_token_counts = []
         grids = []
         for raw in parsed.images:
-            from PIL import Image
-
-            pil = Image.open(io.BytesIO(raw))
-            if pil.mode != "RGB":
-                pil = pil.convert("RGB")
-            sbh = src_px_bucket(pil.height) if self.ecfg.device_resize \
-                else None
-            sbw = src_px_bucket(pil.width) if self.ecfg.device_resize \
-                else None
+            rgb = self._decode_image(raw)
+            img_h, img_w = rgb.shape[:2]
+            sbh = src_px_bucket(img_h) if self.ecfg.device_resize else None
+            sbw = src_px_bucket(img_w) if self.ecfg.device_resize else None
             if sbh is not None and sbw is not None:
                 # on-device resize: ship the decoded page and run the PIL-
                 # equivalent bicubic + patchify in one executable (the host
                 # resize is ~60 ms/page on one core; the matmuls are free)
-                plan = plan_image(pil.height, pil.width,
+                plan = plan_image(img_h, img_w,
                                   self.ecfg.min_pixels, self.ecfg.max_pixels)
                 src = np.zeros((sbh, sbw, 3), np.uint8)
-                src[: pil.height, : pil.width] = np.asarray(pil, np.uint8)
+                src[:img_h, :img_w] = rgb
                 arr = None
                 pix_dev = resize_patchify(
                     jax.device_put(src),
-                    jnp.asarray(pil.height, jnp.int32),
-                    jnp.asarray(pil.width, jnp.int32),
+                    jnp.asarray(img_h, jnp.int32),
+                    jnp.asarray(img_w, jnp.int32),
                     grid_h=plan.grid_h, grid_w=plan.grid_w,
                     pad_grid_h=plan.pad_grid_h, pad_grid_w=plan.pad_grid_w,
                     out_dtype=self.ecfg.dtype)
             else:
-                arr, plan = preprocess_host(pil, self.ecfg.min_pixels,
+                from PIL import Image
+
+                arr, plan = preprocess_host(Image.fromarray(rgb),
+                                            self.ecfg.min_pixels,
                                             self.ecfg.max_pixels)
                 pix_dev = None
             layout = build_vision_layout(plan, self.cfg.vision)
@@ -1222,10 +1262,25 @@ class Engine:
         t_gen0 = time.perf_counter()
 
         results: dict[int, GenResult] = {}
-        prep_pool = ThreadPoolExecutor(max_workers=8)
-        prep_futures = {i: prep_pool.submit(self.prepare, r)
-                        for i, r in enumerate(requests)}
+        # size the pool to the host: on small (1-2 core) hosts extra decode
+        # threads just thrash the GIL against the dispatch thread, which
+        # showed up as ~0.3 s of added wall time per decode chunk
+        n_prep = max(2, min(8, os.cpu_count() or 1))
+        prep_pool = ThreadPoolExecutor(max_workers=n_prep)
+        prep_futures: dict = {}
         pending = list(enumerate(requests))
+        # prep ahead only a bounded window: each prepared page stages device
+        # buffers (pixel feed ~12 MB), so prepping a whole large request list
+        # upfront both floods HBM and burns host CPU the decode loop needs
+        b = self.ecfg.max_batch_size
+        prep_window = max(16, b + b // 2)  # active wave + half the next
+
+        def top_up_prep():
+            for idx, r in pending[:prep_window]:
+                if idx not in prep_futures:
+                    prep_futures[idx] = prep_pool.submit(self.prepare, r)
+
+        top_up_prep()
         # slot -> (req_idx, prepared, collected tokens, start time, first token)
         active: dict[int, list] = {}
         # lookahead: collector for a decode chunk dispatched before the
@@ -1234,6 +1289,7 @@ class Engine:
         inflight = None
 
         while pending or active:
+            top_up_prep()
             # Admission wave: dispatch prefill+insert for every free slot
             # WITHOUT syncing between pages, then read back all the first
             # tokens at once. The per-page dispatch->sync round trip was
@@ -1277,6 +1333,9 @@ class Engine:
                     deferred.append((req_idx, request))
                     continue
                 t0 = time.perf_counter()
+                if req_idx not in prep_futures:
+                    prep_futures[req_idx] = prep_pool.submit(
+                        self.prepare, request)
                 prepared = prep_futures[req_idx].result()
                 tacc["prep_wait"] += time.perf_counter() - t0
                 # keep prompt + completion within the cache
