@@ -1090,6 +1090,8 @@ class Engine:
                 self.token_hist = self._hist_insert_jit(
                     self.token_hist, jnp.asarray(slot), jnp.asarray(arr),
                     jnp.asarray(len(g.ids), jnp.int32), firsts[i])
+        for g in group:
+            self._release_page_buffers(g)
         return firsts
 
     @staticmethod
@@ -1146,6 +1148,7 @@ class Engine:
             cache, first, true_len, next_pos, dfa_val = self.prefill(prepared)
             self.insert(slot, prepared, cache, first, true_len, next_pos,
                         dfa_val)
+            self._release_page_buffers(prepared)
             return first
         layout = feed["layout"]
         pos_after = ((int(prepared.positions.max()) + 1)
@@ -1173,7 +1176,20 @@ class Engine:
             self.token_hist = self._hist_insert_jit(
                 self.token_hist, jnp.asarray(slot), jnp.asarray(arr),
                 jnp.asarray(len(prepared.ids), jnp.int32), first)
+        self._release_page_buffers(prepared)
         return first
+
+    @staticmethod
+    def _release_page_buffers(prepared: _Prepared) -> None:
+        """Drop the per-page staged device operands once the page's prefill
+        has been dispatched: the dispatched executable holds its own
+        references, and `prepared` stays alive in the decode loop for the
+        page's whole lifetime — without this, each active slot pins ~17 MB
+        of HBM (pixel feed + prompt operands) it no longer needs."""
+        prepared.staged = None
+        for feed in prepared.image_feeds:
+            feed["pix_dev"] = None
+            feed["image_u8"] = None
 
     def decode_chunk(self, steps: Optional[int] = None) -> np.ndarray:
         """K decode steps for all active slots; blocks and returns (K, B)

@@ -107,6 +107,9 @@ class InferenceServer:
                 slot = self.engine.slot_free.index(True)
                 self.engine.insert(slot, prepared, cache, first, true_len,
                                    next_pos, dfa_val)
+                # the slot's KV rows now hold everything the page needs;
+                # drop the staged pixel/prompt device buffers (~17 MB/page)
+                self.engine._release_page_buffers(prepared)
                 state = _Active(prepared=prepared, future=future,
                                 stream=stream_q)
                 if prepared.logprobs:
