@@ -177,3 +177,63 @@ def test_wave_admission_instant_finish():
         assert r.completion_tokens == 1
         assert r.finish_reason in ("stop", "length")
     assert all(eng.slot_free)
+
+
+class TestImageCache:
+    def test_repeat_bytes_hit_cache(self, engine):
+        raw = base64.b64decode(_png_b64())
+        a = engine._decode_image(raw)
+        b = engine._decode_image(raw)
+        assert a is b  # second decode served from the LRU
+        assert not a.flags.writeable
+
+    def test_cache_disabled(self, monkeypatch, engine):
+        monkeypatch.setattr(engine, "_img_cache_cap", 0)
+        raw = base64.b64decode(_png_b64())
+        a = engine._decode_image(raw)
+        b = engine._decode_image(raw)
+        assert a is not b
+        np.testing.assert_array_equal(a, b)
+
+    def test_lru_eviction_bounds_bytes(self, engine):
+        engine._img_cache.clear()
+        engine._img_cache_bytes = 0
+        old_cap = engine._img_cache_cap
+        try:
+            one = base64.b64decode(_png_b64())
+            sz = engine._decode_image(one).nbytes
+            engine._img_cache.clear()
+            engine._img_cache_bytes = 0
+            engine._img_cache_cap = sz * 2  # room for two decoded images
+            import io as _io
+
+            from PIL import Image
+
+            for seed in range(4):
+                rng = np.random.default_rng(seed)
+                img = Image.fromarray(
+                    rng.integers(0, 255, (56, 56, 3), dtype=np.uint8))
+                buf = _io.BytesIO()
+                img.save(buf, format="PNG")
+                engine._decode_image(buf.getvalue())
+            assert engine._img_cache_bytes <= sz * 2
+            assert len(engine._img_cache) == 2  # oldest evicted
+        finally:
+            engine._img_cache_cap = old_cap
+
+
+def test_staged_buffers_released_after_generate():
+    """prefill_insert drops the staged device operands once dispatched —
+    a 64-slot wave otherwise pins ~1 GB of HBM it no longer needs."""
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=256, decode_chunk=8,
+                        prefill_buckets=(64, 128, 256),
+                        image_token_buckets=(16, 64), dtype=jnp.float32)
+    eng = Engine(params, CFG, ByteTokenizer(), ecfg)
+    prepared = eng.prepare(GenRequest(messages=_messages(), max_tokens=4,
+                                      temperature=0.0, request_id="rel"))
+    slot = eng.slot_free.index(True)
+    eng.prefill_insert(slot, prepared)
+    assert prepared.staged is None
+    assert all(f["pix_dev"] is None and f["image_u8"] is None
+               for f in prepared.image_feeds)
