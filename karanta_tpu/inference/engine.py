@@ -31,6 +31,18 @@ import numpy as np
 
 from karanta_tpu.inference import chat
 from karanta_tpu.inference.sampling import sample_tokens
+
+# native PNG decoder (native/fastpng.cpp, `make native`); PIL fallback
+import sys as _sys
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+if _NATIVE_DIR not in _sys.path:
+    _sys.path.append(_NATIVE_DIR)
+try:
+    import fastpng as _fastpng
+except ImportError:
+    _fastpng = None
 from karanta_tpu.inference.tokenizer import Tokenizer
 from karanta_tpu.models.qwen25_vl import decoder as dec
 from karanta_tpu.models.qwen25_vl import vision as vis
@@ -655,7 +667,9 @@ class Engine:
         """Decode image bytes to an RGB uint8 array, LRU-cached by content
         hash (KARANTA_IMG_CACHE_MB, 0 disables). Retries and rotation
         re-requests resend identical bytes; the decode is the single most
-        expensive host step (~18 ms/page on one core)."""
+        expensive host step (~18 ms/page on one core). The native decoder
+        (native/fastpng.cpp, `make native`) handles the common 8-bit PNG
+        case; anything else goes through PIL."""
         import hashlib
 
         key = hashlib.sha1(raw).digest() if self._img_cache_cap else None
@@ -665,12 +679,20 @@ class Engine:
                 if hit is not None:
                     self._img_cache.move_to_end(key)
                     return hit
-        from PIL import Image
+        rgb = None
+        if _fastpng is not None and raw[:8] == b"\x89PNG\r\n\x1a\n":
+            try:
+                buf, h, w = _fastpng.decode_rgb(raw)
+                rgb = np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+            except ValueError:
+                rgb = None  # unsupported variant: PIL fallback
+        if rgb is None:
+            from PIL import Image
 
-        pil = Image.open(io.BytesIO(raw))
-        if pil.mode != "RGB":
-            pil = pil.convert("RGB")
-        rgb = np.asarray(pil, np.uint8)
+            pil = Image.open(io.BytesIO(raw))
+            if pil.mode != "RGB":
+                pil = pil.convert("RGB")
+            rgb = np.asarray(pil, np.uint8)
         rgb.setflags(write=False)  # shared across cache hits
         if key is not None:
             with self._img_cache_lock:

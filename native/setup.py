@@ -17,5 +17,11 @@ setup(
             sources=["pdflex.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "fastpng",
+            sources=["fastpng.cpp"],
+            libraries=["z"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )

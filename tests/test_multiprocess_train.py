@@ -74,7 +74,9 @@ def test_two_process_training_matches_and_checkpoints(tmp_path):
 
     outputs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous: on a 1-core host a concurrent test run starves the two
+        # subprocesses (observed flaking at 600 s under full-suite load)
+        out, _ = p.communicate(timeout=1200)
         outputs.append(out.decode(errors="replace"))
     assert all(p.returncode == 0 for p in procs), outputs[-1][-3000:]
 
