@@ -52,6 +52,12 @@ class InferenceServer:
         self.model_name = model_name
         self.queue: asyncio.Queue = asyncio.Queue()
         self.active: dict[int, _Active] = {}
+        # requests pulled off the queue with host prep already running in a
+        # thread: (request, future, stream_q, prepare-task). Bounded so the
+        # staged device buffers (~17 MB/page) can't flood HBM.
+        self._staged: list[tuple] = []
+        b = engine.ecfg.max_batch_size
+        self._prep_ahead = max(8, b + b // 2)
         self._server: Optional[asyncio.AbstractServer] = None
         self._engine_task: Optional[asyncio.Task] = None
         self.port: Optional[int] = None
@@ -62,10 +68,30 @@ class InferenceServer:
     # ------------------------------------------------------------------
 
     async def _engine_loop(self):
+        # `inflight` is the collector of a decode chunk dispatched before the
+        # previous chunk's tokens were read (engine.generate's lookahead).
+        # Admission is gated while a chunk is inflight — a prefill insert
+        # must not race a chunk still writing the cache.
+        inflight = None
         while True:
-            admitted = await self._admit()
+            admitted = False
+            if inflight is None:
+                admitted = await self._admit()
+            else:
+                # keep the next wave's host prep running under the inflight
+                # chunk even though slot admission must wait for it
+                self._top_up_staging()
             if self.active:
                 if self.engine._spec_ok():
+                    if inflight is not None:
+                        # slot mix changed under the inflight chunk: drain it
+                        # through the normal path before switching to spec
+                        toks = await asyncio.to_thread(inflight)
+                        inflight = None
+                        self._distribute_lists({
+                            slot: [int(t) for t in toks[:, slot]]
+                            for slot in self.active})
+                        continue
                     toks, counts = await asyncio.to_thread(
                         self.engine.decode_chunk_spec)
                     self._distribute_lists({
@@ -74,65 +100,124 @@ class InferenceServer:
                                for t in toks[st, slot, :counts[st, slot]]]
                         for slot in self.active})
                 else:
-                    toks = await asyncio.to_thread(self.engine.decode_chunk)
+                    steps = self.engine.ecfg.decode_chunk
+                    collect = (inflight if inflight is not None else
+                               await asyncio.to_thread(
+                                   self.engine.decode_chunk_async))
+                    inflight = None
+                    # Dispatch the NEXT chunk before blocking on this one
+                    # when no slot can finish inside it (so another chunk is
+                    # needed regardless), every slot is occupied (admission
+                    # couldn't insert anyway), and the KV bucket has
+                    # headroom: the readback + host turnaround then hides
+                    # behind device execution.
+                    min_remaining = min(
+                        (st.prepared.max_tokens - len(st.collected)
+                         for st in self.active.values()), default=0)
+                    if (min_remaining > steps
+                            and not any(self.engine.slot_free)
+                            and self.engine.decode_headroom(steps)):
+                        inflight = await asyncio.to_thread(
+                            self.engine.decode_chunk_async)
+                    toks = await asyncio.to_thread(collect)
                     self._distribute_lists({
                         slot: [int(t) for t in toks[:, slot]]
                         for slot in self.active})
-            elif not admitted:
-                await asyncio.sleep(0.002)
+            else:
+                if inflight is not None:
+                    # every slot finished via eos under the inflight chunk:
+                    # drain and discard before admitting again
+                    await asyncio.to_thread(inflight)
+                    inflight = None
+                elif not admitted:
+                    await asyncio.sleep(0.002)
+
+    def _top_up_staging(self):
+        """Pull queued requests into the staging window and start their host
+        prep (image decode, layout planning, device staging) in threads NOW —
+        the engine loop calls this at every chunk boundary, so the next
+        wave's prep overlaps the current wave's decode instead of running
+        serially at the wave boundary while the device idles."""
+        while len(self._staged) < self._prep_ahead and not self.queue.empty():
+            request, future, stream_q = self.queue.get_nowait()
+            if future.cancelled():
+                continue
+            prep = asyncio.ensure_future(
+                asyncio.to_thread(self.engine.prepare, request))
+            self._staged.append((request, future, stream_q, prep))
 
     async def _admit(self) -> bool:
         from karanta_tpu.inference.engine import GuidedRegexBusy
 
-        admitted = False
-        deferred: list[tuple] = []
-        while any(self.engine.slot_free) and not self.queue.empty():
-            request, future, stream_q = self.queue.get_nowait()
-            if future.cancelled():
+        self._top_up_staging()
+        # take up to one staged request per free slot, holding back guided
+        # requests whose regex conflicts with live guided slots (never
+        # silently drop the constraint — they stay staged until it drains)
+        batch: list[tuple] = []
+        held: list[tuple] = []
+        free = sum(self.engine.slot_free)
+        for item in self._staged:
+            request = item[0]
+            if (len(batch) < free
+                    and not (request.guided_regex
+                             and not self.engine.guided_available(
+                                 request.guided_regex))):
+                batch.append(item)
+            else:
+                held.append(item)
+        self._staged = held
+        if not batch:
+            return False
+
+        prepared_list = await asyncio.gather(
+            *[prep for _, _, _, prep in batch], return_exceptions=True)
+
+        # dispatch every page's prefill+insert WITHOUT syncing between pages
+        # (the greedy unguided path is ONE fused executable per page), then
+        # read the first tokens back in a single wave — the per-page
+        # dispatch->sync round trip costs ~78 ms over remote-TPU tunnels
+        wave: list[tuple] = []
+        for (request, future, stream_q, prep), prepared in zip(batch,
+                                                               prepared_list):
+            if isinstance(prepared, BaseException):
+                logger.error("failed to prepare request: %r", prepared)
+                if not future.done():
+                    future.set_exception(prepared)
                 continue
-            if (request.guided_regex
-                    and not self.engine.guided_available(request.guided_regex)):
-                # another regex has live guided slots: hold this request
-                # until they drain (never silently drop the constraint)
-                deferred.append((request, future, stream_q))
-                continue
+            prepared.max_tokens = min(
+                prepared.max_tokens,
+                max(1, self.engine.ecfg.max_seq_len - len(prepared.ids) - 1))
             try:
-                prepared = await asyncio.to_thread(self.engine.prepare, request)
-                prepared.max_tokens = min(
-                    prepared.max_tokens,
-                    max(1, self.engine.ecfg.max_seq_len - len(prepared.ids) - 1))
-                (cache, first, true_len, next_pos,
-                 dfa_val) = await asyncio.to_thread(self.engine.prefill,
-                                                    prepared)
                 slot = self.engine.slot_free.index(True)
-                self.engine.insert(slot, prepared, cache, first, true_len,
-                                   next_pos, dfa_val)
-                # the slot's KV rows now hold everything the page needs;
-                # drop the staged pixel/prompt device buffers (~17 MB/page)
-                self.engine._release_page_buffers(prepared)
-                state = _Active(prepared=prepared, future=future,
-                                stream=stream_q)
-                if prepared.logprobs:
-                    state.lp = [self.engine._first_logprob.pop(
-                        prepared.request_id, None)]
-                first_host = int(first)
-                state.collected.append(first_host)
-                if (first_host == self.engine.tok.eos_token_id
-                        or prepared.max_tokens <= 1):
-                    reason = ("stop" if first_host == self.engine.tok.eos_token_id
-                              else "length")
-                    self._finish(slot, state, reason)
-                else:
-                    self.active[slot] = state
-                admitted = True
+                first = await asyncio.to_thread(
+                    self.engine.prefill_insert, slot, prepared)
+                wave.append((slot, prepared, future, stream_q, first))
             except GuidedRegexBusy:
-                deferred.append((request, future, stream_q))
+                # the regex table filled between the availability check and
+                # the bind: hold the request (prep already done) until the
+                # conflicting automaton drains
+                self._staged.append((request, future, stream_q, prep))
             except Exception as exc:
                 logger.exception("failed to admit request")
                 if not future.done():
                     future.set_exception(exc)
-        for item in deferred:
-            self.queue.put_nowait(item)
+
+        admitted = False
+        for slot, prepared, future, stream_q, first in wave:
+            state = _Active(prepared=prepared, future=future, stream=stream_q)
+            if prepared.logprobs:
+                state.lp = [self.engine._first_logprob.pop(
+                    prepared.request_id, None)]
+            first_host = int(first)  # one wave of syncs, not one per page
+            state.collected.append(first_host)
+            if (first_host == self.engine.tok.eos_token_id
+                    or prepared.max_tokens <= 1):
+                reason = ("stop" if first_host == self.engine.tok.eos_token_id
+                          else "length")
+                self._finish(slot, state, reason)
+            else:
+                self.active[slot] = state
+            admitted = True
         return admitted
 
     def _distribute_lists(self, emitted: dict):
@@ -267,7 +352,7 @@ class InferenceServer:
             elif method == "GET" and path == "/metrics":
                 await self._respond(writer, 200, {
                     "running": len(self.active),
-                    "waiting": self.queue.qsize(),
+                    "waiting": self.queue.qsize() + len(self._staged),
                     "requests_served": self.requests_served,
                 })
             elif method == "POST" and path.rstrip("/").endswith("/chat/completions"):

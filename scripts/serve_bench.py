@@ -1,0 +1,109 @@
+"""Full-stack serving throughput: pages/s through the OpenAI HTTP surface.
+
+Same operating point as bench.py (7B preset, int8 weights + int8 KV, W8A8
+prefill, B64 slots, distinct synthetic pages) but driven through the real
+server — HTTP parse, admission queue, continuous batching loop, SSE-less
+chat completions — the path the production pipeline uses. The delta vs
+bench.py's direct engine.generate() is the server-loop overhead.
+
+Env knobs mirror bench.py: SBPRESET, SBB (batch), SBPAGES, SBTOK.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+async def amain():
+    from karanta_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from bench import init_params_bench, make_page_png
+    from karanta_tpu.inference.engine import Engine, EngineConfig
+    from karanta_tpu.inference.server import InferenceServer
+    from karanta_tpu.inference.tokenizer import ByteTokenizer
+    from karanta_tpu.models.qwen25_vl.config import get_config
+    from karanta_tpu.pipeline.http import apost
+
+    os.environ.setdefault("KARANTA_IMG_CACHE_MB", "0")  # honest: no dedupe
+    preset = os.environ.get("SBPRESET", "qwen2.5-vl-7b")
+    batch = int(os.environ.get("SBB", 64))
+    pages = int(os.environ.get("SBPAGES", 2 * batch))
+    max_tokens = int(os.environ.get("SBTOK", 512))
+
+    cfg = get_config(preset)
+
+    class NoStop(ByteTokenizer):
+        def __init__(self):
+            super().__init__()
+            self.eos_token_id = -1
+
+    params, engine_q = init_params_bench(cfg, jnp.bfloat16, "int8")
+    ecfg = EngineConfig(
+        max_batch_size=batch, max_seq_len=1920, decode_chunk=64,
+        prefill_buckets=(512, 1024, 1408), image_token_buckets=(2048,),
+        dtype=jnp.bfloat16, quantize=engine_q, kv_quantize="int8",
+        act_quant="int8")
+    engine = Engine(params, cfg, NoStop(), ecfg)
+    del params
+
+    server = InferenceServer(engine)
+    port = await server.start("127.0.0.1", 0)
+    url = f"http://127.0.0.1:{port}/v1/chat/completions"
+    print(f"server on :{port}", flush=True)
+
+    # pre-generate distinct pages OUTSIDE the timed runs (PNG encoding is
+    # ~150 ms/page on this 1-core host and must not pollute the measurement)
+    print("generating pages...", flush=True)
+    pages_b64 = [make_page_png(seed=i) for i in range(pages)]
+
+    def body(i: int) -> dict:
+        return {
+            "model": "karanta-ocr",
+            "temperature": 0.0,
+            "max_tokens": max_tokens,
+            "messages": [{
+                "role": "user",
+                "content": [
+                    {"type": "text", "text": "Return the plain text of this "
+                                             "document.\n"},
+                    {"type": "image_url",
+                     "image_url": {"url": "data:image/png;base64,"
+                                          + pages_b64[i % len(pages_b64)]}},
+                ],
+            }],
+        }
+
+    async def one(i: int):
+        status, payload = await apost(url, body(i), timeout=1200)
+        assert status == 200, payload[:300]
+        return payload
+
+    async def run(n: int) -> float:
+        t0 = time.time()
+        await asyncio.gather(*[one(i) for i in range(n)])
+        return time.time() - t0
+
+    await run(max(2, batch // 2))            # warmup / compile
+    best = 0.0
+    for r in range(2):
+        elapsed = await run(pages)
+        pps = pages / elapsed
+        best = max(best, pps)
+        print(f"run {r}: {pps:.4f} pages/s ({elapsed:.1f}s for {pages})",
+              flush=True)
+    print(f"HTTP full-stack: {best:.4f} pages/s/chip "
+          f"(preset={preset} batch={batch} tokens={max_tokens})", flush=True)
+    await server.stop()
+
+
+if __name__ == "__main__":
+    asyncio.run(amain())
