@@ -213,8 +213,11 @@ async def process_page(args, worker_id: int, pdf_orig_path: str,
                 output_tokens=usage.get("completion_tokens", 0),
                 is_fallback=False)
         except (ConnectionError, OSError, asyncio.TimeoutError) as exc:
-            # transport problems back off without consuming page attempts
-            delay = 10 * (2 ** exponential_backoffs)
+            # transport problems back off without consuming page attempts;
+            # base 10 s matches reference pipeline.py:394-407, env-tunable so
+            # crash-recovery tests don't spend real minutes sleeping
+            base = float(os.environ.get("KARANTA_BACKOFF_BASE", "10"))
+            delay = base * (2 ** exponential_backoffs)
             exponential_backoffs += 1
             logger.warning("transport error on %s-%d (%s); sleeping %ds",
                            pdf_orig_path, page_num, exc, delay)
