@@ -128,12 +128,12 @@ def main() -> None:
     parser.add_argument("--decode-tokens", type=int, default=512,
                         help="fixed completion budget per page")
     parser.add_argument("--batch", type=int, default=None,
-                        help="decode slots. Default per preset: 7B -> 64 "
-                             "(int8 weights + int8 KV 3.4 GB; fits since "
-                             "the on-device-resize/direct-int8-init memory "
-                             "work — 80 OOMs the 16 GB chip; falls back to "
-                             "48 on OOM), 3B -> 64 (the v5e sweet spot at "
-                             "the 1920-row bf16 KV bucket; 96 OOMs).")
+                        help="decode slots. Default per preset: 7B -> 80 "
+                             "(int8 weights + int8 KV 4.2 GB; fits since "
+                             "the staged-buffer-release memory work — 88 "
+                             "OOMs the 16 GB chip; falls back 64 -> 48 on "
+                             "OOM), 3B -> 64 (the v5e sweet spot at the "
+                             "1920-row bf16 KV bucket; 96 OOMs).")
     parser.add_argument("--max-seq-len", dest="max_seq_len", type=int,
                         default=int(os.environ.get("KARANTA_BENCH_MAX_SEQ",
                                                    1920)),
@@ -176,11 +176,11 @@ def main() -> None:
                              "also quantizes activations dynamically).")
     args = parser.parse_args()
     is_7b = "7b" in args.preset.lower()
-    batch_fallback = None
+    batch_fallbacks: list[int] = []
     if args.batch is None:
-        args.batch = 64
+        args.batch = 80 if is_7b else 64
         if is_7b:
-            batch_fallback = 48  # rebuild smaller if the chip OOMs
+            batch_fallbacks = [64, 48]  # rebuild smaller if the chip OOMs
     if args.kv_quantize is None:
         args.kv_quantize = "int8" if is_7b else "none"
     if args.pages is None:
@@ -284,20 +284,23 @@ def main() -> None:
         return results, elapsed
 
     # warmup: trigger all compilations (vision bucket, prefill bucket, decode).
-    # If the default batch doesn't fit this chip's HBM, rebuild smaller — the
-    # cache/workspace high-water mark shows up here, not at engine init.
-    try:
-        run(max(2, args.batch // 2))
-    except Exception as e:  # jaxlib RESOURCE_EXHAUSTED surfaces as XlaRuntimeError
-        if batch_fallback is None or "RESOURCE_EXHAUSTED" not in repr(e):
-            raise
-        print(f"# batch {args.batch} OOM; retrying at {batch_fallback}",
-              flush=True)
-        del engine
-        args.batch = batch_fallback
-        args.pages = max(16, 2 * args.batch)
-        engine = build_engine(args.batch)
-        run(max(2, args.batch // 2))
+    # If the default batch doesn't fit this chip's HBM, walk the fallback
+    # ladder — the cache/workspace high-water mark shows up here, not at
+    # engine init.
+    while True:
+        try:
+            run(max(2, args.batch // 2))
+            break
+        except Exception as e:  # RESOURCE_EXHAUSTED -> XlaRuntimeError
+            if not batch_fallbacks or "RESOURCE_EXHAUSTED" not in repr(e):
+                raise
+            smaller = batch_fallbacks.pop(0)
+            print(f"# batch {args.batch} OOM; retrying at {smaller}",
+                  flush=True)
+            del engine
+            args.batch = smaller
+            args.pages = max(16, 2 * args.batch)
+            engine = build_engine(args.batch)
 
     # best of 2 measured runs: remote-tunnel dispatch latency varies run to
     # run (measured warm band ~±8%); the max is the reproducible capability
