@@ -56,8 +56,11 @@ class InferenceServer:
         # thread: (request, future, stream_q, prepare-task). Bounded so the
         # staged device buffers (~17 MB/page) can't flood HBM.
         self._staged: list[tuple] = []
+        # one wave's worth: enough to overlap the next wave's prep with the
+        # current wave's decode, without staging more device buffers than the
+        # largest batch's HBM headroom allows (1.5x batch OOMs at B80/7B)
         b = engine.ecfg.max_batch_size
-        self._prep_ahead = max(8, b + b // 2)
+        self._prep_ahead = max(8, b)
         self._server: Optional[asyncio.AbstractServer] = None
         self._engine_task: Optional[asyncio.Task] = None
         self.port: Optional[int] = None
