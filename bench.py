@@ -128,12 +128,11 @@ def main() -> None:
     parser.add_argument("--decode-tokens", type=int, default=512,
                         help="fixed completion budget per page")
     parser.add_argument("--batch", type=int, default=None,
-                        help="decode slots. Default per preset: 7B -> 80 "
-                             "(int8 weights + int8 KV 4.2 GB; fits since "
-                             "the staged-buffer-release memory work — 88 "
-                             "OOMs the 16 GB chip; falls back 64 -> 48 on "
-                             "OOM), 3B -> 64 (the v5e sweet spot at the "
-                             "1920-row bf16 KV bucket; 96 OOMs).")
+                        help="decode slots. Default 80 for both presets "
+                             "(7B: int8 KV 4.2 GB fits since the staged-"
+                             "buffer-release memory work, 88 OOMs; 3B: "
+                             "measured 4.69 pages/s at 80 vs 4.58 at 96). "
+                             "Falls back 64 (-> 48 on 7B) on OOM.")
     parser.add_argument("--max-seq-len", dest="max_seq_len", type=int,
                         default=int(os.environ.get("KARANTA_BENCH_MAX_SEQ",
                                                    1920)),
@@ -178,11 +177,12 @@ def main() -> None:
     is_7b = "7b" in args.preset.lower()
     batch_fallbacks: list[int] = []
     if args.batch is None:
-        args.batch = 80 if is_7b else 64
-        if is_7b:
-            batch_fallbacks = [64, 48]  # rebuild smaller if the chip OOMs
+        args.batch = 80
+        batch_fallbacks = [64, 48] if is_7b else [64]
     if args.kv_quantize is None:
-        args.kv_quantize = "int8" if is_7b else "none"
+        # int8 KV + the fused append kernel beat bf16 KV on both presets
+        # (3B: 4.15 @ B64 bf16 -> 4.69 @ B80 int8)
+        args.kv_quantize = "int8"
     if args.pages is None:
         args.pages = max(16, 2 * args.batch)
 

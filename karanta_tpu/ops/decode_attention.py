@@ -520,25 +520,30 @@ def _fit_ring(m: int, block: int, spp: int, b: int, kvh: int, d: int,
 
     Constraints, in order: spp divides the batch; block divides the bucket
     (the ring slices pl.ds(i*block, block) — a non-divisor runs the last
-    slice past the bucket) and is a multiple of 32 rows (tile-legal for
-    every cache dtype); the K+V ring scratch (spp*nbuf*kvh*block*d*esize*2)
+    slice past the bucket) and is LANE-ALIGNED: a multiple of 128 rows when
+    the bucket is (Mosaic rejects cache-axis slices that aren't aligned to
+    the 128 tiling — a 3B bf16 cache at block 960 failed to compile), else
+    a multiple of 32 (tile-legal minimum; covers the tiny interpret-mode
+    buckets in tests); the K+V ring scratch (spp*nbuf*kvh*block*d*esize*2)
     fits a VMEM budget — preferring to shrink block before slots-per-program
     (the measured-best 3B long-context point is spp4/blk512, and a 7B
     kvh=4 cache at block 960 would need 15.7 MB of scratch)."""
     while b % spp:
         spp //= 2
     spp = max(spp, 1)
-    block = max(32, min(block, m))
+    align = 128 if (m >= 128 and m % 128 == 0) else 32
+    block = max(align, min(block, m))
+    block -= block % align
     while m % block:
-        block -= 32
+        block -= align
 
     def scratch() -> int:
         return spp * nbuf * kvh * block * d * esize * 2
 
-    while scratch() > budget and block > 32:
-        block -= 32
+    while scratch() > budget and block > align:
+        block -= align
         while m % block:
-            block -= 32
+            block -= align
     while scratch() > budget and spp > 1:
         spp //= 2
     return block, spp
