@@ -35,14 +35,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training_matches_and_checkpoints(tmp_path):
-    root = _make_dataset(tmp_path, n=4)
-    out_dir = tmp_path / "run"
+def _run_two_processes(tmp_path, root, out_dir, metric_files):
     port = _free_port()
-
     procs = []
-    metric_files = []
     for pid in range(2):
         argv = [
             "--dataset_root", str(root),
@@ -61,14 +56,13 @@ def test_two_process_training_matches_and_checkpoints(tmp_path):
             "--learning_rate", "0.001",
             "--dtype", "float32",
         ]
-        mfile = tmp_path / f"metrics_{pid}.json"
-        metric_files.append(mfile)
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
         env["PYTHONPATH"] = REPO
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", DRIVER, json.dumps(argv), str(mfile)],
+            [sys.executable, "-c", DRIVER,
+             json.dumps(argv), str(metric_files[pid])],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
 
@@ -76,8 +70,29 @@ def test_two_process_training_matches_and_checkpoints(tmp_path):
     for p in procs:
         # generous: on a 1-core host a concurrent test run starves the two
         # subprocesses (observed flaking at 600 s under full-suite load)
-        out, _ = p.communicate(timeout=1200)
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
         outputs.append(out.decode(errors="replace"))
+    return procs, outputs
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_and_checkpoints(tmp_path):
+    root = _make_dataset(tmp_path, n=4)
+    metric_files = [tmp_path / f"metrics_{pid}.json" for pid in range(2)]
+
+    # one retry: under full-suite load on a 1-core host the coordinator
+    # handshake can starve past its RPC deadline — a scheduling artifact,
+    # not a code path we're asserting on
+    for attempt in range(2):
+        out_dir = tmp_path / f"run{attempt}"
+        procs, outputs = _run_two_processes(
+            tmp_path, root, out_dir, metric_files)
+        if all(p.returncode == 0 for p in procs):
+            break
     assert all(p.returncode == 0 for p in procs), outputs[-1][-3000:]
 
     metrics = [json.load(open(m)) for m in metric_files]
