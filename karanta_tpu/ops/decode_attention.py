@@ -16,6 +16,7 @@ violates the (sublane, lane) tiling rules, so per-head DMA slices of
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -24,6 +25,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# Ring tuning knobs, read once at import (per-process): override the append
+# kernels' block / slots-per-program / DMA ring depth / VMEM scratch budget
+# for on-chip A/Bs without touching call sites. 0 = keep the call-site value.
+_RING_BLOCK = int(os.environ.get("KARANTA_RING_BLOCK", 0))
+_RING_SPP = int(os.environ.get("KARANTA_RING_SPP", 0))
+_RING_NBUF = int(os.environ.get("KARANTA_RING_NBUF", 0))
+_RING_BUDGET = int(os.environ.get("KARANTA_RING_BUDGET_MB", 0)) << 20
 
 
 def _decode_kernel(len_ref,                 # SMEM (B,) int32 (scalar prefetch)
@@ -549,6 +558,14 @@ def _fit_ring(m: int, block: int, spp: int, b: int, kvh: int, d: int,
     return block, spp
 
 
+def _ring_env(block: int, spp: int, nbuf: int) -> tuple[int, int, int]:
+    """Apply the per-process KARANTA_RING_* overrides (0 = call-site value).
+
+    nbuf is clamped to >= 2: the ring always needs a consume buffer."""
+    return (_RING_BLOCK or block, _RING_SPP or spp,
+            max(2, _RING_NBUF or nbuf))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block", "scale", "interpret", "nbuf",
                                     "spp"))
@@ -576,8 +593,10 @@ def paged_decode_append(
     scale = float(d ** -0.5 if scale is None else scale)
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
+    block, spp, nbuf = _ring_env(block, spp, nbuf)
     block, spp = _fit_ring(m, block, spp, b, kvh, d,
-                           jnp.dtype(k_cache.dtype).itemsize, nbuf)
+                           jnp.dtype(k_cache.dtype).itemsize, nbuf,
+                           budget=_RING_BUDGET or 6 << 20)
     # slab for the row RMW: 32 rows is tile-aligned for every cache dtype
     # (f32 8, bf16 16, int8 32 sublanes) and must divide the bucket length
     slab = min(32, m)
@@ -886,7 +905,9 @@ def paged_decode_append_quant(
     scale = float(d ** -0.5 if scale is None else scale)
     if nbuf < 2:
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
-    block, spp = _fit_ring(m, block, spp, b, kvh, d, 1, nbuf)
+    block, spp, nbuf = _ring_env(block, spp, nbuf)
+    block, spp = _fit_ring(m, block, spp, b, kvh, d, 1, nbuf,
+                           budget=_RING_BUDGET or 6 << 20)
     slab = min(32, m)
     sslab = min(128, m)   # scale slab: full 128-lane tiles of the (KVH, M) dims
     if m % slab or m % sslab:
