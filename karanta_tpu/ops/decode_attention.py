@@ -524,7 +524,7 @@ def _decode_append_kernel(len_ref,               # SMEM (B,) int32
 
 
 def _fit_ring(m: int, block: int, spp: int, b: int, kvh: int, d: int,
-              esize: int, nbuf: int, budget: int = 6 << 20) -> tuple[int, int]:
+              esize: int, nbuf: int, budget: int = 12 << 20) -> tuple[int, int]:
     """Pick a legal (block, spp) for the ring-DMA append kernels.
 
     Constraints, in order: spp divides the batch; block divides the bucket
@@ -534,9 +534,14 @@ def _fit_ring(m: int, block: int, spp: int, b: int, kvh: int, d: int,
     the 128 tiling — a 3B bf16 cache at block 960 failed to compile), else
     a multiple of 32 (tile-legal minimum; covers the tiny interpret-mode
     buckets in tests); the K+V ring scratch (spp*nbuf*kvh*block*d*esize*2)
-    fits a VMEM budget — preferring to shrink block before slots-per-program
-    (the measured-best 3B long-context point is spp4/blk512, and a 7B
-    kvh=4 cache at block 960 would need 15.7 MB of scratch)."""
+    fits a VMEM budget — preferring to shrink block before slots-per-program.
+
+    Defaults from the on-chip ladder at the 7B bench point (B80, M1920,
+    int8 KV, fill 1650; kernel ms per 64-step chunk): spp4/blk640 693.6,
+    nbuf3 730.5, spp8/blk640 653.5 (best), spp16/blk640 VMEM-OOM (the
+    scoped limit is 16 MB), spp16/blk320 1469 (small DMA slices). Hence
+    spp default 8 and a 12 MB budget; blocks below ~512 rows lose to DMA
+    inefficiency, so prefer keeping block large over keeping spp large."""
     while b % spp:
         spp //= 2
     spp = max(spp, 1)
@@ -581,7 +586,7 @@ def paged_decode_append(
     block: int = 512,
     interpret: bool = False,
     nbuf: int = 2,           # DMA ring depth per slot
-    spp: int = 4,            # slots per program (VMEM: spp*nbuf*2*blk*D*2B)
+    spp: int = 8,            # slots per program (VMEM: spp*nbuf*2*blk*D*2B)
 ):
     """Append new_k/new_v at cache_len and attend over the live prefix + the
     new row. Returns (attn (B,1,H,D), k_cache, v_cache) with the caches
@@ -596,7 +601,7 @@ def paged_decode_append(
     block, spp, nbuf = _ring_env(block, spp, nbuf)
     block, spp = _fit_ring(m, block, spp, b, kvh, d,
                            jnp.dtype(k_cache.dtype).itemsize, nbuf,
-                           budget=_RING_BUDGET or 6 << 20)
+                           budget=_RING_BUDGET or 12 << 20)
     # slab for the row RMW: 32 rows is tile-aligned for every cache dtype
     # (f32 8, bf16 16, int8 32 sublanes) and must divide the bucket length
     slab = min(32, m)
@@ -890,7 +895,7 @@ def paged_decode_append_quant(
     block: int = 512,
     interpret: bool = False,
     nbuf: int = 2,
-    spp: int = 4,
+    spp: int = 8,
 ):
     """Fused append + length-bounded attention over the int8 KV cache.
     Returns (attn, k_cache, v_cache, ks_cache, vs_cache) with all four
@@ -907,7 +912,7 @@ def paged_decode_append_quant(
         raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
     block, spp, nbuf = _ring_env(block, spp, nbuf)
     block, spp = _fit_ring(m, block, spp, b, kvh, d, 1, nbuf,
-                           budget=_RING_BUDGET or 6 << 20)
+                           budget=_RING_BUDGET or 12 << 20)
     slab = min(32, m)
     sslab = min(128, m)   # scale slab: full 128-lane tiles of the (KVH, M) dims
     if m % slab or m % sslab:
