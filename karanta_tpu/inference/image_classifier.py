@@ -59,7 +59,20 @@ class LayoutClassifier:
         self.arch = arch
         self.params = params
         self.cfg = cfg
-        self._forward = jax.jit(functools.partial(forward, cfg=cfg))
+        # normalize ON DEVICE: the host ships uint8 pixels (4x fewer bytes
+        # over PCIe/tunnel than pre-normalized float32 — transfer dominated
+        # the batch path) and /255-mean-std fuses into the first conv
+        mean, std = self.mean, self.std
+
+        def normalized_forward(params, images, cfg):
+            import jax.numpy as jnp
+
+            x = images.astype(jnp.float32) / 255.0
+            x = (x - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+            return forward(params, images=x, cfg=cfg)
+
+        self._forward = jax.jit(functools.partial(normalized_forward,
+                                                  cfg=cfg))
 
     @classmethod
     def from_checkpoint(cls, path: str) -> "LayoutClassifier":
@@ -159,8 +172,7 @@ class LayoutClassifier:
         pil = load_image(image)
         pil = pil.resize((self.cfg.image_size, self.cfg.image_size),
                          Image.Resampling.BILINEAR)
-        arr = np.asarray(pil, np.float32) / 255.0
-        return (arr - self.mean) / self.std
+        return np.asarray(pil, np.uint8)  # normalization happens on device
 
     def predict(self, image) -> dict:
         import jax
