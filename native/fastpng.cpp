@@ -110,8 +110,11 @@ static bool decode_png(const uint8_t* data, size_t size, PngImage& img,
             img.bit_depth = body[8];
             img.color_type = body[9];
             int interlace = body[12];
+            // cap below PIL's ~179M-pixel decompression-bomb threshold so a
+            // tiny malicious PNG can't make us allocate gigabytes that the
+            // PIL fallback path would refuse (Image.MAX_IMAGE_PIXELS)
             if (img.width == 0 || img.height == 0 ||
-                uint64_t(img.width) * img.height > (1u << 30)) {
+                uint64_t(img.width) * img.height > (1u << 27)) {
                 err = "unsupported: image too large";
                 return false;
             }

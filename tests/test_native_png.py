@@ -94,3 +94,21 @@ def test_engine_uses_native_decoder_with_pil_fallback():
     np.testing.assert_array_equal(png_rgb, np.asarray(img, np.uint8))
     jpg_rgb = eng_mod.Engine._decode_image(shim, jbuf.getvalue())
     assert jpg_rgb.shape == (32, 48, 3)
+
+
+def test_decompression_bomb_rejected_cheaply():
+    """A tiny PNG whose header claims >2^27 pixels must be refused before
+    any scanline allocation (PIL's MAX_IMAGE_PIXELS analog)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 16384, 16384, 8, 2, 0, 0, 0)  # 268M px
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="too large"):
+        fastpng.decode_rgb(bomb)
