@@ -696,6 +696,11 @@ class Engine:
         rgb.setflags(write=False)  # shared across cache hits
         if key is not None:
             with self._img_cache_lock:
+                # two prep threads can miss the same key concurrently; the
+                # overwrite must not double-count the budget
+                old = self._img_cache.pop(key, None)
+                if old is not None:
+                    self._img_cache_bytes -= old.nbytes
                 self._img_cache[key] = rgb
                 self._img_cache_bytes += rgb.nbytes
                 while self._img_cache_bytes > self._img_cache_cap \

@@ -221,6 +221,33 @@ class TestImageCache:
         finally:
             engine._img_cache_cap = old_cap
 
+    def test_racing_duplicate_insert_keeps_accounting_exact(self, engine):
+        """Two prep threads can miss the same key concurrently and both
+        insert; the overwrite must not double-count the byte budget."""
+        from collections import OrderedDict
+
+        class RaceOnce(OrderedDict):
+            """get() misses once — the second thread's view before the
+            first thread's insert became visible."""
+
+            miss_once = True
+
+            def get(self, key, default=None):
+                if self.miss_once:
+                    self.miss_once = False
+                    return None
+                return super().get(key, default)
+
+        engine._img_cache.clear()
+        engine._img_cache_bytes = 0
+        raw = base64.b64decode(_png_b64())
+        sz = engine._decode_image(raw).nbytes
+        assert engine._img_cache_bytes == sz
+        engine._img_cache = RaceOnce(engine._img_cache)
+        engine._decode_image(raw)  # racing miss -> duplicate insert
+        assert engine._img_cache_bytes == sz  # no drift
+        assert len(engine._img_cache) == 1
+
 
 def test_staged_buffers_released_after_generate():
     """prefill_insert drops the staged device operands once dispatched —
