@@ -546,6 +546,11 @@ def _fit_ring(m: int, block: int, spp: int, b: int, kvh: int, d: int,
         spp //= 2
     spp = max(spp, 1)
     align = 128 if (m >= 128 and m % 128 == 0) else 32
+    if m % align:
+        # m < 32 passes the callers' slab=min(32, m) check but has no
+        # tile-legal block at all — fail with the real constraint instead
+        # of walking block to zero below
+        raise ValueError(f"max_seq_len {m} must be a multiple of {align}")
     block = max(align, min(block, m))
     block -= block % align
     while m % block:
