@@ -63,7 +63,12 @@ class Stream:
                 try:
                     data = zlib.decompress(data)
                 except zlib.error:
-                    data = zlib.decompressobj().decompress(data)
+                    try:
+                        # salvage a truncated-but-valid prefix (common in
+                        # real-world PDFs with sloppy /Length values)
+                        data = zlib.decompressobj().decompress(data)
+                    except zlib.error as exc:
+                        raise PdfError(f"corrupt Flate stream: {exc}")
                 parms = doc.resolve(parms_list[i]) if i < len(parms_list) else None
                 if isinstance(parms, dict):
                     data = _apply_predictor(data, doc, parms)
@@ -168,14 +173,19 @@ class _Lexer:
 _NUM_RE = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 
 
-def _parse_object(lex: _Lexer, doc: Optional["PdfDocument"] = None) -> Any:
+def _parse_object(lex: _Lexer, doc: Optional["PdfDocument"] = None,
+                  depth: int = 0) -> Any:
+    if depth > 128:
+        # corrupt/hostile nesting: fail instead of blowing the Python
+        # stack (RecursionError escaping a worker thread)
+        raise PdfError("object nesting too deep")
     lex.skip_ws()
     head = lex.peek(2)
     if head[:1] == b"(":
         return _parse_literal_string(lex)
     if head == b"<<":
         lex.read_token()
-        return _parse_dict_body(lex, doc)
+        return _parse_dict_body(lex, doc, depth)
     if head[:1] == b"<":
         return _parse_hex_string(lex)
     if head[:1] == b"[":
@@ -188,7 +198,7 @@ def _parse_object(lex: _Lexer, doc: Optional["PdfDocument"] = None) -> Any:
                 return arr
             if lex.peek() == b"":
                 return arr
-            arr.append(_parse_object(lex, doc))
+            arr.append(_parse_object(lex, doc, depth + 1))
     if head[:1] == b"/":
         # the name's characters must immediately follow the slash (no ws skip)
         lex.pos += 1
@@ -233,7 +243,7 @@ def _decode_name(tok: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _parse_dict_body(lex: _Lexer, doc) -> dict:
+def _parse_dict_body(lex: _Lexer, doc, depth: int = 0) -> dict:
     d: dict = {}
     while True:
         lex.skip_ws()
@@ -242,10 +252,10 @@ def _parse_dict_body(lex: _Lexer, doc) -> dict:
             return d
         if lex.peek() == b"":
             return d
-        key = _parse_object(lex, doc)
+        key = _parse_object(lex, doc, depth + 1)
         if not isinstance(key, Name):
             continue
-        d[key] = _parse_object(lex, doc)
+        d[key] = _parse_object(lex, doc, depth + 1)
 
 
 def _parse_literal_string(lex: _Lexer) -> bytes:
@@ -521,9 +531,11 @@ class PdfDocument:
     def pages(self) -> list[dict]:
         if self._pages is None:
             self._pages = []
-            root = self.resolve(self.trailer.get(Name("Root"))) or {}
+            root = self.resolve(self.trailer.get(Name("Root")))
+            if not isinstance(root, dict):  # corrupt graph: fall through
+                root = {}
             tree = self.resolve(root.get(Name("Pages")))
-            if tree:
+            if isinstance(tree, dict):
                 self._walk_pages(tree, {}, 0)
             if not self._pages:
                 # fallback: any object with /Type /Page
