@@ -17,6 +17,31 @@ import jax.numpy as jnp
 import numpy as np
 
 QUANT_KEY = "int8_q"  # marker key distinguishing quantized leaves
+LORA_KEY = "lora_base"  # marker key for inline-LoRA wrapped leaves
+
+
+def is_lora_wrapped(w: Any) -> bool:
+    return isinstance(w, dict) and LORA_KEY in w
+
+
+def _lora_matmul(x, w: dict, base_mm) -> "jnp.ndarray":
+    """x @ (base + scale * a@b) without materializing the merged matrix.
+
+    The delta path is two thin matmuls ((B,S,in)@(in,r) then @(r,out)) —
+    O(r/min(in,out)) of the base matmul's FLOPs — so a LoRA/QLoRA train
+    step never holds a merged copy of the full weights in HBM (merging a
+    3B model costs ~12 GB on a 16 GB chip; the reference's peft wrapper
+    applies factors inline the same way, ocr_training.py:373-397)."""
+    base = w[LORA_KEY]
+    if is_nf4(base):
+        base = nf4_dequantize(base, x.dtype)
+    y = base_mm(x, base)
+    a = w["a"].astype(x.dtype)
+    b = w["b"].astype(x.dtype)
+    delta = jnp.matmul(jnp.matmul(x, a), b,
+                       preferred_element_type=jnp.float32)
+    scale = w["scale"].astype(jnp.float32)
+    return (y.astype(jnp.float32) + delta * scale).astype(x.dtype)
 
 
 def _quantize_impl(w: jnp.ndarray) -> dict:
@@ -53,6 +78,8 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     For quantized weights the int8 operand converts to x.dtype inside the
     dot fusion; the per-channel scale applies to the f32 accumulator.
     """
+    if is_lora_wrapped(w):
+        return _lora_matmul(x, w, matmul)
     if not is_quantized(w):
         return x @ w
     acc = jnp.matmul(x, w[QUANT_KEY].astype(x.dtype),
@@ -77,6 +104,8 @@ def matmul_w8a8(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     Only worth it where arithmetic dominates — decode stays weight-only
     int8 (HBM-bound; the activation quantize would be pure overhead).
     """
+    if is_lora_wrapped(w):
+        return _lora_matmul(x, w, matmul_w8a8)
     if not is_quantized(w):
         return x @ w
     xf = x.astype(jnp.float32)

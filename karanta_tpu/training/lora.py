@@ -103,6 +103,41 @@ def merge_lora(params: Any, lora: Any) -> Any:
     return {**params, "text": new_text}
 
 
+def wrap_lora(params: Any, lora: Any) -> Any:
+    """Wrap every target leaf as {lora_base, a, b, scale} so the model's
+    matmul applies the factors inline (ops/quantization._lora_matmul) —
+    numerically the merged forward, but without ever materializing the
+    merged (L, in, out) matrices. This is what the jitted train step uses;
+    merge_lora stays for export/serving.
+
+    Each wrapped leaf keeps a leading layers axis on every member (scale
+    broadcasts to (L,)) so the decoder's lax.scan can slice it as xs.
+    """
+    scale = (lora["alpha"] / lora["rank"]).astype(jnp.float32) \
+        if hasattr(lora["alpha"], "astype") else \
+        jnp.asarray(lora["alpha"] / lora["rank"], jnp.float32)
+
+    def wrapped(w, f):
+        num_layers = f["a"].shape[0]
+        return {"lora_base": w, "a": f["a"], "b": f["b"],
+                "scale": jnp.broadcast_to(scale, (num_layers,))}
+
+    layers = params["text"]["layers"]
+    new_attn = dict(layers["attn"])
+    for name in ATTN_TARGETS:
+        new_attn[name] = wrapped(layers["attn"][name], lora["attn"][name])
+    new_mlp = dict(layers["mlp"])
+    for name in MLP_TARGETS:
+        new_mlp[name] = wrapped(layers["mlp"][name], lora["mlp"][name])
+
+    new_layers = dict(layers)
+    new_layers["attn"] = new_attn
+    new_layers["mlp"] = new_mlp
+    new_text = dict(params["text"])
+    new_text["layers"] = new_layers
+    return {**params, "text": new_text}
+
+
 def trainable_lora(lora: Any) -> Any:
     """The differentiable subset (factors only, not alpha/rank)."""
     return {"attn": lora["attn"], "mlp": lora["mlp"]}
@@ -112,9 +147,14 @@ def with_factors(lora: Any, factors: Any) -> Any:
     return {**lora, "attn": factors["attn"], "mlp": factors["mlp"]}
 
 
-def make_lora_train_step(cfg, optimizer, n_windows: int = 0):
+def make_lora_train_step(cfg, optimizer, n_windows: int = 0,
+                         materialize: bool = False):
     """(state, params, batch) -> (state, metrics); state holds adapter
-    factors + opt state; base params are frozen inputs."""
+    factors + opt state; base params are frozen inputs.
+
+    By default the forward applies factors inline (wrap_lora) — merging
+    a 3B model's weights inside the step costs ~12 GB of HBM on a 16 GB
+    chip. materialize=True keeps the old merge-based forward for A/B."""
     import optax
 
     from karanta_tpu.training.train_step import TrainState, make_loss_fn
@@ -124,7 +164,8 @@ def make_lora_train_step(cfg, optimizer, n_windows: int = 0):
     def train_step(state: TrainState, base_params, lora_template, batch):
         def lora_loss(factors):
             lora = with_factors(lora_template, factors)
-            merged = merge_lora(base_params, lora)
+            merged = (merge_lora if materialize else wrap_lora)(
+                base_params, lora)
             return loss_fn(merged, batch)
 
         (loss, tokens), grads = jax.value_and_grad(

@@ -11,7 +11,7 @@ from karanta_tpu.inference.tokenizer import ByteTokenizer
 from karanta_tpu.models.qwen25_vl.config import tiny_config
 from karanta_tpu.models.qwen25_vl.model import init_params
 from karanta_tpu.training.lora import (
-    init_lora_params, merge_lora, trainable_lora, with_factors,
+    init_lora_params, merge_lora, trainable_lora, with_factors, wrap_lora,
 )
 
 TOK = ByteTokenizer()
@@ -44,6 +44,91 @@ class TestLoraMath:
         np.testing.assert_array_equal(
             np.asarray(merged["text"]["layers"]["mlp"]["gate"]),
             np.asarray(params["text"]["layers"]["mlp"]["gate"]))
+
+
+class TestInlineLora:
+    """wrap_lora (non-materializing forward) must match merge_lora."""
+
+    def _setup(self, nf4=False):
+        # nf4 compares in bf16: merge_lora dequantizes the base to bf16, so
+        # the inline path must see bf16 activations to follow the same path
+        dtype = jnp.bfloat16 if nf4 else jnp.float32
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=dtype)
+        lora = init_lora_params(params, rank=4, key=jax.random.PRNGKey(1),
+                                alpha=8.0)
+        factors = trainable_lora(lora)
+        # non-trivial factors on every target
+        factors = jax.tree.map(
+            lambda f: f + 0.02 * jax.random.normal(
+                jax.random.PRNGKey(3), f.shape, f.dtype), factors)
+        lora = with_factors(lora, factors)
+        if nf4:
+            from karanta_tpu.training.lora import quantize_base_nf4
+            params = quantize_base_nf4(params)
+        return params, lora
+
+    def _batch(self):
+        rng = np.random.default_rng(0)
+        token_ids = jnp.asarray(rng.integers(0, CFG.text.vocab_size, (2, 16)))
+        positions = jnp.broadcast_to(jnp.arange(16)[None, None], (3, 2, 16))
+        return token_ids, positions
+
+    def test_forward_matches_merged(self):
+        from karanta_tpu.models.qwen25_vl.model import forward_train
+
+        params, lora = self._setup()
+        token_ids, positions = self._batch()
+        merged_logits = forward_train(merge_lora(params, lora), CFG,
+                                      token_ids, positions)
+        inline_logits = forward_train(wrap_lora(params, lora), CFG,
+                                      token_ids, positions)
+        np.testing.assert_allclose(np.asarray(merged_logits),
+                                   np.asarray(inline_logits),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_forward_matches_merged_nf4(self):
+        from karanta_tpu.models.qwen25_vl.model import forward_train
+
+        params, lora = self._setup(nf4=True)
+        token_ids, positions = self._batch()
+        merged_logits = forward_train(merge_lora(params, lora), CFG,
+                                      token_ids, positions)
+        inline_logits = forward_train(wrap_lora(params, lora), CFG,
+                                      token_ids, positions)
+        np.testing.assert_allclose(np.asarray(merged_logits, np.float32),
+                                   np.asarray(inline_logits, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+    def test_grads_match_merged_step(self):
+        """Inline and merge-based train steps produce the same factor grads
+        (same loss surface), so swapping the default changes no numerics."""
+        import optax
+
+        from karanta_tpu.training.lora import make_lora_train_step
+        from karanta_tpu.training.train_step import create_train_state
+
+        params, lora = self._setup()
+        token_ids, positions = self._batch()
+        labels = jnp.where(jnp.arange(16)[None, :] < 4, -100,
+                           token_ids)
+        batch = {"token_ids": token_ids, "positions": positions,
+                 "labels": labels}
+        opt = optax.sgd(0.1)
+        factors = trainable_lora(lora)
+
+        outs = {}
+        for name, materialize in (("inline", False), ("merged", True)):
+            step = make_lora_train_step(CFG, opt, materialize=materialize)
+            state = create_train_state(jax.tree.map(jnp.copy, factors), opt)
+            new_state, metrics = jax.jit(step)(state, params, lora, batch)
+            outs[name] = (new_state, metrics)
+        np.testing.assert_allclose(
+            float(outs["inline"][1]["loss"]), float(outs["merged"][1]["loss"]),
+            rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+            outs["inline"][0].params, outs["merged"][0].params)
 
 
 class TestLoraTraining:
