@@ -65,7 +65,8 @@ class TestDenseStream:
         assert sp["wqkv"].shape == (L, H, qkvd)
         assert sp["wqkv"].dtype == jnp.int8
         assert sp["qs"].shape == (L, 1, qkvd)
-        assert sp["bias"].shape == (L, qkvd)
+        assert sp["bias"].shape == (L, 1, qkvd)
+        assert sp["ln1"].shape == (L, 1, H)
         assert sp["wg_t"].shape == (L, FF, H)
         assert sp["gs"].shape == (L, 1, FF)
         assert sp["wd"].shape == (L, FF, H)
