@@ -285,8 +285,8 @@ def _mega_kernel(len_ref,
                  wg_ref, gs_ref, wu_ref, us_ref, wd_ref, ds_ref,
                  k_in, v_in, ks_in, vs_in,
                  xout_ref, k_out, v_out, ks_out, vs_out,
-                 x_ref, xn_ref, accq_ref, acc_ref,
-                 qrot_ref, aout_ref, newk_ref, newv_ref, nks_ref, nvs_ref,
+                 x_ref, xn_ref, accq_ref,
+                 qrot_ref, newk_ref, newv_ref, nks_ref, nvs_ref,
                  k_buf, v_buf, ksc_buf, vsc_buf,
                  kslab, vslab, ksslab, vsslab,
                  acc_a, m_a, l_a, sems, wsems,
@@ -298,6 +298,7 @@ def _mega_kernel(len_ref,
     l = pl.program_id(0)
     t = pl.program_id(1)
     n_l = pl.num_programs(0)
+    hd = xn_ref.shape[1]
 
     @pl.when((l == 0) & (t == 0))
     def _():
@@ -509,7 +510,7 @@ def _mega_kernel(len_ref,
                 rows = slice(h * group, (h + 1) * group)
                 qh = q[rows]
                 nk = (newk[sp, h].astype(jnp.float32)
-                      * nks[sp, h, 0].astype(jnp.float32))
+                      * nks[sp, h, 0:1].astype(jnp.float32))
                 s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
                               keepdims=True) * scale
                 m_prev = m_a[sp, rows, 0:1]
@@ -519,7 +520,7 @@ def _mega_kernel(len_ref,
                 alpha = jnp.exp(m_prev - m_new)
                 l_a[sp, rows, 0:1] = alpha * l_prev + p_x
                 nv = (newv[sp, h].astype(jnp.float32)
-                      * nvs[sp, h, 0].astype(jnp.float32))
+                      * nvs[sp, h, 0:1].astype(jnp.float32))
                 acc_a[sp, rows, :] = (acc_a[sp, rows, :] * alpha
                                       + p_x * nv[None, :])
 
@@ -529,29 +530,30 @@ def _mega_kernel(len_ref,
         for sp in range(spp):
             ll = l_a[sp, :, 0:1]
             ll = jnp.where(ll == 0.0, 1.0, ll)
-            aout_ref[base + sp] = (acc_a[sp] / ll).astype(aout_ref.dtype)
+            qrot_ref[base + sp] = (acc_a[sp] / ll).astype(qrot_ref.dtype)
 
     # ---------------- o phase ----------------
     @pl.when(t == nq + na)
     def _():
         for j in range(kvh * group):
-            xn_ref[:, j * d:(j + 1) * d] = aout_ref[:, j, :]
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+            xn_ref[:, j * d:(j + 1) * d] = qrot_ref[:, j, :]
+        accq_ref[:, :hd] = jnp.zeros_like(accq_ref[:, :hd])
 
     @pl.when((t >= nq + na) & (t < nq + na + no))
     def _():
         j = t - (nq + na)
         rows = pl.ds(j * kt, kt)
-        acc_ref[...] += jax.lax.dot_general(
+        accq_ref[:, :hd] += jax.lax.dot_general(
             xn_ref[:, rows], wo_ref[0].astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(t == nq + na + no - 1)
     def _():
-        x = x_ref[...].astype(jnp.float32) + acc_ref[...] * os_ref[0, 0]
+        x = (x_ref[...].astype(jnp.float32)
+             + accq_ref[:, :hd] * os_ref[0, 0])
         x_ref[...] = x.astype(x_ref.dtype)
         xn_ref[...] = _rms(x, ln2_ref[0, 0], eps).astype(xn_ref.dtype)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        accq_ref[:, :hd] = jnp.zeros_like(accq_ref[:, :hd])
 
     # ---------------- fused MLP phase ----------------
     @pl.when(t >= nq + na + no)
@@ -566,13 +568,14 @@ def _mega_kernel(len_ref,
                                 preferred_element_type=jnp.float32)
         u = u * us_ref[0, 0]
         h = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
-        acc_ref[...] += jax.lax.dot_general(
+        accq_ref[:, :hd] += jax.lax.dot_general(
             h, wd_ref[0].astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(t == nq + na + no + nm - 1)
     def _():
-        x = x_ref[...].astype(jnp.float32) + acc_ref[...] * ds_ref[0, 0]
+        x = (x_ref[...].astype(jnp.float32)
+             + accq_ref[:, :hd] * ds_ref[0, 0])
         x_ref[...] = x.astype(x_ref.dtype)
 
         @pl.when(l == n_l - 1)
@@ -687,10 +690,9 @@ def decode_megakernel(x: jnp.ndarray,           # (B, H) bf16
         scratch_shapes=[
             pltpu.VMEM((b, h), x.dtype),                   # x carry
             pltpu.VMEM((b, h), x.dtype),                   # xn
-            pltpu.VMEM((b, qkvd), jnp.float32),            # qkv acc
-            pltpu.VMEM((b, h), jnp.float32),               # o/mlp acc
-            pltpu.VMEM((b, kvh * group, d), x.dtype),      # rope'd q
-            pltpu.VMEM((b, kvh * group, d), x.dtype),      # attn out
+            pltpu.VMEM((b, qkvd), jnp.float32),   # qkv acc; [:, :h] doubles
+                                                  # as the o/mlp accumulator
+            pltpu.VMEM((b, kvh * group, d), x.dtype),  # rope'd q / attn out
             pltpu.VMEM((b, kvh, d), jnp.int8),             # new k rows
             pltpu.VMEM((b, kvh, d), jnp.int8),             # new v rows
             pltpu.VMEM((b, kvh, 128), ks_cache.dtype),     # new k scales
