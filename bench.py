@@ -1,8 +1,10 @@
 """End-to-end OCR throughput benchmark (driver contract).
 
-Measures pages/sec/chip through the full serving path on the flagship
-Qwen2.5-VL-3B-architecture OCR model (the reference's fine-tune base,
-configs/training/ocr/karanta_set_qwen_2_5_3B_vl.yaml): page image ->
+Measures pages/sec/chip through the full serving path. Default preset is
+the Qwen2.5-VL-7B architecture — the honest like-for-like point against
+the reference pipeline's olmOCR-2-7B-FP8 default (reference
+pipeline.py:1128-1131); `--preset qwen2.5-vl-3b` covers the fine-tune base
+(configs/training/ocr/karanta_set_qwen_2_5_3B_vl.yaml): page image ->
 device preprocessing -> vision encoder -> multimodal prefill -> batched
 decode of a fixed completion budget, on the engine's continuous-batching
 slots. Weights are random (no network egress in this environment); decode

@@ -217,12 +217,19 @@ def prefill_forward(params: Params, cfg: TextConfig,
                     positions: jnp.ndarray,        # (3, B, S) int32
                     kv_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=valid
                     act_quant: bool = False,
+                    remat: bool = False,
                     ) -> tuple[jnp.ndarray, KVCache]:
     """Full-sequence causal forward. Returns (hidden_states, kv cache of S).
 
     act_quant=True runs the layer matmuls W8A8 (dynamic per-token int8
     activations x int8 weights on the MXU's 2x int8 path); requires
     quantized weights — plain bf16 leaves pass through unchanged.
+
+    remat=True checkpoints the per-layer scan body so the backward pass
+    keeps one residual per layer instead of every intermediate — the only
+    placement that actually lowers peak HBM (checkpointing the whole
+    forward replays it but still needs all per-layer residuals live at
+    once during the replayed backward).
     """
     mm = matmul_w8a8 if act_quant else qmm
     b, s, _ = embeds.shape
@@ -243,6 +250,8 @@ def prefill_forward(params: Params, cfg: TextConfig,
         # store (B, KVH, S, D): contiguous per-head slabs for decode reads
         return x, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
+    if remat:
+        body = jax.checkpoint(body)
     x, (ks, vs) = jax.lax.scan(body, embeds, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, KVCache(ks, vs)

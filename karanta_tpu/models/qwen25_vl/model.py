@@ -57,11 +57,16 @@ def forward_train(params: Params, cfg: VLMConfig,
                   image_positions: Optional[jnp.ndarray] = None,  # (B, N_pad)
                   n_windows: int = 0,
                   attn_mask: Optional[jnp.ndarray] = None,      # (B, S)
+                  remat: bool = False,
                   ) -> jnp.ndarray:
     """Teacher-forced forward over full sequences. Returns logits (B, S, V).
 
     All vision tensors are padded to one static bucket per batch; per-image
     layout arrays come from the host planner (layout.py).
+
+    remat=True checkpoints the decoder's per-layer scan body and the
+    per-image vision encode (gradient checkpointing — reference semantics:
+    ocr_training.py gradient_checkpointing_enable).
     """
     embeds = jax.vmap(lambda ids: dec.embed_tokens(params["text"], ids))(token_ids)
 
@@ -76,10 +81,13 @@ def forward_train(params: Params, cfg: VLMConfig,
             tokens = jnp.take(enc, extract, axis=0)
             return merge_image_embeddings(emb, tokens, img_pos)
 
+        if remat:
+            encode_one = jax.checkpoint(encode_one)
         embeds = jax.vmap(encode_one)(
             pixel_values, vis_perm, vis_valid, vis_pos_hw, vis_extract,
             image_positions, embeds)
 
     hidden, _ = dec.prefill_forward(params["text"], cfg.text, embeds,
-                                    positions, kv_mask=attn_mask)
+                                    positions, kv_mask=attn_mask,
+                                    remat=remat)
     return dec.logits_from_hidden(params["text"], cfg.text, hidden)

@@ -148,28 +148,40 @@ def with_factors(lora: Any, factors: Any) -> Any:
 
 
 def make_lora_train_step(cfg, optimizer, n_windows: int = 0,
-                         materialize: bool = False):
+                         materialize: bool = False, remat: bool = False,
+                         grad_accum: int = 1):
     """(state, params, batch) -> (state, metrics); state holds adapter
     factors + opt state; base params are frozen inputs.
 
     By default the forward applies factors inline (wrap_lora) — merging
     a 3B model's weights inside the step costs ~12 GB of HBM on a 16 GB
-    chip. materialize=True keeps the old merge-based forward for A/B."""
+    chip. materialize=True keeps the old merge-based forward for A/B.
+    remat=True rematerializes the forward in the backward pass (needed to
+    fit long sequences next to the frozen base on a 16 GB chip).
+    grad_accum > 1 scans microbatches like make_train_step (the batch's
+    leading dim must be grad_accum * microbatch)."""
     import optax
 
-    from karanta_tpu.training.train_step import TrainState, make_loss_fn
+    from karanta_tpu.training.train_step import (
+        TrainState, accumulate_grads, make_loss_fn,
+    )
 
-    loss_fn = make_loss_fn(cfg, n_windows=n_windows)
+    loss_fn = make_loss_fn(cfg, n_windows=n_windows, remat=remat)
 
     def train_step(state: TrainState, base_params, lora_template, batch):
-        def lora_loss(factors):
-            lora = with_factors(lora_template, factors)
-            merged = (merge_lora if materialize else wrap_lora)(
-                base_params, lora)
-            return loss_fn(merged, batch)
+        def grad_once(mb):
+            def lora_loss(factors):
+                lora = with_factors(lora_template, factors)
+                merged = (merge_lora if materialize else wrap_lora)(
+                    base_params, lora)
+                return loss_fn(merged, mb)
 
-        (loss, tokens), grads = jax.value_and_grad(
-            lora_loss, has_aux=True)(state.params)
+            (loss, tokens), grads = jax.value_and_grad(
+                lora_loss, has_aux=True)(state.params)
+            return loss, tokens, grads
+
+        grads, loss, tokens = accumulate_grads(
+            grad_once, state.params, batch, grad_accum)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         factors = optax.apply_updates(state.params, updates)

@@ -196,8 +196,10 @@ def main(argv: Optional[list[str]] = None) -> dict:
             if exp.use_qlora:
                 params = quantize_base_nf4(params)
             state = create_train_state(trainable_lora(lora_template), optimizer)
-            lora_step = jax.jit(make_lora_train_step(cfg, optimizer,
-                                                     n_windows=n_windows))
+            lora_step = jax.jit(make_lora_train_step(
+                cfg, optimizer, n_windows=n_windows,
+                remat=exp.gradient_checkpointing,
+                grad_accum=exp.gradient_accumulation_steps))
 
             def train_fn(state, batch):
                 return lora_step(state, params, lora_template, batch)

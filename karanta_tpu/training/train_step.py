@@ -62,12 +62,12 @@ def cross_entropy_loss(logits: jnp.ndarray,   # (B, S, V)
 
 
 def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0):
-    forward = forward_train
-    if remat:
-        forward = jax.checkpoint(forward_train, static_argnums=(1,))
-
+    # remat threads into the model: the checkpoint must wrap the per-layer
+    # scan body (and per-image vision encode), not the whole forward — a
+    # whole-forward checkpoint replays the forward but still materializes
+    # every per-layer residual at once during the replayed backward.
     def loss_fn(params, batch):
-        logits = forward(
+        logits = forward_train(
             params, cfg,
             batch["token_ids"], batch["positions"],
             pixel_values=batch.get("pixel_values"),
@@ -78,6 +78,7 @@ def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0):
             image_positions=batch.get("image_positions"),
             n_windows=n_windows,
             attn_mask=batch.get("attn_mask"),
+            remat=remat,
         )
         # next-token prediction: logits[t] predicts labels[t+1]
         loss, tokens = cross_entropy_loss(
@@ -85,6 +86,49 @@ def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0):
         return loss, tokens
 
     return loss_fn
+
+
+def split_microbatches(batch: dict, grad_accum: int) -> dict:
+    """Reshape a (grad_accum * microbatch)-row batch to scan-ready
+    per-microbatch leading dim. positions is (3, B, S) — batch axis 1."""
+    mb = {}
+    for key, value in batch.items():
+        if key == "positions":
+            v = value.reshape(3, grad_accum, -1, value.shape[-1])
+            mb[key] = jnp.moveaxis(v, 1, 0)
+        else:
+            mb[key] = value.reshape((grad_accum, -1) + value.shape[1:])
+    return mb
+
+
+def accumulate_grads(grad_once, params, batch: dict, grad_accum: int):
+    """Average grads over grad_accum microbatches under lax.scan.
+
+    grad_once(microbatch) -> (loss, tokens, grads-like-params). Returns
+    (grads, mean loss, summed tokens). Reference semantics: accelerate
+    grad-accum (ocr_training.py:200-207,669-685).
+    """
+    if grad_accum == 1:
+        loss, tokens, grads = grad_once(batch)
+        return grads, loss, tokens
+
+    def micro(carry, mb):
+        acc_grads, acc_loss, acc_tokens = carry
+        loss, tokens, grads = grad_once(mb)
+        acc = jax.tree.map(jnp.add, acc_grads, grads)
+        return (acc, acc_loss + loss, acc_tokens + tokens), None
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    mb = split_microbatches(batch, grad_accum)
+    (grads, loss, tokens), _ = jax.lax.scan(
+        micro, (zeros, 0.0, jnp.zeros((), jnp.int32)), mb)
+    # accumulate in f32, then return to the param dtype: optax moments
+    # follow the gradient dtype, and f32 moments here vs the
+    # bf16-initialized state made apply_if_finite's lax.cond branches
+    # disagree on dtypes (bf16 + grad-accum only)
+    grads = jax.tree.map(lambda g, p: (g / grad_accum).astype(p.dtype),
+                         grads, params)
+    return grads, loss / grad_accum, tokens
 
 
 def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
@@ -105,34 +149,8 @@ def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
         return loss, tokens, grads
 
     def train_step(state: TrainState, batch):
-        if grad_accum == 1:
-            loss, tokens, grads = single(state, batch)
-        else:
-            def micro(carry, mb):
-                acc_grads, acc_loss, acc_tokens = carry
-                loss, tokens, grads = single(state, mb)
-                acc = jax.tree.map(jnp.add, acc_grads, grads)
-                return (acc, acc_loss + loss, acc_tokens + tokens), None
-
-            zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            mb = {}
-            for key, value in batch.items():
-                if key == "positions":
-                    # (3, B, S) — batch axis is 1; bring microbatch to front
-                    v = value.reshape(3, grad_accum, -1, value.shape[-1])
-                    mb[key] = jnp.moveaxis(v, 1, 0)
-                else:
-                    mb[key] = value.reshape((grad_accum, -1) + value.shape[1:])
-            (grads, loss, tokens), _ = jax.lax.scan(
-                micro, (zeros, 0.0, jnp.zeros((), jnp.int32)), mb)
-            # accumulate in f32, then return to the param dtype: optax
-            # moments follow the gradient dtype, and f32 moments here vs
-            # the bf16-initialized state made apply_if_finite's lax.cond
-            # branches disagree on dtypes (bf16 + grad-accum only)
-            grads = jax.tree.map(lambda g, p: (g / grad_accum).astype(p.dtype),
-                                 grads, state.params)
-            loss = loss / grad_accum
+        grads, loss, tokens = accumulate_grads(
+            lambda mb: single(state, mb), state.params, batch, grad_accum)
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)

@@ -1,0 +1,99 @@
+"""Real-chip LoRA training-step throughput (ROADMAP completeness item).
+
+Measures the production inline-LoRA train step (training/lora.py
+make_lora_train_step) on the 3B preset, text-only batches, on whatever
+chip jax gives us. Text-only keeps the measurement about the train step
+itself — the host-side data pipeline on this 1-core host would otherwise
+dominate and obscure the device number.
+
+Memory budget at the default point (3B bf16 base 6.2 GB + rank-16
+factors + Adam moments ~0.1 GB): remat keeps activations per layer
+instead of per op, so B1/S2048 fits the 16 GB chip.
+
+Usage: python scratch/train_meas.py [--seq 2048] [--batch 1] [--steps 5]
+       [--preset qwen2.5-vl-3b] [--rank 16] [--no-remat]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="qwen2.5-vl-3b")
+    p.add_argument("--seq", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--rank", type=int, default=16)
+    p.add_argument("--no-remat", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from karanta_tpu.models.qwen25_vl.config import get_config
+    from karanta_tpu.models.qwen25_vl.model import init_params
+    from karanta_tpu.training.lora import (
+        init_lora_params, make_lora_train_step, trainable_lora,
+    )
+    from karanta_tpu.training.train_step import create_train_state
+
+    cfg = get_config(args.preset)
+    print(f"devices: {jax.devices()}")
+    print(f"preset={args.preset} B={args.batch} S={args.seq} "
+          f"rank={args.rank} remat={not args.no_remat}")
+
+    t0 = time.time()
+    params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"init 3B params: {time.time() - t0:.1f}s")
+
+    lora = init_lora_params(params, args.rank, jax.random.PRNGKey(1))
+    opt = optax.adamw(1e-4)
+    state = create_train_state(trainable_lora(lora), opt)
+    step = jax.jit(make_lora_train_step(cfg, opt,
+                                        remat=not args.no_remat))
+
+    rng = np.random.default_rng(0)
+    B, S = args.batch, args.seq
+    token_ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, S)),
+                            jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(S)[None, None], (3, B, S))
+    # mask the first 25% as prompt (label -100), train on the rest
+    labels = jnp.where(jnp.arange(S)[None, :] < S // 4, -100, token_ids)
+    batch = {"token_ids": token_ids, "positions": positions,
+             "labels": labels}
+
+    t0 = time.time()
+    state, metrics = step(state, params, lora, batch)
+    jax.block_until_ready(metrics["loss"])
+    print(f"compile+step0: {time.time() - t0:.1f}s  "
+          f"loss={float(metrics['loss']):.4f}")
+
+    times = []
+    for i in range(args.steps):
+        t0 = time.time()
+        state, metrics = step(state, params, lora, batch)
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.time() - t0)
+        print(f"step {i + 1}: {times[-1] * 1e3:.0f} ms  "
+              f"loss={float(metrics['loss']):.4f}")
+
+    best = min(times)
+    med = sorted(times)[len(times) // 2]
+    tok_s = B * S / best
+    print(f"best {best * 1e3:.0f} ms/step, median {med * 1e3:.0f} ms — "
+          f"{tok_s:,.0f} tokens/s/chip (B{B} S{S})")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,69 @@ class TestInlineLora:
             outs["inline"][0].params, outs["merged"][0].params)
 
 
+class TestLoraGradAccum:
+    def test_accum_matches_full_batch_loss(self):
+        """grad_accum=2 over a 4-row batch and grad_accum=1 over the same
+        rows produce the same mean loss and (for SGD) the same update —
+        mirrors make_train_step's microbatch semantics (every row carries
+        the same token count, so mean-of-means == global mean)."""
+        import optax
+
+        from karanta_tpu.training.lora import make_lora_train_step
+        from karanta_tpu.training.train_step import create_train_state
+
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        lora = init_lora_params(params, rank=4, key=jax.random.PRNGKey(1))
+        rng = np.random.default_rng(2)
+        token_ids = jnp.asarray(rng.integers(0, CFG.text.vocab_size, (4, 16)),
+                                jnp.int32)
+        positions = jnp.broadcast_to(jnp.arange(16)[None, None], (3, 4, 16))
+        batch = {"token_ids": token_ids, "positions": positions,
+                 "labels": token_ids}
+        opt = optax.sgd(0.1)
+        factors = trainable_lora(lora)
+
+        outs = {}
+        for accum in (1, 2):
+            step = jax.jit(make_lora_train_step(CFG, opt, grad_accum=accum))
+            state = create_train_state(jax.tree.map(jnp.copy, factors), opt)
+            new_state, metrics = step(state, params, lora, batch)
+            outs[accum] = (new_state, metrics)
+        np.testing.assert_allclose(float(outs[1][1]["loss"]),
+                                   float(outs[2][1]["loss"]), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            outs[1][0].params, outs[2][0].params)
+
+    def test_remat_matches_no_remat(self):
+        """Body-level remat changes memory, not numerics."""
+        import optax
+
+        from karanta_tpu.training.lora import make_lora_train_step
+        from karanta_tpu.training.train_step import create_train_state
+
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        lora = init_lora_params(params, rank=4, key=jax.random.PRNGKey(1))
+        rng = np.random.default_rng(3)
+        token_ids = jnp.asarray(rng.integers(0, CFG.text.vocab_size, (2, 16)),
+                                jnp.int32)
+        positions = jnp.broadcast_to(jnp.arange(16)[None, None], (3, 2, 16))
+        batch = {"token_ids": token_ids, "positions": positions,
+                 "labels": token_ids}
+        opt = optax.sgd(0.1)
+        factors = trainable_lora(lora)
+
+        outs = {}
+        for remat in (False, True):
+            step = jax.jit(make_lora_train_step(CFG, opt, remat=remat))
+            state = create_train_state(jax.tree.map(jnp.copy, factors), opt)
+            _, metrics = step(state, params, lora, batch)
+            outs[remat] = (float(metrics["loss"]),
+                           float(metrics["grad_norm"]))
+        np.testing.assert_allclose(outs[False], outs[True], rtol=1e-5)
+
+
 class TestLoraTraining:
     def test_train_cli_with_lora(self, tmp_path):
         from PIL import Image
