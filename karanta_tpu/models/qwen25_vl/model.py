@@ -58,8 +58,12 @@ def forward_train(params: Params, cfg: VLMConfig,
                   n_windows: int = 0,
                   attn_mask: Optional[jnp.ndarray] = None,      # (B, S)
                   remat: bool = False,
+                  return_hidden: bool = False,
                   ) -> jnp.ndarray:
-    """Teacher-forced forward over full sequences. Returns logits (B, S, V).
+    """Teacher-forced forward over full sequences. Returns logits (B, S, V),
+    or the post-final-norm hidden states (B, S, H) when return_hidden=True
+    (the chunked-CE loss computes per-chunk logits itself so the full
+    (B, S, vocab) tensor never materializes).
 
     All vision tensors are padded to one static bucket per batch; per-image
     layout arrays come from the host planner (layout.py).
@@ -74,15 +78,20 @@ def forward_train(params: Params, cfg: VLMConfig,
         def encode_one(pix, perm, valid, pos_hw, extract, img_pos, emb):
             # trainable=True: differentiable window attention (forward_train
             # is the training/eval entry; the serving engine calls
-            # encode_image directly with the faster non-AD kernel path)
-            enc = vis.encode_image(params["visual"], cfg.vision, pix,
+            # encode_image directly with the faster non-AD kernel path).
+            # remat checkpoints per vision block inside encode_image — a
+            # checkpoint around this whole function would still hold all
+            # depth blocks' residuals during the replayed backward.
+            # Run the tower in the compute dtype: the collator ships f32
+            # pixels, and f32 activations halve the MXU rate and blow the
+            # window kernel's VMEM budget (serving preps bf16 on device).
+            enc = vis.encode_image(params["visual"], cfg.vision,
+                                   pix.astype(emb.dtype),
                                    perm, valid, pos_hw, n_windows,
-                                   trainable=True)
+                                   trainable=True, remat=remat)
             tokens = jnp.take(enc, extract, axis=0)
             return merge_image_embeddings(emb, tokens, img_pos)
 
-        if remat:
-            encode_one = jax.checkpoint(encode_one)
         embeds = jax.vmap(encode_one)(
             pixel_values, vis_perm, vis_valid, vis_pos_hw, vis_extract,
             image_positions, embeds)
@@ -90,4 +99,6 @@ def forward_train(params: Params, cfg: VLMConfig,
     hidden, _ = dec.prefill_forward(params["text"], cfg.text, embeds,
                                     positions, kv_mask=attn_mask,
                                     remat=remat)
+    if return_hidden:
+        return hidden
     return dec.logits_from_hidden(params["text"], cfg.text, hidden)

@@ -251,14 +251,17 @@ def encode_image(params: Params, cfg: VisionConfig,
                  pos_hw: jnp.ndarray,        # (pad_tokens, 2) int32
                  n_windows: int,
                  trainable: bool = False,
-                 n_images: int = 1) -> jnp.ndarray:
+                 n_images: int = 1,
+                 remat: bool = False) -> jnp.ndarray:
     """Encode one (padded) image — or, with n_images > 1, the token-axis
     concatenation of that many same-shaped images in one pass (batched
     prefill: per-call overheads amortize across pages; full-attention
     layers use the image axis as the attention batch). Returns
     (pad_merged, out_hidden) in window-merged order; callers select real
     tokens via layout.extract (+ per-image pad_merged offsets when
-    batched)."""
+    batched). remat=True checkpoints each block (training: the backward
+    recomputes one block's internals at a time instead of keeping all
+    cfg.depth blocks' residuals live)."""
     x = amm(pixel_values, params["patch_embed"]["kernel"])
     x = jnp.take(x, perm, axis=0)  # patchify order -> window order
 
@@ -297,7 +300,10 @@ def encode_image(params: Params, cfg: VisionConfig,
         while end < cfg.depth and full_flags[end] == mode:
             end += 1
         group = jax.tree.map(lambda a: a[idx:end], blocks)
-        x, _ = jax.lax.scan(make_body(mode), x, group)
+        body = make_body(mode)
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, group)
         idx = end
 
     # merger: norm per token, merge 2x2 units, 2-layer GELU MLP

@@ -61,13 +61,58 @@ def cross_entropy_loss(logits: jnp.ndarray,   # (B, S, V)
     return loss, mask.sum()
 
 
-def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0):
+def chunked_cross_entropy(text_params, text_cfg,
+                          hidden: jnp.ndarray,   # (B, S, H) post-final-norm
+                          labels: jnp.ndarray,   # (B, S) aligned to hidden
+                          chunk: int = 512,
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean CE over non-ignored positions without ever materializing the
+    full (B, S, vocab) logits: a lax.scan over sequence chunks computes each
+    chunk's logits + fp32 log-softmax, and jax.checkpoint recomputes them in
+    the backward. At a 152k vocab the full fp32 logits are ~1.2 GB per 2048
+    tokens — on a 16 GB chip next to 6 GB of base weights this is the
+    difference between spilling and not."""
+    from karanta_tpu.models.qwen25_vl.decoder import logits_from_hidden
+
+    b, s, h = hidden.shape
+    chunk = min(chunk, s)
+    pad = (-s) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=IGNORE_INDEX)
+    nc = (s + pad) // chunk
+    hs = jnp.moveaxis(hidden.reshape(b, nc, chunk, h), 1, 0)
+    ls = jnp.moveaxis(labels.reshape(b, nc, chunk), 1, 0)
+
+    @jax.checkpoint
+    def chunk_sums(h_c, l_c):
+        logits = logits_from_hidden(text_params, text_cfg, h_c)
+        mask = l_c != IGNORE_INDEX
+        safe = jnp.where(mask, l_c, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        token_logp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return -(token_logp * mask).sum(), mask.sum()
+
+    def body(carry, xs):
+        loss_sum, count = carry
+        cl, cc = chunk_sums(*xs)
+        return (loss_sum + cl, count + cc), None
+
+    (loss_sum, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (hs, ls))
+    return loss_sum / jnp.maximum(count, 1), count
+
+
+def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0,
+                 ce_chunk: int = 512):
     # remat threads into the model: the checkpoint must wrap the per-layer
     # scan body (and per-image vision encode), not the whole forward — a
     # whole-forward checkpoint replays the forward but still materializes
     # every per-layer residual at once during the replayed backward.
     def loss_fn(params, batch):
-        logits = forward_train(
+        hidden = forward_train(
             params, cfg,
             batch["token_ids"], batch["positions"],
             pixel_values=batch.get("pixel_values"),
@@ -79,10 +124,17 @@ def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0):
             n_windows=n_windows,
             attn_mask=batch.get("attn_mask"),
             remat=remat,
+            return_hidden=True,
         )
-        # next-token prediction: logits[t] predicts labels[t+1]
-        loss, tokens = cross_entropy_loss(
-            logits[:, :-1], batch["labels"][:, 1:])
+        # next-token prediction: hidden[t] predicts labels[t+1]; the last
+        # row has no target (IGNORE), keeping S static for the chunk scan
+        labels = batch["labels"]
+        shifted = jnp.concatenate(
+            [labels[:, 1:],
+             jnp.full((labels.shape[0], 1), IGNORE_INDEX, labels.dtype)],
+            axis=1)
+        loss, tokens = chunked_cross_entropy(
+            params["text"], cfg.text, hidden, shifted, chunk=ce_chunk)
         return loss, tokens
 
     return loss_fn

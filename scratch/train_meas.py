@@ -33,6 +33,10 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--rank", type=int, default=16)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--vision", action="store_true",
+                   help="one 1288px-longest page image per row (the "
+                        "reference's training render dim), anchor prompt + "
+                        "image span + trained completion")
     args = p.parse_args()
 
     import jax
@@ -65,13 +69,49 @@ def main():
 
     rng = np.random.default_rng(0)
     B, S = args.batch, args.seq
-    token_ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, S)),
-                            jnp.int32)
-    positions = jnp.broadcast_to(jnp.arange(S)[None, None], (3, B, S))
-    # mask the first 25% as prompt (label -100), train on the rest
-    labels = jnp.where(jnp.arange(S)[None, :] < S // 4, -100, token_ids)
-    batch = {"token_ids": token_ids, "positions": positions,
-             "labels": labels}
+    n_windows = 0
+    if args.vision:
+        from karanta_tpu.models.qwen25_vl.layout import mrope_positions
+        from karanta_tpu.ops.image_prep import plan_image
+        from karanta_tpu.training.data import DataCollator
+
+        # one US-letter-ish page rendered at 1288 px longest side
+        plan = plan_image(1288, 996)
+        n_img = plan.num_merged_tokens
+        prompt_len, completion_len = 600, 700
+        n = prompt_len + n_img + completion_len
+        ids = rng.integers(0, cfg.text.vocab_size, n)
+        ids[prompt_len:prompt_len + n_img] = cfg.image_token_id
+        labels = np.full(n, -100, np.int64)
+        labels[prompt_len + n_img:] = ids[prompt_len + n_img:]
+        pos = mrope_positions(ids, [(1, plan.grid_h, plan.grid_w)],
+                              cfg.image_token_id)
+        sample = {
+            "input_ids": ids, "labels": labels, "positions": pos,
+            "plan": plan, "image_start": prompt_len,
+            "image_u8": rng.integers(
+                0, 255, (plan.resized_h, plan.resized_w, 3), np.uint8),
+        }
+        collator = DataCollator(vision_cfg=cfg.vision)
+        np_batch = collator([sample] * B)
+        n_windows = np_batch.pop("n_windows")
+        batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+        print(f"vision: grid {plan.grid_h}x{plan.grid_w} pad "
+              f"{plan.pad_grid_h}x{plan.pad_grid_w}, {n_img} image tokens, "
+              f"seq {n} -> bucket {batch['token_ids'].shape[1]}, "
+              f"n_windows {n_windows}")
+        S = batch["token_ids"].shape[1]
+        step = jax.jit(make_lora_train_step(cfg, opt,
+                                            remat=not args.no_remat,
+                                            n_windows=n_windows))
+    else:
+        token_ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, S)),
+                                jnp.int32)
+        positions = jnp.broadcast_to(jnp.arange(S)[None, None], (3, B, S))
+        # mask the first 25% as prompt (label -100), train on the rest
+        labels = jnp.where(jnp.arange(S)[None, :] < S // 4, -100, token_ids)
+        batch = {"token_ids": token_ids, "positions": positions,
+                 "labels": labels}
 
     t0 = time.time()
     state, metrics = step(state, params, lora, batch)

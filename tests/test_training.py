@@ -150,6 +150,34 @@ class TestTrainLoop:
         metrics2 = main(argv2 + ["--resume_from_checkpoint", "auto"])
         assert metrics2["step"] == 4
 
+    def test_gradient_checkpointing_matches(self, tmp_path):
+        """remat (per-layer decoder body + per-block vision encode) changes
+        memory, not numerics: same data + seed, same final loss."""
+        from karanta_tpu.training.train import main
+
+        root = _make_dataset(tmp_path)
+        losses = {}
+        for remat in ("false", "true"):
+            out = tmp_path / f"run_remat_{remat}"
+            metrics = main([
+                "--dataset_root", str(root),
+                "--output_dir", str(out),
+                "--model_name_or_path", "tiny",
+                "--mesh_data", "1",
+                "--max_steps", "2",
+                "--gradient_accumulation_steps", "1",
+                "--per_device_train_batch_size", "2",
+                "--logging_steps", "1",
+                "--checkpointing_steps", "0",
+                "--eval_steps", "0",
+                "--learning_rate", "0.001",
+                "--dtype", "float32",
+                "--gradient_checkpointing", remat,
+            ])
+            losses[remat] = metrics["loss"]
+        np.testing.assert_allclose(losses["true"], losses["false"],
+                                   rtol=1e-5)
+
 
 class TestEpochSampler:
     def test_reshuffles_per_epoch_and_resume_stable(self):
@@ -170,6 +198,63 @@ class TestEpochSampler:
             assert fresh.index(pos) == (epoch0 + epoch1)[pos]
         # different seed -> different order
         assert [EpochSampler(seed=8, n=n).index(p) for p in range(n)] != epoch0
+
+
+class TestChunkedCrossEntropy:
+    def test_matches_materialized_logits(self):
+        """The chunked-CE loss (scan over sequence chunks, logits never
+        fully materialized) reproduces the logits[:, :-1] vs labels[:, 1:]
+        loss and gradients up to fp32 reduction-order noise."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from karanta_tpu.models.qwen25_vl.model import forward_train, init_params
+        from karanta_tpu.training.train_step import (
+            chunked_cross_entropy, cross_entropy_loss, make_loss_fn,
+        )
+
+        params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, CFG.text.vocab_size, (2, 16)),
+                          jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(16)[None, None], (3, 2, 16))
+        labels = jnp.where(jnp.arange(16)[None, :] < 4, -100, ids)
+        batch = {"token_ids": ids, "positions": pos, "labels": labels}
+
+        logits = forward_train(params, CFG, ids, pos)
+        ref_loss, ref_n = cross_entropy_loss(logits[:, :-1], labels[:, 1:])
+        new_loss, new_n = jax.jit(make_loss_fn(CFG))(params, batch)
+        np.testing.assert_allclose(float(new_loss), float(ref_loss),
+                                   rtol=1e-5)
+        assert int(new_n) == int(ref_n)
+
+        # multi-chunk path (chunk < S, with padding to a chunk multiple)
+        hidden = forward_train(params, CFG, ids, pos, return_hidden=True)
+        shifted = jnp.concatenate(
+            [labels[:, 1:], jnp.full((2, 1), -100, labels.dtype)], axis=1)
+        for chunk in (4, 5):
+            l_c, n_c = jax.jit(
+                lambda h, s, c=chunk: chunked_cross_entropy(
+                    params["text"], CFG.text, h, s, chunk=c))(hidden, shifted)
+            np.testing.assert_allclose(float(l_c), float(ref_loss), rtol=1e-5)
+            assert int(n_c) == int(ref_n)
+
+        # gradient parity vs the materialized-logits loss
+        def manual_loss(p):
+            lg = forward_train(p, CFG, ids, pos)
+            return cross_entropy_loss(lg[:, :-1], labels[:, 1:])
+
+        (_, _), g_ref = jax.value_and_grad(manual_loss, has_aux=True)(params)
+        (_, _), g_new = jax.value_and_grad(
+            make_loss_fn(CFG), has_aux=True)(params, batch)
+        np.testing.assert_allclose(float(optax.global_norm(g_new)),
+                                   float(optax.global_norm(g_ref)),
+                                   rtol=1e-3)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-4),
+            g_new, g_ref)
 
 
 class TestGradAccumBf16:
