@@ -365,12 +365,21 @@ def _load_cache(path: Path) -> list[dict]:
     return samples
 
 
+# 512-step ladder to 4096, 1024-step above: a training run pins ONE bucket
+# (fit_buckets/fixed_seq), so ladder granularity sets the padding waste —
+# a 2540-token dataset pads 1.3% to 2560 vs 61% to a power-of-two 4096.
+# flash_attention pads any S to its block sizes internally, so every rung
+# is kernel-legal.
+SEQ_BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 3584, 4096,
+               5120, 6144, 7168, 8192)
+
+
 class DataCollator:
     """Pad a list of sample tensors into one static-bucket batch
     (reference data.py:201-283, re-shaped for our model's inputs)."""
 
     def __init__(self, vision_cfg: Optional[VisionConfig] = None,
-                 seq_buckets: tuple[int, ...] = (512, 1024, 2048, 4096, 8192),
+                 seq_buckets: tuple[int, ...] = SEQ_BUCKETS,
                  pad_token_id: int = 0,
                  fixed_grid: Optional[tuple[int, int]] = None,
                  fixed_seq: Optional[int] = None):
@@ -384,7 +393,7 @@ class DataCollator:
 
     @staticmethod
     def fit_buckets(samples: list[dict],
-                    seq_buckets=(512, 1024, 2048, 4096, 8192)
+                    seq_buckets=SEQ_BUCKETS
                     ) -> tuple[tuple[int, int], int]:
         """(grid bucket, seq bucket) covering every sample in a dataset."""
         gh = gw = 0
