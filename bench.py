@@ -130,11 +130,12 @@ def main() -> None:
     parser.add_argument("--decode-tokens", type=int, default=512,
                         help="fixed completion budget per page")
     parser.add_argument("--batch", type=int, default=None,
-                        help="decode slots. Default 80 for both presets "
-                             "(7B: int8 KV 4.2 GB fits since the staged-"
-                             "buffer-release memory work, 88 OOMs; 3B: "
-                             "measured 4.69 pages/s at 80 vs 4.58 at 96). "
-                             "Falls back 64 (-> 48 on 7B) on OOM.")
+                        help="decode slots. Default 80 at 7B (int8 KV "
+                             "4.2 GB fits since the staged-buffer-release "
+                             "memory work, 88 OOMs) and 128 at 3B (ladder: "
+                             "4.67 @ B80, 4.96 @ B128, 4.82 @ B192 — the "
+                             "append cost outgrows the weight-stream "
+                             "amortization past 128). Falls back on OOM.")
     parser.add_argument("--max-seq-len", dest="max_seq_len", type=int,
                         default=int(os.environ.get("KARANTA_BENCH_MAX_SEQ",
                                                    1920)),
@@ -179,8 +180,8 @@ def main() -> None:
     is_7b = "7b" in args.preset.lower()
     batch_fallbacks: list[int] = []
     if args.batch is None:
-        args.batch = 80
-        batch_fallbacks = [64, 48] if is_7b else [64]
+        args.batch = 80 if is_7b else 128
+        batch_fallbacks = [64, 48] if is_7b else [96, 64]
     if args.kv_quantize is None:
         # int8 KV + the fused append kernel beat bf16 KV on both presets
         # (3B: 4.15 @ B64 bf16 -> 4.69 @ B80 int8)

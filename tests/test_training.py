@@ -119,6 +119,20 @@ class TestCollator:
         n_img = samples[0]["plan"].num_merged_tokens
         assert (batch["image_positions"][0, n_img:] == seq).all()
 
+    def test_seq_bucket_ladder_granularity(self):
+        """The ladder is 512-step to 4096 (1024-step above): a run pins ONE
+        bucket, so rung spacing IS the padding waste — a 2540-token vision
+        sample must land in 2560, not a power-of-two 4096 (a measured 1.9x
+        step-time cost; BENCH_NOTES round-2 close)."""
+        from karanta_tpu.training.data import SEQ_BUCKETS
+
+        samples = [{"input_ids": np.zeros(2540, np.int32), "plan": None}]
+        _, seq = DataCollator.fit_buckets(samples)
+        assert seq == 2560
+        assert all(b % 512 == 0 for b in SEQ_BUCKETS)
+        gaps = [b - a for a, b in zip(SEQ_BUCKETS, SEQ_BUCKETS[1:])]
+        assert max(gaps[:7]) <= 512 and max(gaps) <= 1024
+
 
 class TestTrainLoop:
     def test_train_and_resume(self, tmp_path):
