@@ -218,8 +218,14 @@ def prefill_forward(params: Params, cfg: TextConfig,
                     kv_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=valid
                     act_quant: bool = False,
                     remat: bool = False,
+                    attn_impl: Optional[Any] = None,
                     ) -> tuple[jnp.ndarray, KVCache]:
     """Full-sequence causal forward. Returns (hidden_states, kv cache of S).
+
+    attn_impl overrides the attention callable (signature of
+    ops.attention.attention) — the hook context-parallel training uses to
+    substitute the sequence-sharded shard_map kernel
+    (parallel/context.py make_context_parallel_attention).
 
     act_quant=True runs the layer matmuls W8A8 (dynamic per-token int8
     activations x int8 weights on the MXU's 2x int8 path); requires
@@ -232,6 +238,7 @@ def prefill_forward(params: Params, cfg: TextConfig,
     once during the replayed backward).
     """
     mm = matmul_w8a8 if act_quant else qmm
+    attn_fn = attention if attn_impl is None else attn_impl
     b, s, _ = embeds.shape
     cos, sin = jax.vmap(
         lambda p: mrope_cos_sin(p, cfg.head_dim, cfg.mrope_section, cfg.rope_theta),
@@ -243,7 +250,7 @@ def prefill_forward(params: Params, cfg: TextConfig,
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _project_qkv(xn, layer["attn"], cfg, mm=mm)
         q, k = apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, kv_mask=kv_mask, causal=True)
+        attn = attn_fn(q, k, v, kv_mask=kv_mask, causal=True)
         x = x + mm(attn.reshape(b, s, -1), layer["attn"]["wo"])
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"],
                      mm=mm)
@@ -255,6 +262,52 @@ def prefill_forward(params: Params, cfg: TextConfig,
     x, (ks, vs) = jax.lax.scan(body, embeds, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, KVCache(ks, vs)
+
+
+def pipeline_prefill_forward(params: Params, cfg: TextConfig,
+                             embeds: jnp.ndarray,       # (B, S, hidden)
+                             positions: jnp.ndarray,    # (3, B, S) int32
+                             mesh,                      # Mesh w/ "pipe" axis
+                             n_micro: int,
+                             kv_mask: Optional[jnp.ndarray] = None,
+                             remat: bool = False,
+                             ) -> jnp.ndarray:
+    """prefill_forward's layer stack under pipeline parallelism: the stacked
+    layers shard over the mesh's "pipe" axis and microbatches stream through
+    the GPipe schedule in parallel/pipeline.py. Returns hidden states only
+    (training path — the prefill KV cache is a serving concern and serving
+    runs the GSPMD TP path instead).
+
+    The reference has no PP (SURVEY §2.9); this is the TPU-native route past
+    a single chip's HBM for deeper decoders.
+    """
+    from karanta_tpu.parallel.pipeline import pipeline_apply
+
+    b, s, _ = embeds.shape
+    cos, sin = jax.vmap(
+        lambda p: mrope_cos_sin(p, cfg.head_dim, cfg.mrope_section,
+                                cfg.rope_theta),
+        in_axes=1, out_axes=0)(positions)
+    cos = cos.astype(embeds.dtype)
+    sin = sin.astype(embeds.dtype)
+
+    def layer_fn(x, layer, extras):
+        cos_mb, sin_mb, mask_mb = extras
+        mb, s_, _ = x.shape
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(xn, layer["attn"], cfg)
+        q, k = apply_rope(q, k, cos_mb, sin_mb)
+        attn = attention(q, k, v, kv_mask=mask_mb, causal=True)
+        x = x + qmm(attn.reshape(mb, s_, -1), layer["attn"]["wo"])
+        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps),
+                     layer["mlp"])
+        return x
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    x = pipeline_apply(mesh, layer_fn, params["layers"], embeds,
+                       (cos, sin, kv_mask), n_micro)
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
 def prefill_with_prefix(params: Params, cfg: TextConfig,

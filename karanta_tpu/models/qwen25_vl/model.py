@@ -59,6 +59,9 @@ def forward_train(params: Params, cfg: VLMConfig,
                   attn_mask: Optional[jnp.ndarray] = None,      # (B, S)
                   remat: bool = False,
                   return_hidden: bool = False,
+                  attn_impl: Optional[Any] = None,
+                  pp_mesh: Optional[Any] = None,
+                  pp_micro: int = 1,
                   ) -> jnp.ndarray:
     """Teacher-forced forward over full sequences. Returns logits (B, S, V),
     or the post-final-norm hidden states (B, S, H) when return_hidden=True
@@ -96,9 +99,17 @@ def forward_train(params: Params, cfg: VLMConfig,
             pixel_values, vis_perm, vis_valid, vis_pos_hw, vis_extract,
             image_positions, embeds)
 
-    hidden, _ = dec.prefill_forward(params["text"], cfg.text, embeds,
-                                    positions, kv_mask=attn_mask,
-                                    remat=remat)
+    if pp_mesh is not None:
+        # pipeline-parallel decoder stack (parallel/pipeline.py): stages own
+        # L/n layers, microbatches stream via ppermute. attn_impl (context
+        # parallelism) does not compose with PP — see pipeline.py docstring.
+        hidden = dec.pipeline_prefill_forward(
+            params["text"], cfg.text, embeds, positions, pp_mesh,
+            n_micro=pp_micro, kv_mask=attn_mask, remat=remat)
+    else:
+        hidden, _ = dec.prefill_forward(params["text"], cfg.text, embeds,
+                                        positions, kv_mask=attn_mask,
+                                        remat=remat, attn_impl=attn_impl)
     if return_hidden:
         return hidden
     return dec.logits_from_hidden(params["text"], cfg.text, hidden)

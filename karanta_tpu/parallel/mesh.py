@@ -10,8 +10,21 @@ Axis conventions:
   "data"  — batch / page sharding (DP). Replicated params, sharded activations.
   "fsdp"  — parameter+optimizer sharding axis (ZeRO-like; reference DeepSpeed
             ZeRO-2/3 equivalent — ocr_training.py:153-185).
+  "seq"   — sequence/context parallelism for training activations (the
+            reference has no SP — it caps context instead, SURVEY §5.7; this
+            axis is TPU-native headroom past that cap). See parallel/context.py.
+  "pipe"  — pipeline-parallel stage axis (GPipe schedule over microbatches via
+            ppermute; reference has no PP — SURVEY §2.9). See
+            parallel/pipeline.py.
   "model" — tensor-parallel axis (megatron-style qkv/mlp sharding; reference
             delegates this to vLLM -tp).
+
+Device-layout order is (data, pipe, fsdp, seq, model): inner axes carry the
+chattiest collectives (TP psum every layer, SP K/V all-gather every layer,
+FSDP param all-gathers) and land on ICI-adjacent chips; "pipe" moves one
+activation per microbatch per stage boundary — the lightest traffic — so it
+sits outermost after "data" (whose position is fixed: multi-host batch
+feeding assumes each process owns a contiguous block of the data axis).
 """
 
 from __future__ import annotations
@@ -25,21 +38,30 @@ import numpy as np
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 FSDP_AXIS = "fsdp"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
-AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, MODEL_AXIS)
+AXIS_NAMES = (DATA_AXIS, PIPE_AXIS, FSDP_AXIS, SEQ_AXIS, MODEL_AXIS)
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Declarative mesh shape. -1 in exactly one field means "absorb the rest"."""
+    """Declarative mesh shape. -1 in exactly one field means "absorb the rest".
+
+    Field order keeps (data, fsdp, model) positional compatibility; the mesh
+    device layout is always (data, pipe, fsdp, seq, model) — see module
+    docstring.
+    """
 
     data: int = -1
     fsdp: int = 1
     model: int = 1
+    seq: int = 1
+    pipe: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        dims = [self.data, self.fsdp, self.model]
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int, int]:
+        dims = [self.data, self.pipe, self.fsdp, self.seq, self.model]
         free = [i for i, d in enumerate(dims) if d == -1]
         if len(free) > 1:
             raise ValueError(f"At most one mesh axis may be -1, got {dims}")
@@ -56,6 +78,10 @@ class MeshConfig:
             )
         return tuple(dims)  # type: ignore[return-value]
 
+    @property
+    def layout_dims(self) -> tuple[int, int, int, int, int]:
+        return (self.data, self.pipe, self.fsdp, self.seq, self.model)
+
 
 def create_mesh(
     config: MeshConfig | None = None,
@@ -70,7 +96,7 @@ def create_mesh(
     """
     config = config or MeshConfig()
     devices = list(devices) if devices is not None else jax.devices()
-    dims = (config.data, config.fsdp, config.model)
+    dims = config.layout_dims
     if -1 not in dims and math.prod(dims) < len(devices):
         # fully specified mesh smaller than the machine: use a device subset
         devices = devices[: math.prod(dims)]

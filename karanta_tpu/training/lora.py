@@ -149,7 +149,7 @@ def with_factors(lora: Any, factors: Any) -> Any:
 
 def make_lora_train_step(cfg, optimizer, n_windows: int = 0,
                          materialize: bool = False, remat: bool = False,
-                         grad_accum: int = 1):
+                         grad_accum: int = 1, sp_mesh=None):
     """(state, params, batch) -> (state, metrics); state holds adapter
     factors + opt state; base params are frozen inputs.
 
@@ -166,7 +166,8 @@ def make_lora_train_step(cfg, optimizer, n_windows: int = 0,
         TrainState, accumulate_grads, make_loss_fn,
     )
 
-    loss_fn = make_loss_fn(cfg, n_windows=n_windows, remat=remat)
+    loss_fn = make_loss_fn(cfg, n_windows=n_windows, remat=remat,
+                           sp_mesh=sp_mesh)
 
     def train_step(state: TrainState, base_params, lora_template, batch):
         def grad_once(mb):

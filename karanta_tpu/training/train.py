@@ -62,6 +62,10 @@ class ModelArguments:
     mesh_data: int = -1
     mesh_fsdp: int = 1
     mesh_model: int = 1
+    # context parallelism: shard the training sequence axis over this many
+    # devices (parallel/context.py). The reference caps context instead
+    # (SURVEY §5.7); >1 needs max_length divisible by it.
+    mesh_seq: int = 1
     # multi-host (pod-slice) bootstrap; leave unset for single-process runs
     coordinator_address: Optional[str] = None
     num_processes: Optional[int] = None
@@ -139,7 +143,9 @@ def main(argv: Optional[list[str]] = None) -> dict:
 
     dtype = jnp.bfloat16 if model_args.dtype == "bfloat16" else jnp.float32
     mesh = create_mesh(MeshConfig(model_args.mesh_data, model_args.mesh_fsdp,
-                                  model_args.mesh_model))
+                                  model_args.mesh_model,
+                                  seq=model_args.mesh_seq))
+    sp_mesh = mesh if model_args.mesh_seq > 1 else None
 
     with mesh:
         if model_args.checkpoint_path:
@@ -199,7 +205,8 @@ def main(argv: Optional[list[str]] = None) -> dict:
             lora_step = jax.jit(make_lora_train_step(
                 cfg, optimizer, n_windows=n_windows,
                 remat=exp.gradient_checkpointing,
-                grad_accum=exp.gradient_accumulation_steps))
+                grad_accum=exp.gradient_accumulation_steps,
+                sp_mesh=sp_mesh))
 
             def train_fn(state, batch):
                 return lora_step(state, params, lora_template, batch)
@@ -208,8 +215,9 @@ def main(argv: Optional[list[str]] = None) -> dict:
             train_fn = jax.jit(make_train_step(
                 cfg, optimizer, remat=exp.gradient_checkpointing,
                 grad_accum=exp.gradient_accumulation_steps,
-                n_windows=n_windows))
-        eval_fn = jax.jit(eval_step(cfg, n_windows=n_windows))
+                n_windows=n_windows, sp_mesh=sp_mesh))
+        eval_fn = jax.jit(eval_step(cfg, n_windows=n_windows,
+                                    sp_mesh=sp_mesh))
 
         def eval_params(current_state):
             if exp.use_lora or exp.use_qlora:

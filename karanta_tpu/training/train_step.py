@@ -13,6 +13,7 @@ reduce-scatter/all-gathers DeepSpeed does by hand.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -106,12 +107,41 @@ def chunked_cross_entropy(text_params, text_cfg,
 
 
 def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0,
-                 ce_chunk: int = 512):
+                 ce_chunk: int = 512, sp_mesh=None, pp_mesh=None,
+                 pp_micro: int = 1):
     # remat threads into the model: the checkpoint must wrap the per-layer
     # scan body (and per-image vision encode), not the whole forward — a
     # whole-forward checkpoint replays the forward but still materializes
     # every per-layer residual at once during the replayed backward.
+    #
+    # sp_mesh: a Mesh whose "seq" axis is > 1 enables context parallelism —
+    # text activations shard over the sequence, attention runs through the
+    # shard_map kernel in parallel/context.py. The reference has no SP (it
+    # caps context, SURVEY §5.7); this is TPU-native long-context headroom.
+    # pp_mesh: a Mesh whose "pipe" axis is > 1 pipelines the decoder layer
+    # stack over stages with pp_micro microbatches (parallel/pipeline.py).
+    # Mutually exclusive with sp_mesh (the shard_map schedules don't nest).
+    if pp_mesh is not None and sp_mesh is not None:
+        raise ValueError("sp_mesh and pp_mesh are mutually exclusive")
+    if pp_mesh is not None:
+        from karanta_tpu.parallel.mesh import PIPE_AXIS
+
+        if int(pp_mesh.shape.get(PIPE_AXIS, 1)) <= 1:
+            pp_mesh = None
+    attn_impl = None
+    pin_batch = None
+    if sp_mesh is not None:
+        from karanta_tpu.parallel.context import (
+            make_context_parallel_attention, sequence_sharded_constraint)
+        from karanta_tpu.parallel.mesh import SEQ_AXIS
+
+        if int(sp_mesh.shape.get(SEQ_AXIS, 1)) > 1:
+            attn_impl = make_context_parallel_attention(sp_mesh)
+            pin_batch = functools.partial(sequence_sharded_constraint, sp_mesh)
+
     def loss_fn(params, batch):
+        if pin_batch is not None:
+            batch = pin_batch(batch)
         hidden = forward_train(
             params, cfg,
             batch["token_ids"], batch["positions"],
@@ -125,6 +155,9 @@ def make_loss_fn(cfg: VLMConfig, remat: bool = False, n_windows: int = 0,
             attn_mask=batch.get("attn_mask"),
             remat=remat,
             return_hidden=True,
+            attn_impl=attn_impl,
+            pp_mesh=pp_mesh,
+            pp_micro=pp_micro,
         )
         # next-token prediction: hidden[t] predicts labels[t+1]; the last
         # row has no target (IGNORE), keeping S static for the chunk scan
@@ -185,15 +218,22 @@ def accumulate_grads(grad_once, params, batch: dict, grad_accum: int):
 
 def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
                     remat: bool = False, grad_accum: int = 1,
-                    n_windows: int = 0):
+                    n_windows: int = 0, sp_mesh=None, pp_mesh=None,
+                    pp_micro: int = 1):
     """Returns a jittable (state, batch) -> (state, metrics) function.
 
     With grad_accum > 1 the batch's leading dim must be grad_accum *
     microbatch; microbatches run under lax.scan, gradients averaged before
     one optimizer update (reference semantics: accelerate grad-accum,
     ocr_training.py:200-207,669-685).
+
+    sp_mesh enables context parallelism over the mesh's "seq" axis; pp_mesh
+    pipelines the decoder over the "pipe" axis with pp_micro microbatches
+    (see make_loss_fn).
     """
-    loss_fn = make_loss_fn(cfg, remat=remat, n_windows=n_windows)
+    loss_fn = make_loss_fn(cfg, remat=remat, n_windows=n_windows,
+                           sp_mesh=sp_mesh, pp_mesh=pp_mesh,
+                           pp_micro=pp_micro)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def single(state: TrainState, batch):
@@ -219,8 +259,8 @@ def make_train_step(cfg: VLMConfig, optimizer: optax.GradientTransformation,
     return train_step
 
 
-def eval_step(cfg: VLMConfig, n_windows: int = 0):
-    loss_fn = make_loss_fn(cfg, n_windows=n_windows)
+def eval_step(cfg: VLMConfig, n_windows: int = 0, sp_mesh=None):
+    loss_fn = make_loss_fn(cfg, n_windows=n_windows, sp_mesh=sp_mesh)
 
     def step(params, batch):
         loss, tokens = loss_fn(params, batch)

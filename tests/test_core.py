@@ -20,7 +20,9 @@ from karanta_tpu.utils import MetricsKeeper, WorkerTracker
 
 class TestMesh:
     def test_resolve_free_axis(self):
-        assert MeshConfig(data=-1, fsdp=1, model=2).resolve(8) == (4, 1, 2)
+        # resolve() returns (data, pipe, fsdp, seq, model) layout order
+        assert MeshConfig(data=-1, fsdp=1, model=2).resolve(8) == (
+            4, 1, 1, 1, 2)
 
     def test_resolve_mismatch(self):
         with pytest.raises(ValueError):
@@ -28,8 +30,18 @@ class TestMesh:
 
     def test_create_mesh_axes(self):
         mesh = create_mesh(MeshConfig(data=2, fsdp=2, model=2))
-        assert mesh.axis_names == ("data", "fsdp", "model")
-        assert mesh.devices.shape == (2, 2, 2)
+        assert mesh.axis_names == ("data", "pipe", "fsdp", "seq", "model")
+        assert mesh.devices.shape == (2, 1, 2, 1, 2)
+
+    def test_create_mesh_seq_axis(self):
+        mesh = create_mesh(MeshConfig(data=2, fsdp=1, model=2, seq=2))
+        assert mesh.shape["seq"] == 2
+        assert mesh.devices.shape == (2, 1, 1, 2, 2)
+
+    def test_create_mesh_pipe_axis(self):
+        mesh = create_mesh(MeshConfig(data=2, fsdp=1, model=2, pipe=2))
+        assert mesh.shape["pipe"] == 2
+        assert mesh.devices.shape == (2, 2, 1, 1, 2)
 
 
 class TestShardingRules:
