@@ -155,11 +155,14 @@ def main() -> None:
     parser.add_argument("--kv-quantize", dest="kv_quantize",
                         default=os.environ.get("KARANTA_BENCH_KV_QUANTIZE",
                                                None),
-                        choices=["none", "int8"],
-                        help="int8 KV cache (per-row scales): halves the "
-                             "decode cache bytes. Default per preset: int8 "
-                             "for 7B (required to fit), none for 3B "
-                             "(XLA's int8-KV path is perf-neutral there).")
+                        choices=["none", "int8", "int4"],
+                        help="quantized KV cache (per-row scales). Default "
+                             "int8 (the like-for-like point vs the "
+                             "reference's FP8 KV serving; required to fit "
+                             "7B). int4 is the opt-in nibble-packed "
+                             "capacity mode: half the cache HBM again, "
+                             "~2x the slot count — pair with a larger "
+                             "--batch.")
     parser.add_argument("--vision-quant", dest="vision_quant",
                         default=os.environ.get("KARANTA_BENCH_VISION_QUANT",
                                                "none"),
@@ -178,14 +181,30 @@ def main() -> None:
                              "also quantizes activations dynamically).")
     args = parser.parse_args()
     is_7b = "7b" in args.preset.lower()
-    batch_fallbacks: list[int] = []
-    if args.batch is None:
-        args.batch = 80 if is_7b else 128
-        batch_fallbacks = [64, 48] if is_7b else [96, 64]
     if args.kv_quantize is None:
         # int8 KV + the fused append kernel beat bf16 KV on both presets
         # (3B: 4.15 @ B64 bf16 -> 4.69 @ B80 int8)
         args.kv_quantize = "int8"
+    batch_fallbacks: list[int] = []
+    if args.batch is None:
+        if args.kv_quantize == "int4" and is_7b:
+            # the halved cache unlocks the 7B slot ladder past int8's B80
+            # ceiling: B80 3.24, B128 3.59 pages/s/chip; B144/B160 OOM
+            args.batch = 128
+            batch_fallbacks = [112, 96, 80]
+        else:
+            args.batch = 80 if is_7b else 128
+            batch_fallbacks = [64, 48] if is_7b else [96, 64]
+    # prefill buckets follow the REQUESTED bucket so an int4 round-up below
+    # doesn't add an unused (and expensive-to-compile) larger prefill shape
+    requested_max_seq = args.max_seq_len
+    if args.kv_quantize == "int4" and args.max_seq_len % 256:
+        # nibble packing needs a 256-token bucket; capacity is ring-read
+        # (live rows only) so rounding up costs HBM, not decode time
+        new_m = -(-args.max_seq_len // 256) * 256
+        print(f"int4 KV: rounding --max-seq-len {args.max_seq_len} -> "
+              f"{new_m} (256-token packing windows)")
+        args.max_seq_len = new_m
     if args.pages is None:
         args.pages = max(16, 2 * args.batch)
 
@@ -226,8 +245,8 @@ def main() -> None:
     # 1408 fits the bench page's 1390-token prompt with 1.3% pad (1536 wastes
     # 9.5%); 1390 prompt + 512 decode = 1902 rows still fits the 1920 bucket
     prefill_buckets = tuple(
-        b for b in (512, 1024, 1408, 2048, 4096) if b <= args.max_seq_len) \
-        or (args.max_seq_len,)
+        b for b in (512, 1024, 1408, 2048, 4096) if b <= requested_max_seq) \
+        or (requested_max_seq,)
     # keep the bench honest: no decoded-image caching — every page pays the
     # full host decode cost, like a real corpus of distinct pages
     os.environ.setdefault("KARANTA_IMG_CACHE_MB", "0")

@@ -67,7 +67,11 @@ class EngineConfig:
     max_pixels: int = 14 * 14 * 4 * 1280
     dtype: Any = jnp.bfloat16
     quantize: Optional[str] = None       # None | "int8" (decoder weights)
-    kv_quantize: Optional[str] = None    # None | "int8" (KV cache rows)
+    # None | "int8" | "int4" (KV cache rows). "int4" is the nibble-packed
+    # capacity mode: half the cache HBM and half the decode cache-read bytes
+    # of int8, ~2x the slot count at a bucket. Opt-in (coarser KV fidelity
+    # than the reference's FP8 serving); excluded from the headline bench.
+    kv_quantize: Optional[str] = None
     # None | "int8": run prefill matmuls W8A8 (dynamic per-token int8
     # activations on the MXU's 2x int8 path). Requires int8 weights; decode
     # stays weight-only (HBM-bound). Mirrors vLLM FP8 serving's dynamic
@@ -241,6 +245,19 @@ class Engine:
         if engine_cfg.kv_quantize == "int8":
             self.cache = dec.QuantKVCache.zeros(cfg.text, b, m,
                                                 engine_cfg.dtype)
+        elif engine_cfg.kv_quantize == "int4":
+            if engine_cfg.speculative_ngram > 0:
+                raise ValueError(
+                    "kv_quantize='int4' does not support speculative decoding")
+            if m >= 256 and m % 256:
+                # the append kernel's scale slab is a full 128-lane tile of
+                # PACKED rows, so the token bucket must be 256-aligned
+                raise ValueError(
+                    f"kv_quantize='int4' needs max_seq_len % 256 == 0 "
+                    f"(nibble packing: 128 packed rows per scale tile), "
+                    f"got {m}; round up to {-(-m // 256) * 256}")
+            self.cache = dec.Q4KVCache.zeros(cfg.text, b, m,
+                                             engine_cfg.dtype)
         elif engine_cfg.kv_quantize:
             raise ValueError(f"unknown kv_quantize {engine_cfg.kv_quantize!r}")
         else:
@@ -250,11 +267,13 @@ class Engine:
                 DEFAULT_RULES, logical_to_named_sharding,
             )
 
-            if engine_cfg.kv_quantize == "int8":
+            if engine_cfg.kv_quantize in ("int8", "int4"):
                 scale_sh = logical_to_named_sharding(
                     mesh, ("layers", "batch", "kv_heads", "kv_seq"),
                     DEFAULT_RULES)
-                self.cache = dec.QuantKVCache(
+                cls = (dec.QuantKVCache if engine_cfg.kv_quantize == "int8"
+                       else dec.Q4KVCache)
+                self.cache = cls(
                     jax.device_put(self.cache.k, self._cache_sharding),
                     jax.device_put(self.cache.v, self._cache_sharding),
                     jax.device_put(self.cache.ks, scale_sh),
@@ -415,7 +434,16 @@ class Engine:
         logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
         first = _greedy_token(logits)
         s = pcache.k.shape[3]
-        if isinstance(cache, dec.QuantKVCache):
+        if isinstance(cache, dec.Q4KVCache):
+            k4, v4, ks4, vs4 = dec.q4_pack_prefill(pcache.k[:, 0],
+                                                   pcache.v[:, 0])
+            ps = k4.shape[-2]
+            new_cache = dec.Q4KVCache(
+                cache.k.at[:, slot, :, :ps].set(k4),
+                cache.v.at[:, slot, :, :ps].set(v4),
+                cache.ks.at[:, slot, :, :ps].set(ks4.astype(cache.ks.dtype)),
+                cache.vs.at[:, slot, :, :ps].set(vs4.astype(cache.vs.dtype)))
+        elif isinstance(cache, dec.QuantKVCache):
             kq, ksc = dec.quantize_kv_rows(pcache.k[:, 0])
             vq, vsc = dec.quantize_kv_rows(pcache.v[:, 0])
             new_cache = dec.QuantKVCache(
@@ -467,7 +495,16 @@ class Engine:
                            top_ps_new):
         """Insert K prefilled pages into K slots (unguided fast path)."""
         s = prefill_cache.k.shape[3]
-        if isinstance(cache, dec.QuantKVCache):
+        if isinstance(cache, dec.Q4KVCache):
+            k4, v4, ks4, vs4 = dec.q4_pack_prefill(prefill_cache.k,
+                                                   prefill_cache.v)
+            ps = k4.shape[-2]
+            new_cache = dec.Q4KVCache(
+                cache.k.at[:, slots, :, :ps].set(k4),
+                cache.v.at[:, slots, :, :ps].set(v4),
+                cache.ks.at[:, slots, :, :ps].set(ks4.astype(cache.ks.dtype)),
+                cache.vs.at[:, slots, :, :ps].set(vs4.astype(cache.vs.dtype)))
+        elif isinstance(cache, dec.QuantKVCache):
             kq, ksc = dec.quantize_kv_rows(prefill_cache.k)
             vq, vsc = dec.quantize_kv_rows(prefill_cache.v)
             new_cache = dec.QuantKVCache(
@@ -510,7 +547,17 @@ class Engine:
                      last_token, temps, top_ps, dfa_state, slot, true_len,
                      first_token, pos_after, temp, top_p, dfa_val):
         s = prefill_cache.k.shape[3]
-        if isinstance(cache, dec.QuantKVCache):
+        if isinstance(cache, dec.Q4KVCache):
+            # prefill emits bf16 rows; quantize + nibble-pack at insert time
+            k4, v4, ks4, vs4 = dec.q4_pack_prefill(prefill_cache.k[:, 0],
+                                                   prefill_cache.v[:, 0])
+            ps = k4.shape[-2]
+            new_cache = dec.Q4KVCache(
+                cache.k.at[:, slot, :, :ps].set(k4),
+                cache.v.at[:, slot, :, :ps].set(v4),
+                cache.ks.at[:, slot, :, :ps].set(ks4.astype(cache.ks.dtype)),
+                cache.vs.at[:, slot, :, :ps].set(vs4.astype(cache.vs.dtype)))
+        elif isinstance(cache, dec.QuantKVCache):
             # prefill emits bf16 rows; quantize at insert time
             kq, ksc = dec.quantize_kv_rows(prefill_cache.k[:, 0])
             vq, vsc = dec.quantize_kv_rows(prefill_cache.v[:, 0])
@@ -538,7 +585,8 @@ class Engine:
                            allowed, next_state, key, *, steps, use_top_p,
                            use_sampling, attend_len, use_logprobs=False,
                            top_k_logprobs=0, use_guided=True):
-        m = cache.k.shape[3]
+        # token capacity: the int4 cache's row axis is nibble-packed (M/2)
+        m = cache.k.shape[3] * (2 if isinstance(cache, dec.Q4KVCache) else 1)
 
         def step(carry, step_key):
             cache, cache_len, next_pos, last_token, dfa_state = carry

@@ -563,9 +563,11 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--data-parallel-size", type=int, default=1)
     parser.add_argument("--quantize", default=None, choices=["int8"])
     parser.add_argument("--kv-quantize", dest="kv_quantize", default=None,
-                        choices=["int8"],
-                        help="int8 KV cache (per-row scales): halves decode "
-                             "HBM traffic and doubles slot capacity")
+                        choices=["int8", "int4"],
+                        help="quantized KV cache (per-row scales): int8 "
+                             "halves decode HBM traffic and doubles slot "
+                             "capacity; int4 (nibble-packed) halves it "
+                             "again — opt-in capacity mode")
     parser.add_argument("--act-quant", dest="act_quant", default=None,
                         choices=["int8"],
                         help="W8A8 prefill (per-token int8 activations on "

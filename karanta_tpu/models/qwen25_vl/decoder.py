@@ -166,6 +166,150 @@ def quantize_kv_rows(x: jnp.ndarray):
     return q, s.astype(jnp.bfloat16)
 
 
+# --------------------------------------------------------------------------
+# int4 (nibble-packed) KV cache — the capacity operating point.
+#
+# Rows quantize to [-7, 7] with the same per-row absmax scales as int8, and
+# PAIRS of token rows pack into one int8 byte along the sequence (sublane)
+# axis, so the cache occupies half the HBM of the int8 cache and the decode
+# kernel's cache read moves half the bytes. Packing is sublane-axis (not
+# head_dim) because TPU HBM buffers tile the last two dims — packing head_dim
+# 128 -> 64 would pad right back to 128 lanes and save nothing.
+#
+# Pairing: within each 64-token window w, packed row (32*w + j) holds token
+# (64*w + j) in the LOW nibble and token (64*w + 32 + j) in the HIGH nibble
+# (j in [0, 32)). 32 is the int8 sublane tile, so a window's packed rows are
+# exactly one tile: the decode append's read-modify-write of a single byte
+# nibble stays a one-tile slab, and a DMA block of packed rows always covers
+# two contiguous token ranges.
+#
+# Scales stay UNPACKED per token but are stored in nibble-plane order
+# (L, B, 2*KVH, M/2) with row 2h+nib = head h, nibble plane nib, so the
+# kernel's scale tiles line up column-for-column with the unpacked score
+# tiles without any in-kernel permute.
+#
+# Fidelity note: 4-bit KV is a documented capacity/throughput trade (the
+# reference's vLLM stack serves FP8 KV; vLLM also ships int4 KV as opt-in).
+# This mode is opt-in (`kv_quantize="int4"`) and excluded from the
+# like-for-like headline bench.
+# --------------------------------------------------------------------------
+
+Q4_WINDOW = 64  # tokens per packing window (2 sublane tiles of 32)
+
+
+def quantize_kv_rows_q4(x: jnp.ndarray):
+    """(..., D) -> (int8 nibbles in [-7, 7] (..., D), scale (...,))."""
+    xf = x.astype(jnp.float32)
+    a = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.maximum(a / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int8)
+    return q, s.astype(jnp.bfloat16)
+
+
+def _bits_to_int8(u: jnp.ndarray) -> jnp.ndarray:
+    """int32 byte values in [0, 255] -> bit-identical int8."""
+    return (((u & 0xFF) ^ 0x80) - 0x80).astype(jnp.int8)
+
+
+def pack_q4_rows(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., S, D) int8 nibbles -> (..., S/2, D) packed bytes (S % 64 == 0)."""
+    *lead, s, d = q.shape
+    assert s % Q4_WINDOW == 0, s
+    r = q.reshape(*lead, s // Q4_WINDOW, 2, 32, d).astype(jnp.int32)
+    lo, hi = r[..., 0, :, :], r[..., 1, :, :]
+    b = (lo & 0xF) | ((hi & 0xF) << 4)
+    return _bits_to_int8(b).reshape(*lead, s // 2, d)
+
+
+def unpack_q4_rows(p: jnp.ndarray) -> jnp.ndarray:
+    """(..., S/2, D) packed -> (..., S, D) int8 nibble values, token order."""
+    *lead, pm, d = p.shape
+    b = p.astype(jnp.int32)
+    lo = (b << 28) >> 28
+    hi = b >> 4
+    both = jnp.stack([lo, hi], axis=-3)                 # (..., 2, S/2, D)
+    both = both.reshape(*lead, 2, pm // 32, 32, d)
+    both = jnp.swapaxes(both, -4, -3)                   # (..., nw, 2, 32, D)
+    return both.reshape(*lead, 2 * pm, d).astype(jnp.int8)
+
+
+def pack_q4_scales(s: jnp.ndarray) -> jnp.ndarray:
+    """Per-token scales (..., KVH, S) -> nibble planes (..., 2*KVH, S/2)."""
+    *lead, kvh, seq = s.shape
+    assert seq % Q4_WINDOW == 0, seq
+    r = s.reshape(*lead, kvh, seq // Q4_WINDOW, 2, 32)
+    r = jnp.moveaxis(r, -2, -3)                         # (..., KVH, 2, nw, 32)
+    return r.reshape(*lead, 2 * kvh, seq // 2)
+
+
+def unpack_q4_scales(p: jnp.ndarray) -> jnp.ndarray:
+    """Nibble planes (..., 2*KVH, S/2) -> per-token scales (..., KVH, S)."""
+    *lead, kvh2, pm = p.shape
+    r = p.reshape(*lead, kvh2 // 2, 2, pm // 32, 32)
+    r = jnp.moveaxis(r, -3, -2)                         # (..., KVH, nw, 2, 32)
+    return r.reshape(*lead, kvh2 // 2, 2 * pm)
+
+
+def q4_pack_prefill(k_rows: jnp.ndarray, v_rows: jnp.ndarray):
+    """Quantize + pack prefill KV rows (..., KVH, S, D) for slot insert.
+
+    Returns (k4, v4, ks, vs): packed bytes (..., KVH, ceil64(S)/2, D) and
+    nibble-plane scales (..., 2*KVH, ceil64(S)/2). S pads up to a whole
+    window with zero rows (dead nibbles — masked by cache_len downstream)."""
+    kq, ks = quantize_kv_rows_q4(k_rows)
+    vq, vs = quantize_kv_rows_q4(v_rows)
+    s = kq.shape[-2]
+    pad = (-s) % Q4_WINDOW
+    if pad:
+        widths_r = [(0, 0)] * (kq.ndim - 2) + [(0, pad), (0, 0)]
+        widths_s = [(0, 0)] * (ks.ndim - 1) + [(0, pad)]
+        kq = jnp.pad(kq, widths_r)
+        vq = jnp.pad(vq, widths_r)
+        ks = jnp.pad(ks, widths_s)
+        vs = jnp.pad(vs, widths_s)
+    return (pack_q4_rows(kq), pack_q4_rows(vq),
+            pack_q4_scales(ks), pack_q4_scales(vs))
+
+
+def _q4_row_nib(pos: jnp.ndarray):
+    """Token position -> (packed row, nibble plane) under the pairing."""
+    w = pos >> 6
+    j = pos & 63
+    return (w << 5) + (j & 31), j >> 5
+
+
+@dataclasses.dataclass
+class Q4KVCache:
+    """Nibble-packed int4 KV cache (see the block comment above).
+
+    Half the HBM footprint and half the decode cache-read bytes of
+    QuantKVCache — the capacity operating point that roughly doubles the
+    decode slot count a chip holds at a given context bucket."""
+
+    k: jnp.ndarray    # int8 packed (L, B, KVH, M/2, D)
+    v: jnp.ndarray    # int8 packed
+    ks: jnp.ndarray   # bf16 (L, B, 2*KVH, M/2) nibble-plane scales
+    vs: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, cfg: TextConfig, batch: int, max_len: int,
+              dtype=jnp.bfloat16) -> "Q4KVCache":
+        if max_len % Q4_WINDOW:
+            raise ValueError(
+                f"int4 KV cache needs max_seq_len % {Q4_WINDOW} == 0, "
+                f"got {max_len}")
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len // 2,
+                 cfg.head_dim)
+        sshape = (cfg.num_layers, batch, 2 * cfg.num_kv_heads, max_len // 2)
+        return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                   jnp.ones(sshape, dtype), jnp.ones(sshape, dtype))
+
+
+jax.tree_util.register_pytree_node(
+    Q4KVCache, lambda c: ((c.k, c.v, c.ks, c.vs), None),
+    lambda _, t: Q4KVCache(*t))
+
+
 def _paged_decode_mode(max_len: int, quant: bool = False) -> str:
     """Pallas decode-kernel selection.
 
@@ -377,7 +521,9 @@ def decode_step(params: Params, cfg: TextConfig,
     carried and written, but the HBM read stream shrinks to the live prefix.
     """
     b = embeds.shape[0]
-    m = attend_len or cache.k.shape[3]
+    # token capacity (the int4 cache's row axis is nibble-packed, M/2 rows)
+    m = attend_len or (cache.k.shape[3] * 2 if isinstance(cache, Q4KVCache)
+                       else cache.k.shape[3])
     cos, sin = jax.vmap(
         lambda p: mrope_cos_sin(p[:, None], cfg.head_dim, cfg.mrope_section,
                                 cfg.rope_theta),
@@ -393,12 +539,13 @@ def decode_step(params: Params, cfg: TextConfig,
     # are never copied. (Routing them through scan xs/ys stacks a fresh copy
     # of the whole cache every step — measured as the dominant decode cost.)
     quant = isinstance(cache, QuantKVCache)
+    q4 = isinstance(cache, Q4KVCache)
     if _PAGED_FORCE is not None:
         paged_mode, paged_interp = _PAGED_FORCE
     else:
-        paged_mode = _paged_decode_mode(cache.k.shape[3], quant=quant)
+        paged_mode = _paged_decode_mode(cache.k.shape[3], quant=quant or q4)
         paged_interp = False
-    # the quant cache only has the fused-append kernel (no stacked variant)
+    # the quant caches only have the fused-append kernel (no stacked variant)
     quant_paged_mode = paged_mode if paged_mode == "append" else ""
 
     def body(carry, layer_and_idx):
@@ -407,7 +554,49 @@ def decode_step(params: Params, cfg: TextConfig,
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _project_qkv(xn, layer["attn"], cfg)
         q, k = apply_rope(q, k, cos, sin)
-        if quant:
+        if q4:
+            k_all, v_all, ks_all, vs_all = bufs
+            kq, ksc = quantize_kv_rows_q4(k[:, 0])
+            vq, vsc = quantize_kv_rows_q4(v[:, 0])
+            if quant_paged_mode == "append":
+                from karanta_tpu.ops.decode_attention import (
+                    paged_decode_append_q4,
+                )
+
+                attn, k_all, v_all, ks_all, vs_all = paged_decode_append_q4(
+                    q, kq, vq, ksc, vsc, k_all, v_all, ks_all, vs_all, idx,
+                    cache_len, block=1024, interpret=paged_interp)
+            else:
+                # dense fallback (CPU/tests): nibble-RMW the packed byte +
+                # scale, then unpack the layer slice to token order
+                r, nib = _q4_row_nib(cache_len)
+                kvh = k_all.shape[2]
+                old_k = k_all[idx, batch_idx, :, r].astype(jnp.int32)
+                old_v = v_all[idx, batch_idx, :, r].astype(jnp.int32)
+
+                def merge(old, new):
+                    n4 = new.astype(jnp.int32) & 0xF
+                    lo = (old & 0xF0) | n4
+                    hi = (old & 0x0F) | (n4 << 4)
+                    sel = (nib == 0)[:, None, None]
+                    return _bits_to_int8(jnp.where(sel, lo, hi))
+
+                k_all = k_all.at[idx, batch_idx, :, r].set(merge(old_k, kq))
+                v_all = v_all.at[idx, batch_idx, :, r].set(merge(old_v, vq))
+                rows2 = 2 * jnp.arange(kvh)[None, :] + nib[:, None]
+                ks_all = ks_all.at[idx, batch_idx[:, None], rows2,
+                                   r[:, None]].set(ksc.astype(ks_all.dtype))
+                vs_all = vs_all.at[idx, batch_idx[:, None], rows2,
+                                   r[:, None]].set(vsc.astype(vs_all.dtype))
+                sl = lambda a: jax.lax.dynamic_index_in_dim(
+                    a, idx, 0, keepdims=False)
+                attn = decode_attention(
+                    q, unpack_q4_rows(sl(k_all))[:, :, :m],
+                    unpack_q4_rows(sl(v_all))[:, :, :m], kv_mask=kv_valid,
+                    k_scale=unpack_q4_scales(sl(ks_all))[:, :, :m],
+                    v_scale=unpack_q4_scales(sl(vs_all))[:, :, :m])
+            new_bufs = (k_all, v_all, ks_all, vs_all)
+        elif quant:
             k_all, v_all, ks_all, vs_all = bufs
             kq, ksc = quantize_kv_rows(k[:, 0])
             vq, vsc = quantize_kv_rows(v[:, 0])
@@ -465,12 +654,13 @@ def decode_step(params: Params, cfg: TextConfig,
         x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
         return (x,) + new_bufs, None
 
-    init = ((embeds, cache.k, cache.v, cache.ks, cache.vs) if quant
+    init = ((embeds, cache.k, cache.v, cache.ks, cache.vs) if (quant or q4)
             else (embeds, cache.k, cache.v))
     (x, *bufs), _ = jax.lax.scan(
         body, init, (params["layers"], jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    out_cache = QuantKVCache(*bufs) if quant else KVCache(*bufs)
+    out_cache = (Q4KVCache(*bufs) if q4
+                 else QuantKVCache(*bufs) if quant else KVCache(*bufs))
     return x, out_cache
 
 
@@ -499,6 +689,10 @@ def decode_multi(params: Params, cfg: TextConfig,
     batch_idx = jnp.arange(b)[:, None]                     # (B, 1)
     write_pos = cache_len[:, None] + jnp.arange(tq)[None]  # (B, T)
 
+    if isinstance(cache, Q4KVCache):
+        raise NotImplementedError(
+            "speculative decode_multi does not support the int4 KV cache "
+            "(use kv_quantize='int8' with speculative_ngram)")
     quant = isinstance(cache, QuantKVCache)
 
     def body(carry, layer_and_idx):

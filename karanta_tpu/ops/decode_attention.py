@@ -1003,3 +1003,370 @@ def paged_decode_append_quant(
 
     attn, k_new, v_new, ks_new, vs_new = out
     return attn.reshape(b, 1, h, d), k_new, v_new, ks_new, vs_new
+
+
+# ---------------------------------------------------------------------------
+# int4 (nibble-packed) cache variant — see Q4KVCache in
+# models/qwen25_vl/decoder.py for the packing scheme. Packed row r of a
+# 64-token window w (r = 32*w + j, j in [0, 32)) holds token 64*w + j in the
+# LOW nibble and token 64*w + 32 + j in the HIGH nibble; scales stay
+# per-token in nibble-plane order (2*KVH rows: 2h + nib). The ring DMAs move
+# half the bytes of the int8 kernel per live token; each block contributes
+# TWO online-softmax updates (one per nibble plane) whose score columns are
+# already in packed-row order on both the K tiles and the scale tiles.
+# ---------------------------------------------------------------------------
+
+
+def _q4_unpack_i32(b32, shift_lo: bool):
+    """Sign-extended nibble values from int32-upcast packed bytes."""
+    return (b32 << 28) >> 28 if shift_lo else b32 >> 4
+
+
+def _decode_append_q4_kernel(
+        len_ref,               # SMEM (B,) int32
+        layer_ref,             # SMEM (1,) int32
+        q_ref,                 # VMEM (SPP, KVH*G, D)
+        newk_ref, newv_ref,    # VMEM (SPP, KVH, D) int8 nibbles in [-7, 7]
+        newks_ref, newvs_ref,  # VMEM (SPP, 2*KVH, 1) nibble-plane row scales
+        k_in, v_in,            # ANY int8 packed (L, B, KVH, PM, D)
+        ks_in, vs_in,          # ANY (L, B, 2*KVH, PM) nibble-plane scales
+        o_ref,                 # VMEM (SPP, KVH*G, D)
+        k_out, v_out, ks_out, vs_out,   # ANY aliased to the four caches
+        k_buf, v_buf,          # VMEM scratch (SPP, NBUF, KVH, PBLK, D) int8
+        ksc_buf, vsc_buf,      # VMEM scratch (SPP, NBUF, 2*KVH, PBLK)
+        kslab, vslab,          # VMEM scratch (SPP, KVH, 32, D) int8
+        ksslab, vsslab,        # VMEM scratch (SPP, 2*KVH, SSLAB)
+        acc_ref, m_ref, l_ref,
+        sems,                  # DMA sems (4, SPP, NBUF)
+        wsems,                 # slab r/w sems (4, SPP)
+        *, block: int, kvh: int, group: int, scale: float,
+        sslab: int, nbuf: int, spp: int, compute_dtype):
+    """int4-cache variant of _decode_append_quant_kernel. `block` counts
+    PACKED rows (= 2x that many tokens); the row slab is one 32-row sublane
+    tile (exactly one packing window), so the new token's byte is a
+    nibble-merge RMW of a single tile."""
+    prog = pl.program_id(0)
+    lidx = layer_ref[0]
+    seqs = [len_ref[prog * spp + sp] for sp in range(spp)]
+    # live packed rows for seq tokens: full windows + the partial window's
+    # low-nibble rows (high nibbles of the last window live in the same rows)
+    live = [jax.lax.div(sl, 64) * 32
+            + jnp.minimum(jax.lax.rem(sl, 64), 32) for sl in seqs]
+    nblocks = [jax.lax.div(lr + (block - 1), block) for lr in live]
+    max_nb = nblocks[0]
+    for nb in nblocks[1:]:
+        max_nb = jnp.maximum(max_nb, nb)
+
+    # new-token target: packed row r, nibble plane nib
+    rs = [jax.lax.div(sl, 64) * 32 + jax.lax.rem(sl, 32) for sl in seqs]
+    nibs = [jax.lax.div(jax.lax.rem(sl, 64), 32) for sl in seqs]
+    slab_starts = [jax.lax.div(sl, 64) * 32 for sl in seqs]  # = (r//32)*32
+    sslab_starts = [jax.lax.mul(jax.lax.div(r, sslab), sslab) for r in rs]
+
+    # --- slab RMW: nibble-merge the new token's byte + scale ---
+    rcopies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        for j, (src, dst) in enumerate(((k_in, kslab), (v_in, vslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, kvh),
+                       pl.ds(slab_starts[sp], 32)],
+                dst.at[sp], wsems.at[j, sp])
+            rc.start()
+            rcopies.append(rc)
+        for j, (src, dst) in enumerate(((ks_in, ksslab), (vs_in, vsslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, 2 * kvh),
+                       pl.ds(sslab_starts[sp], sslab)],
+                dst.at[sp], wsems.at[2 + j, sp])
+            rc.start()
+            rcopies.append(rc)
+    for rc in rcopies:
+        rc.wait()
+    wcopies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        row_sel = (jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+                   == rs[sp] - slab_starts[sp])
+        newk = newk_ref[sp]
+        newv = newv_ref[sp]
+        for h in range(kvh):
+            for slab_ref, new in ((kslab, newk), (vslab, newv)):
+                old = slab_ref[sp, h].astype(jnp.int32)
+                n4 = new[h].astype(jnp.int32) & 0xF           # (D,)
+                lo = (old & 0xF0) | n4[None, :]
+                hi = (old & 0x0F) | (n4[None, :] << 4)
+                merged = jnp.where(nibs[sp] == 0, lo, hi)
+                merged = (((merged & 0xFF) ^ 0x80) - 0x80).astype(jnp.int8)
+                slab_ref[sp, h] = jnp.where(row_sel, merged, slab_ref[sp, h])
+        # scale slab: row 2h + nib, column r (within the slab window)
+        col_sel = (jax.lax.broadcasted_iota(jnp.int32, (2 * kvh, sslab), 1)
+                   == rs[sp] - sslab_starts[sp])
+        plane_sel = (jax.lax.broadcasted_iota(jnp.int32, (2 * kvh, sslab), 0)
+                     % 2 == nibs[sp])
+        sel = col_sel & plane_sel
+        # newks_ref already carries rows 2h and 2h+1 = scale of head h (the
+        # caller duplicates — Mosaic can't lower the sublane interleave)
+        ksslab[sp] = jnp.where(sel, newks_ref[sp].astype(ksslab.dtype),
+                               ksslab[sp])
+        vsslab[sp] = jnp.where(sel, newvs_ref[sp].astype(vsslab.dtype),
+                               vsslab[sp])
+        for j, (src, dst, n) in enumerate((
+                (kslab, k_out, kvh), (vslab, v_out, kvh))):
+            wc = pltpu.make_async_copy(
+                src.at[sp], dst.at[lidx, slot, pl.ds(0, n),
+                                   pl.ds(slab_starts[sp], 32)],
+                wsems.at[j, sp])
+            wc.start()
+            wcopies.append(wc)
+        for j, (src, dst) in enumerate(((ksslab, ks_out), (vsslab, vs_out))):
+            wc = pltpu.make_async_copy(
+                src.at[sp], dst.at[lidx, slot, pl.ds(0, 2 * kvh),
+                                   pl.ds(sslab_starts[sp], sslab)],
+                wsems.at[2 + j, sp])
+            wc.start()
+            wcopies.append(wc)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+
+    def dmas(sp, i, buf_slot):
+        slot = prog * spp + sp
+        return [
+            pltpu.make_async_copy(
+                k_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                k_buf.at[sp, buf_slot], sems.at[0, sp, buf_slot]),
+            pltpu.make_async_copy(
+                v_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                v_buf.at[sp, buf_slot], sems.at[1, sp, buf_slot]),
+            pltpu.make_async_copy(
+                ks_in.at[lidx, slot, pl.ds(0, 2 * kvh),
+                         pl.ds(i * block, block)],
+                ksc_buf.at[sp, buf_slot], sems.at[2, sp, buf_slot]),
+            pltpu.make_async_copy(
+                vs_in.at[lidx, slot, pl.ds(0, 2 * kvh),
+                         pl.ds(i * block, block)],
+                vsc_buf.at[sp, buf_slot], sems.at[3, sp, buf_slot]),
+        ]
+
+    for sp in range(spp):
+        for j in range(nbuf - 1):
+            @pl.when(j < nblocks[sp])
+            def _(sp=sp, j=j):
+                for dma in dmas(sp, j, j):
+                    dma.start()
+
+    def body(i, _):
+        cur = jax.lax.rem(i, nbuf)
+
+        for sp in range(spp):
+            @pl.when(i + nbuf - 1 < nblocks[sp])
+            def _(sp=sp):
+                pre = i + nbuf - 1
+                for dma in dmas(sp, pre, jax.lax.rem(pre, nbuf)):
+                    dma.start()
+
+        for sp in range(spp):
+            @pl.when(i < nblocks[sp])
+            def _(sp=sp):
+                for dma in dmas(sp, i, cur):
+                    dma.wait()
+
+                # packed-row columns -> token ids per nibble plane
+                g = i * block + jax.lax.broadcasted_iota(
+                    jnp.int32, (group, block), 1)
+                tok_lo = ((g >> 5) << 6) + (g & 31)
+                q = q_ref[sp]
+                ksc = ksc_buf[sp, cur].astype(jnp.float32)  # (2*KVH, PBLK)
+                vsc = vsc_buf[sp, cur].astype(jnp.float32)
+
+                for h in range(kvh):
+                    qh = q[h * group:(h + 1) * group]
+                    kb = k_buf[sp, cur, h].astype(jnp.int32)
+                    vb = v_buf[sp, cur, h].astype(jnp.int32)
+                    rows = slice(h * group, (h + 1) * group)
+                    for nib in (0, 1):
+                        k = _q4_unpack_i32(kb, nib == 0).astype(compute_dtype)
+                        valid = tok_lo + 32 * nib < seqs[sp]
+                        s = jax.lax.dot_general(
+                            qh, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        s = s * ksc[2 * h + nib][None, :]
+                        s = jnp.where(valid, s * scale, NEG_INF)
+
+                        m_prev = m_ref[sp, rows, 0:1]
+                        l_prev = l_ref[sp, rows, 0:1]
+                        m_new = jnp.maximum(
+                            m_prev, jnp.max(s, axis=-1, keepdims=True))
+                        p = jnp.exp(s - m_new)
+                        alpha = jnp.exp(m_prev - m_new)
+                        l_ref[sp, rows, 0:1] = alpha * l_prev + jnp.sum(
+                            p, axis=-1, keepdims=True)
+                        m_ref[sp, rows, 0:1] = m_new
+                        v = _q4_unpack_i32(vb, nib == 0).astype(compute_dtype)
+                        pv = jax.lax.dot_general(
+                            (p * vsc[2 * h + nib][None, :]).astype(
+                                compute_dtype),
+                            v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc_ref[sp, rows, :] = acc_ref[sp, rows, :] * alpha + pv
+        return ()
+
+    jax.lax.fori_loop(0, max_nb, body, ())
+
+    # fold in each slot's new token (nibble values + scales from VMEM)
+    for sp in range(spp):
+        newk = newk_ref[sp]
+        newv = newv_ref[sp]
+        newks = newks_ref[sp][:, 0].astype(jnp.float32)
+        newvs = newvs_ref[sp][:, 0].astype(jnp.float32)
+        q = q_ref[sp]
+        for h in range(kvh):
+            rows = slice(h * group, (h + 1) * group)
+            qh = q[rows]
+            # rows 2h and 2h+1 of the duplicated scale vector both = head h
+            nk = newk[h].astype(jnp.float32) * newks[2 * h]
+            s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
+                          keepdims=True) * scale
+            m_prev = m_ref[sp, rows, 0:1]
+            l_prev = l_ref[sp, rows, 0:1]
+            m_new = jnp.maximum(m_prev, s_x)
+            p_x = jnp.exp(s_x - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[sp, rows, 0:1] = alpha * l_prev + p_x
+            nv = newv[h].astype(jnp.float32) * newvs[2 * h]
+            acc_ref[sp, rows, :] = (acc_ref[sp, rows, :] * alpha
+                                    + p_x * nv[None, :])
+
+    for wc in wcopies:
+        wc.wait()
+
+    for sp in range(spp):
+        l = l_ref[sp, :, 0:1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[sp] = (acc_ref[sp] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "scale", "interpret", "nbuf",
+                                    "spp"))
+def paged_decode_append_q4(
+    q: jnp.ndarray,          # (B, 1, H, D)
+    new_k: jnp.ndarray,      # (B, KVH, D) int8 nibble values in [-7, 7]
+    new_v: jnp.ndarray,      # (B, KVH, D)
+    new_ks: jnp.ndarray,     # (B, KVH) row scales
+    new_vs: jnp.ndarray,     # (B, KVH)
+    k_cache: jnp.ndarray,    # (L, B, KVH, M/2, D) int8 packed, aliased
+    v_cache: jnp.ndarray,    # (L, B, KVH, M/2, D)
+    ks_cache: jnp.ndarray,   # (L, B, 2*KVH, M/2) nibble-plane scales, aliased
+    vs_cache: jnp.ndarray,   # (L, B, 2*KVH, M/2)
+    layer: jnp.ndarray,      # () int32
+    cache_len: jnp.ndarray,  # (B,) int32 TOKENS already present
+    scale: Optional[float] = None,
+    block: int = 1024,       # ring block in TOKENS (halved to packed rows)
+    interpret: bool = False,
+    nbuf: int = 2,
+    spp: int = 8,
+):
+    """Fused append + length-bounded attention over the nibble-packed int4
+    KV cache (see models/qwen25_vl/decoder.py Q4KVCache). Returns
+    (attn, k, v, ks, vs) with all four buffers updated in place. Reads half
+    the cache bytes per live token of the int8 kernel — the capacity
+    operating point's decode path."""
+    b, _, h, d = q.shape
+    kvh = k_cache.shape[2]
+    pm = k_cache.shape[3]
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+    if nbuf < 2:
+        raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
+    if pm % 32:
+        raise ValueError(
+            f"packed bucket {pm} must be a multiple of 32 (64 tokens)")
+    block, spp, nbuf = _ring_env(block, spp, nbuf)
+    block, spp = _fit_ring(pm, max(32, block // 2), spp, b, kvh, d, 1, nbuf,
+                           budget=_RING_BUDGET or 12 << 20)
+    sslab = min(128, pm)   # scale slab: full 128-lane tiles
+    if pm % sslab:
+        raise ValueError(
+            f"packed bucket {pm} must be a multiple of {sslab} "
+            f"(max_seq_len {2 * pm} -> use a multiple of {2 * sslab})")
+    compute_dtype = q.dtype
+    sdtype = ks_cache.dtype
+
+    qg = q.reshape(b, kvh * group, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // spp,),
+        in_specs=[
+            pl.BlockSpec((spp, kvh * group, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, 2 * kvh, 1), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, 2 * kvh, 1), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((spp, kvh * group, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((spp, nbuf, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((spp, nbuf, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((spp, nbuf, 2 * kvh, block), sdtype),
+            pltpu.VMEM((spp, nbuf, 2 * kvh, block), sdtype),
+            pltpu.VMEM((spp, kvh, 32, d), k_cache.dtype),
+            pltpu.VMEM((spp, kvh, 32, d), v_cache.dtype),
+            pltpu.VMEM((spp, 2 * kvh, sslab), sdtype),
+            pltpu.VMEM((spp, 2 * kvh, sslab), sdtype),
+            pltpu.VMEM((spp, kvh * group, d), jnp.float32),
+            pltpu.VMEM((spp, kvh * group, 128), jnp.float32),
+            pltpu.VMEM((spp, kvh * group, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, spp, nbuf)),
+            pltpu.SemaphoreType.DMA((4, spp)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_decode_append_q4_kernel, block=block, kvh=kvh,
+                          group=group, scale=scale, sslab=sslab,
+                          nbuf=nbuf, spp=spp, compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh * group, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(ks_cache.shape, sdtype),
+            jax.ShapeDtypeStruct(vs_cache.shape, sdtype),
+        ],
+        # operands: 0 lens, 1 layer, 2 q, 3 new_k, 4 new_v, 5 new_ks,
+        # 6 new_vs, 7 k_cache, 8 v_cache, 9 ks_cache, 10 vs_cache
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )(cache_len.astype(jnp.int32),
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      qg, new_k, new_v,
+      # scale rows pre-duplicated to nibble-plane layout (rows 2h, 2h+1 =
+      # head h) — Mosaic can't lower that sublane interleave in-kernel
+      jnp.repeat(new_ks.astype(sdtype), 2, axis=1)[..., None],
+      jnp.repeat(new_vs.astype(sdtype), 2, axis=1)[..., None],
+      k_cache, v_cache, ks_cache, vs_cache)
+
+    attn, k_new, v_new, ks_new, vs_new = out
+    return attn.reshape(b, 1, h, d), k_new, v_new, ks_new, vs_new

@@ -268,3 +268,117 @@ def test_paged_mode_auto_selection(monkeypatch):
     assert dec._paged_decode_mode(1024) == "append"
     monkeypatch.setenv("KARANTA_PAGED_DECODE", "stacked")
     assert dec._paged_decode_mode(1024) == "stacked"
+
+
+class TestAppendQ4Kernel:
+    def test_pack_roundtrip(self):
+        from karanta_tpu.models.qwen25_vl import decoder as dec
+
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.integers(-7, 8, size=(2, 3, 128, 32)), jnp.int8)
+        s = jnp.asarray(rng.uniform(0.01, 1.0, size=(2, 3, 128)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(dec.unpack_q4_rows(dec.pack_q4_rows(q))),
+            np.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(dec.unpack_q4_scales(dec.pack_q4_scales(s))),
+            np.asarray(s))
+
+    def test_matches_q4_dense(self):
+        from karanta_tpu.models.qwen25_vl import decoder as dec
+        from karanta_tpu.ops.decode_attention import paged_decode_append_q4
+
+        rng = np.random.default_rng(13)
+        L, B, M, H, KVH, D = 2, 4, 256, 8, 2, 64
+        q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+        # token-ordered nibble cache + scales, then packed storage
+        k_tok = jnp.asarray(rng.integers(-7, 8, size=(L, B, KVH, M, D)),
+                            jnp.int8)
+        v_tok = jnp.asarray(rng.integers(-7, 8, size=(L, B, KVH, M, D)),
+                            jnp.int8)
+        ks_tok = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, B, KVH, M)),
+                             jnp.float32)
+        vs_tok = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, B, KVH, M)),
+                             jnp.float32)
+        nkq, nks = dec.quantize_kv_rows_q4(
+            jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.float32))
+        nvq, nvs = dec.quantize_kv_rows_q4(
+            jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.float32))
+        nks = nks.astype(jnp.float32)
+        nvs = nvs.astype(jnp.float32)
+        lens = jnp.asarray([0, 5, 200, 255], jnp.int32)
+
+        attn, k2, v2, ks2, vs2 = paged_decode_append_q4(
+            q, nkq, nvq, nks, nvs,
+            dec.pack_q4_rows(k_tok), dec.pack_q4_rows(v_tok),
+            dec.pack_q4_scales(ks_tok), dec.pack_q4_scales(vs_tok),
+            jnp.asarray(0), lens, block=128, interpret=True)
+
+        bidx = jnp.arange(B)
+        k_ref = k_tok.at[0, bidx, :, lens].set(nkq)
+        v_ref = v_tok.at[0, bidx, :, lens].set(nvq)
+        ks_ref = ks_tok.at[0, bidx, :, lens].set(nks)
+        vs_ref = vs_tok.at[0, bidx, :, lens].set(nvs)
+        mask = (jnp.arange(M)[None, :] <= lens[:, None]).astype(jnp.float32)
+        want = decode_attention(q, k_ref[0], v_ref[0], mask,
+                                k_scale=ks_ref[0], v_scale=vs_ref[0])
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(want),
+                                   atol=5e-3)
+        np.testing.assert_array_equal(np.asarray(k2),
+                                      np.asarray(dec.pack_q4_rows(k_ref)))
+        np.testing.assert_array_equal(np.asarray(v2),
+                                      np.asarray(dec.pack_q4_rows(v_ref)))
+        np.testing.assert_allclose(np.asarray(ks2),
+                                   np.asarray(dec.pack_q4_scales(ks_ref)),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vs2),
+                                   np.asarray(dec.pack_q4_scales(vs_ref)),
+                                   atol=1e-6)
+
+    def test_decode_step_q4_append_integration(self, monkeypatch):
+        """decode_step on a Q4KVCache with the fused kernel matches the
+        dense nibble-RMW fallback path."""
+        import karanta_tpu.models.qwen25_vl.decoder as dec
+        from karanta_tpu.models.qwen25_vl.config import get_config
+
+        cfg = get_config("tiny").text
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.float32)
+        B, M = 2, 128
+        rng = np.random.default_rng(17)
+        cache0 = dec.Q4KVCache(
+            jnp.asarray(rng.integers(-128, 128,
+                                     size=(cfg.num_layers, B,
+                                           cfg.num_kv_heads, M // 2,
+                                           cfg.head_dim)), jnp.int8),
+            jnp.asarray(rng.integers(-128, 128,
+                                     size=(cfg.num_layers, B,
+                                           cfg.num_kv_heads, M // 2,
+                                           cfg.head_dim)), jnp.int8),
+            jnp.asarray(rng.uniform(0.01, 0.1,
+                                    size=(cfg.num_layers, B,
+                                          2 * cfg.num_kv_heads, M // 2)),
+                        jnp.float32),
+            jnp.asarray(rng.uniform(0.01, 0.1,
+                                    size=(cfg.num_layers, B,
+                                          2 * cfg.num_kv_heads, M // 2)),
+                        jnp.float32))
+        emb = jnp.asarray(rng.normal(size=(B, 1, cfg.hidden_size)),
+                          jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 40, size=(3, B)), jnp.int32)
+        lens = jnp.asarray([7, 97], jnp.int32)
+
+        h_ref, c_ref = dec.decode_step(params, cfg, emb, pos, cache0, lens)
+        monkeypatch.setattr(dec, "_PAGED_FORCE", ("append", True))
+        h_pag, c_pag = dec.decode_step(params, cfg, emb, pos, cache0, lens)
+
+        np.testing.assert_allclose(np.asarray(h_pag), np.asarray(h_ref),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_pag.k),
+                                      np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_pag.v),
+                                      np.asarray(c_ref.v))
+        np.testing.assert_allclose(np.asarray(c_pag.ks),
+                                   np.asarray(c_ref.ks), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_pag.vs),
+                                   np.asarray(c_ref.vs), atol=1e-6)
