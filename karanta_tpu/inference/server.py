@@ -513,7 +513,44 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
 
         mesh = create_mesh(MeshConfig(data=dp, fsdp=1, model=tp))
 
-    if args.model_path:
+    if getattr(args, "native_checkpoint", None):
+        # serve a checkpoint written by the native trainer (training/
+        # checkpoint.py TrainState dirs) without an HF export round trip —
+        # the reference serves fine-tunes by pointing vLLM at the exported
+        # HF dir (pipeline.py:1128-1131); this is the direct path.
+        import os
+
+        import jax.numpy as jnp2
+        import numpy as onp
+
+        from karanta_tpu.training.checkpoint import (
+            get_last_checkpoint, restore_params,
+        )
+
+        path = args.native_checkpoint
+        last = get_last_checkpoint(path) or path
+        raw, meta = restore_params(last)
+        if getattr(args, "tokenizer_path", None):
+            from karanta_tpu.inference.tokenizer import HFTokenizer
+
+            tok = HFTokenizer(args.tokenizer_path)
+        else:
+            from karanta_tpu.inference.tokenizer import ByteTokenizer
+
+            tok = ByteTokenizer()
+        if (args.preset or "tiny") == "tiny":
+            from karanta_tpu.models.qwen25_vl.config import tiny_config
+
+            cfg = tiny_config(vocab_size=tok.vocab_size)
+        else:
+            cfg = get_config(args.preset)
+        params = jax.tree.map(
+            lambda a: jnp2.asarray(a, dtype if onp.issubdtype(
+                onp.asarray(a).dtype, onp.floating) else None), raw)
+        name = f"native-{os.path.basename(os.path.normpath(last))}"
+        logger.info("serving native checkpoint %s (step %s)", last,
+                    meta.get("step"))
+    elif args.model_path:
         from karanta_tpu.inference.tokenizer import HFTokenizer
         from karanta_tpu.models.qwen25_vl.loading import load_hf_checkpoint
 
@@ -550,6 +587,16 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--port", type=int, default=30024)
     parser.add_argument("--model-path", default=None,
                         help="local HF checkpoint dir (safetensors + tokenizer)")
+    parser.add_argument("--native-checkpoint", dest="native_checkpoint",
+                        default=None,
+                        help="serve a native-trainer checkpoint: a step_<N> "
+                             "dir (training/checkpoint.py) or its parent "
+                             "output_dir (latest completed step is used)")
+    parser.add_argument("--tokenizer-path", dest="tokenizer_path",
+                        default=None,
+                        help="HF tokenizer dir for --native-checkpoint runs "
+                             "of non-tiny presets (tiny uses the hermetic "
+                             "byte tokenizer)")
     parser.add_argument("--preset", default=None,
                         help="architecture preset (qwen2.5-vl-3b/7b/tiny)")
     # defaults = the measured v5e sweet spot for 1288 px pages (BENCH_NOTES):

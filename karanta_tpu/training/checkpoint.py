@@ -98,6 +98,21 @@ def save_checkpoint(output_dir: str, step: int, state: Any,
     return path
 
 
+def restore_params(path: str) -> tuple[Any, dict]:
+    """Restore only the model params from a TrainState checkpoint.
+
+    Target-less orbax restore returns the TrainState pytree as its flattened
+    children ``[params, opt_state, step]`` (train_step.TrainState); the
+    params subtree keeps its dict structure. Note: target-less restore still
+    reads the optimizer state from disk — acceptable for serving start-up
+    (one-time I/O), avoids needing the optimizer to rebuild a target.
+    Returns (params, metadata).
+    """
+    state, metadata = restore_checkpoint(path, None)
+    params = state[0] if isinstance(state, (list, tuple)) else state["params"]
+    return params, metadata
+
+
 def restore_checkpoint(path: str, target: Any) -> tuple[Any, dict]:
     """Restore a pytree state saved by save_checkpoint.
 

@@ -108,6 +108,20 @@ class JSONOutputFormat:
         return sample
 
 
+class PlainTextFormat:
+    """Target = the page's natural_text only (no JSON envelope). Page joins
+    with double newlines. The serving pipeline accepts raw-text completions
+    (runner._parse_model_content wraps them as natural_text), so checkpoints
+    trained this way still run end to end; the reference always trains the
+    JSON envelope (pipeline_steps.py:55-75) — this is the lighter variant
+    for small models / plain-text fine-tunes."""
+
+    def __call__(self, sample: SingleDatapoint) -> SingleDatapoint:
+        sample.response = "\n\n".join(
+            (page.get("natural_text") or "") for page in sample.page_data)
+        return sample
+
+
 class StaticLengthDocumentAnchoring:
     """Budgeted anchor text (reference pipeline_steps.py:102-116)."""
 
@@ -179,9 +193,17 @@ class Tokenizer:
         self.max_pixels = max_pixels
 
     def __call__(self, sample: SingleDatapoint) -> SingleDatapoint:
+        from karanta_tpu.inference.chat import DEFAULT_SYSTEM
         from karanta_tpu.ops.image_prep import preprocess_host
 
-        parts = [f"{IM_START}user\n"]
+        # Same ChatML the serving engine renders (chat.parse_openai_messages),
+        # INCLUDING the default system block — Qwen's chat template inserts it
+        # when no system message is given, so both the reference's HF-processor
+        # training path and our server see it. Omitting it here would train a
+        # prompt distribution the server never serves (found by the closed-loop
+        # demo: greedy decode garbled the memorized response scaffold).
+        parts = [f"{IM_START}system\n{DEFAULT_SYSTEM}{IM_END}\n",
+                 f"{IM_START}user\n"]
         image_arr = None
         plan: Optional[ImagePlan] = None
         for item in sample.user_messages["content"]:
@@ -226,6 +248,7 @@ class Tokenizer:
 str2PipelineStep = {
     "PDF2ImageStep": PDF2ImageStep,
     "JSONOutputFormat": JSONOutputFormat,
+    "PlainTextFormat": PlainTextFormat,
     "FetchPageData": FetchPageData,
     "FetchMultipageData": FetchMultipageData,
     "StaticLengthDocumentAnchoring": StaticLengthDocumentAnchoring,
@@ -370,7 +393,7 @@ def _load_cache(path: Path) -> list[dict]:
 # a 2540-token dataset pads 1.3% to 2560 vs 61% to a power-of-two 4096.
 # flash_attention pads any S to its block sizes internally, so every rung
 # is kernel-legal.
-SEQ_BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 3584, 4096,
+SEQ_BUCKETS = (128, 256, 384, 512, 1024, 1536, 2048, 2560, 3072, 3584, 4096,
                5120, 6144, 7168, 8192)
 
 

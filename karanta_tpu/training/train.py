@@ -169,7 +169,7 @@ def main(argv: Optional[list[str]] = None) -> dict:
         rng = np.random.default_rng(exp.seed)
         order = rng.permutation(len(samples))
         n_eval = max(1, int(len(samples) * data_args.eval_fraction)) \
-            if len(samples) > 1 else 0
+            if len(samples) > 1 and data_args.eval_fraction > 0 else 0
         eval_samples = [samples[i] for i in order[:n_eval]]
         train_samples = [samples[i] for i in order[n_eval:]] or samples
         fixed_grid, fixed_seq = DataCollator.fit_buckets(samples)
