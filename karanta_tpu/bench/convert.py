@@ -38,6 +38,13 @@ METHOD_REGISTRY: dict[str, str] = {
     "karanta_pipeline": "karanta_tpu.bench.runners.run_karanta:run_karanta_pipeline",
     "karantaocr_pipeline": "karanta_tpu.bench.runners.run_karanta:run_karanta_pipeline",
     "anchor_text": "karanta_tpu.bench.runners.run_karanta:run_anchor_baseline",
+    # raw single-call against any OpenAI-compatible endpoint (native
+    # equivalent of the reference's `server` adapter, convert.py:389)
+    "server": "karanta_tpu.bench.runners.run_karanta:run_server",
+    "karanta_server": "karanta_tpu.bench.runners.run_karanta:run_server",
+    # in-process engine, no HTTP hop (native equivalent of `transformers`,
+    # convert.py:388, but through the production continuous-batching engine)
+    "karanta_engine": "karanta_tpu.bench.runners.run_karanta:run_engine",
 }
 
 # external-engine adapters, resolved only if the olmocr package is present
@@ -57,19 +64,27 @@ OLMOCR_METHODS: dict[str, str] = {
     "paddlepaddle": "olmocr.bench.runners.run_paddlepaddle:run_paddlepaddle",
     "paddlevl": "olmocr.bench.runners.run_paddlevl:run_paddlevl",
     "transformers": "olmocr.bench.runners.run_transformers:run_transformers",
-    "server": "olmocr.bench.runners.run_server:run_server",
 }
 
 
 def parse_method_arg(spec: str) -> tuple[str, dict[str, Any]]:
     """"name:k1=v1:k2=v2" -> (name, kwargs) with int/float/bool casting
-    (reference convert.py:65-95)."""
+    (reference convert.py:65-95). A segment without '=' is re-joined onto
+    the previous value with ':' so URL values survive
+    ("server:server=http://host:30024/v1")."""
     parts = spec.split(":")
-    name, kwargs = parts[0], {}
+    name = parts[0]
+    raw_kwargs: list[list[str]] = []
     for part in parts[1:]:
-        if not part:
-            continue
-        key, _, raw = part.partition("=")
+        if "=" in part or not raw_kwargs:
+            if not part:
+                continue
+            key, _, raw = part.partition("=")
+            raw_kwargs.append([key, raw])
+        else:
+            raw_kwargs[-1][1] += ":" + part
+    kwargs: dict[str, Any] = {}
+    for key, raw in raw_kwargs:
         value: Any = raw
         for cast in (int, float):
             try:

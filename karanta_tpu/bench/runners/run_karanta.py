@@ -63,3 +63,93 @@ async def run_anchor_baseline(pdf_path: str, page_num: int,
     text = await asyncio.to_thread(
         get_anchor_text, pdf_path, page_num, "pdftotext")
     return text or None
+
+
+async def run_server(pdf_path: str, page_num: int,
+                     server: str = "http://localhost:30024/v1",
+                     model: str = "karanta-ocr",
+                     temperature: float = 0.0,
+                     target_longest_image_dim: int = PIPELINE_IMAGE_DIM,
+                     prompt_key: str = "olmo_ocr_system_prompt",
+                     prompt_path: Optional[str] = None,
+                     api_key: Optional[str] = None,
+                     **kwargs) -> Optional[str]:
+    """Raw single-call method against ANY OpenAI-compatible endpoint (vLLM,
+    karanta-tpu server, cloud) — the native equivalent of the reference's
+    `server` registry entry (olmocr run_server adapter, reference
+    convert.py:389). No retry ladder or fallback machinery: one request,
+    parsed leniently, so the bench measures the serving stack alone."""
+    from karanta_tpu.pipeline.http import apost
+    from karanta_tpu.pipeline.runner import build_page_query, parse_model_content
+
+    query = await build_page_query(
+        pdf_path, page_num, target_longest_image_dim,
+        model_name=model, prompt_key=prompt_key, prompt_path=prompt_path)
+    query["temperature"] = temperature
+    status, body = await apost(f"{server.rstrip('/')}/chat/completions",
+                               json_data=query, api_key=api_key)
+    if status != 200:
+        raise RuntimeError(f"server returned {status}: {body[:200]!r}")
+    import json as _json
+
+    data = _json.loads(body)
+    content = data["choices"][0]["message"]["content"]
+    try:
+        parsed = parse_model_content(content)
+        return parsed.pages[0].natural_text if parsed.pages else None
+    except Exception:
+        return content or None
+
+
+_ENGINE_CACHE: dict = {}
+_engine_lock = asyncio.Lock()
+
+
+async def run_engine(pdf_path: str, page_num: int,
+                     preset: str = "tiny",
+                     model_path: Optional[str] = None,
+                     native_checkpoint: Optional[str] = None,
+                     max_model_len: int = 4096,
+                     max_batch_size: int = 4,
+                     quantize: Optional[str] = None,
+                     target_longest_image_dim: int = PIPELINE_IMAGE_DIM,
+                     prompt_key: str = "olmo_ocr_system_prompt",
+                     prompt_path: Optional[str] = None,
+                     **kwargs) -> Optional[str]:
+    """Serverless method: drive the continuous-batching engine in-process
+    (no HTTP hop). The engine is built once per bench run and cached; pages
+    fan into Engine.generate. Mirrors the reference's `transformers` direct
+    -model registry entry (convert.py:388) but through the production
+    engine, so paged KV / quantization paths are what gets measured."""
+    from karanta_tpu.inference.engine import GenRequest
+    from karanta_tpu.pipeline.runner import build_page_query, parse_model_content
+
+    key = (preset, model_path, native_checkpoint, max_model_len, quantize)
+    async with _engine_lock:
+        if key not in _ENGINE_CACHE:
+            import argparse
+
+            from karanta_tpu.inference.server import build_engine_from_args
+
+            ns = argparse.Namespace(
+                model_path=model_path, native_checkpoint=native_checkpoint,
+                tokenizer_path=model_path, preset=preset,
+                max_batch_size=max_batch_size, max_model_len=max_model_len,
+                decode_chunk=16, quantize=quantize, kv_quantize=None,
+                act_quant=None, vision_quant=None, prefix_cache=False,
+                speculative_ngram=0, tensor_parallel_size=1,
+                data_parallel_size=1)
+            _ENGINE_CACHE[key] = build_engine_from_args(ns)[0]
+    engine = _ENGINE_CACHE[key]
+
+    query = await build_page_query(
+        pdf_path, page_num, target_longest_image_dim,
+        prompt_key=prompt_key, prompt_path=prompt_path)
+    request = GenRequest(messages=query["messages"],
+                         max_tokens=query["max_tokens"], temperature=0.0)
+    result = (await asyncio.to_thread(engine.generate, [request]))[0]
+    try:
+        parsed = parse_model_content(result.text)
+        return parsed.pages[0].natural_text if parsed.pages else None
+    except Exception:
+        return result.text or None

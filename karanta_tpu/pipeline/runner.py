@@ -138,7 +138,7 @@ async def build_page_query(local_pdf_path: str, page: int,
     }
 
 
-def _parse_model_content(content: str) -> ListPageResponse:
+def parse_model_content(content: str) -> ListPageResponse:
     """Model output -> ListPageResponse. Accepts a JSON page object, a JSON
     list of page objects, or raw text (wrapped as natural_text)."""
     stripped = content.strip()
@@ -192,7 +192,7 @@ async def process_page(args, worker_id: int, pdf_orig_path: str,
                 server_input_tokens=usage.get("prompt_tokens", 0),
                 server_output_tokens=usage.get("completion_tokens", 0))
 
-            page_response = _parse_model_content(choice["message"]["content"])
+            page_response = parse_model_content(choice["message"]["content"])
 
             first = page_response.pages[0]
             if not first.is_rotation_valid and attempt < max_retries - 1:

@@ -111,7 +111,7 @@ class JSONOutputFormat:
 class PlainTextFormat:
     """Target = the page's natural_text only (no JSON envelope). Page joins
     with double newlines. The serving pipeline accepts raw-text completions
-    (runner._parse_model_content wraps them as natural_text), so checkpoints
+    (runner.parse_model_content wraps them as natural_text), so checkpoints
     trained this way still run end to end; the reference always trains the
     JSON envelope (pipeline_steps.py:55-75) — this is the lighter variant
     for small models / plain-text fine-tunes."""

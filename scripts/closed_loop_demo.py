@@ -1,0 +1,217 @@
+"""Closed-loop accuracy demo: train -> checkpoint -> serve -> pipeline -> CER.
+
+Exercises every production surface of the framework on real compute with a
+corpus whose ground truth is exact by construction
+(karanta_tpu/data/synthetic.py):
+
+  1. generate a synthetic scanned-page corpus (rendered digit strings as
+     image-only PDFs + ground-truth JSON),
+  2. fine-tune the tiny VLM with the NATIVE trainer
+     (configs/training/ocr/closed_loop.yaml),
+  3. serve the resulting native checkpoint with the REAL inference server
+     (--native-checkpoint, continuous batching, OpenAI HTTP surface),
+  4. OCR a HELD-OUT corpus (unseen digit strings) through the REAL
+     scale-out pipeline (work queue, retry ladder, admission control,
+     Dolma JSONL output),
+  5. score CER/WER against ground truth with the native scorer
+     (bench/scoring.py) and write runs/closed_loop/report.md.
+
+The reference has no offline accuracy loop at all — its model quality is
+validated only against cloud teacher LLM outputs (SURVEY.md §4). This demo
+is the hermetic equivalent: a user can prove the whole train->serve->OCR
+stack is wired correctly, end to end, without network or checkpoints.
+
+Usage (CPU, ~20-30 min on one core; most of it the 1800-step fine-tune):
+  JAX_PLATFORMS=cpu python scripts/closed_loop_demo.py
+  # resume after training once the checkpoint exists:
+  JAX_PLATFORMS=cpu python scripts/closed_loop_demo.py --skip-train
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CONFIG = os.path.join(REPO, "configs/training/ocr/closed_loop.yaml")
+PROMPTS = os.path.join(REPO, "configs/prompts/closed_loop.yaml")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--root", default=os.path.join(REPO, "runs/closed_loop"))
+    p.add_argument("--train-pages", type=int, default=320)
+    p.add_argument("--eval-pages", type=int, default=16)
+    p.add_argument("--chars", type=int, default=4)
+    p.add_argument("--steps", type=int, default=1800)
+    p.add_argument("--skip-train", action="store_true",
+                   help="reuse an existing checkpoint under <root>/train")
+    p.add_argument("--port", type=int, default=0, help="0 = pick a free port")
+    return p.parse_args(argv)
+
+
+def gen_corpora(args) -> list[tuple[str, str]]:
+    from karanta_tpu.data.synthetic import make_corpus, random_texts
+
+    train_dir = os.path.join(args.root, "corpus_train")
+    eval_dir = os.path.join(args.root, "corpus_eval")
+    train_texts = random_texts(args.train_pages, args.chars, seed=0)
+    seen = set(train_texts)
+    eval_texts = [t for t in random_texts(args.eval_pages * 4, args.chars,
+                                          seed=99)
+                  if t not in seen][: args.eval_pages]
+    if not os.path.exists(os.path.join(train_dir, "pdfs")):
+        make_corpus(train_dir, len(train_texts), texts=train_texts,
+                    char_px=48, seed=0)
+    manifest = make_corpus(eval_dir, len(eval_texts), texts=eval_texts,
+                           char_px=48, seed=1)
+    print(f"corpora: {len(train_texts)} train / {len(manifest)} held-out "
+          f"pages under {args.root}", flush=True)
+    return manifest
+
+
+def train(args) -> str:
+    from karanta_tpu.training.checkpoint import get_last_checkpoint
+    from karanta_tpu.training.train import main as train_main
+
+    out_dir = os.path.join(args.root, "train")
+    if args.skip_train and get_last_checkpoint(out_dir):
+        print(f"reusing checkpoint {get_last_checkpoint(out_dir)}", flush=True)
+        return out_dir
+    t0 = time.time()
+    metrics = train_main([
+        CONFIG,
+        "--dataset_root", os.path.join(args.root, "corpus_train"),
+        "--output_dir", out_dir,
+        "--max_steps", str(args.steps),
+    ])
+    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s: "
+          f"loss={metrics['loss']:.4f}", flush=True)
+    return out_dir
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
+    port = args.port or _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "karanta_tpu.inference.server",
+         "--native-checkpoint", ckpt_dir, "--preset", "tiny",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--max-batch-size", "4", "--max-model-len", "512",
+         "--decode-chunk", "8"],
+        env=env, stdout=open(os.path.join(args.root, "server.log"), "w"),
+        stderr=subprocess.STDOUT)
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise RuntimeError("server exited early; see server.log")
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=2) as r:
+                if r.status == 200:
+                    print(f"server ready on :{port}", flush=True)
+                    return proc, port
+        except Exception:
+            time.sleep(1.0)
+    proc.terminate()
+    raise RuntimeError("server did not become ready in 300s")
+
+
+def run_pipeline(args, port: int) -> dict[str, str]:
+    """OCR the eval corpus through the real pipeline; return pdf->text."""
+    from karanta_tpu.pipeline.runner import main as pipeline_main
+
+    workspace = os.path.join(args.root, "workspace")
+    eval_pdfs = os.path.join(args.root, "corpus_eval", "pdfs")
+    pdfs = sorted(
+        os.path.join(eval_pdfs, f) for f in os.listdir(eval_pdfs))
+    pipeline_main([
+        workspace,
+        "--pdfs", *pdfs,
+        "--server", f"http://127.0.0.1:{port}/v1",
+        "--workers", "4",
+        "--pages_per_group", "8",
+        "--max_page_retries", "3",
+        "--target_longest_image_dim", "128",
+        "--prompt_key", "olmo_ocr_system_prompt",
+        "--prompt_path", PROMPTS,
+        "--markdown",
+    ])
+    outputs: dict[str, str] = {}
+    results_dir = os.path.join(workspace, "results")
+    for name in os.listdir(results_dir):
+        with open(os.path.join(results_dir, name)) as f:
+            for line in f:
+                doc = json.loads(line)
+                src = os.path.basename(doc["metadata"]["Source-File"])
+                outputs[src.removesuffix(".pdf")] = doc["text"]
+    return outputs
+
+
+def score(args, manifest: list[tuple[str, str]],
+          outputs: dict[str, str]) -> dict:
+    from karanta_tpu.bench.scoring import cer, wer
+
+    rows, cers, wers, exact = [], [], [], 0
+    for name, truth in manifest:
+        got = outputs.get(name, "").strip()
+        c, w = cer(truth, got), wer(truth, got)
+        cers.append(c)
+        wers.append(w)
+        exact += got == truth
+        rows.append((name, truth, got, c))
+    summary = {
+        "pages": len(manifest),
+        "exact_match": exact,
+        "mean_cer": sum(cers) / max(1, len(cers)),
+        "mean_wer": sum(wers) / max(1, len(wers)),
+    }
+    report = os.path.join(args.root, "report.md")
+    with open(report, "w") as f:
+        f.write("# Closed-loop demo: train -> serve -> pipeline -> CER\n\n")
+        f.write(f"Held-out pages: {summary['pages']} (digit strings unseen "
+                "in training)\n\n")
+        f.write(f"- exact match: {exact}/{summary['pages']}\n")
+        f.write(f"- mean CER: {summary['mean_cer']:.4f}\n")
+        f.write(f"- mean WER: {summary['mean_wer']:.4f}\n\n")
+        f.write("| page | truth | pipeline output | CER |\n|---|---|---|---|\n")
+        for name, truth, got, c in rows:
+            f.write(f"| {name} | `{truth}` | `{got}` | {c:.3f} |\n")
+    with open(os.path.join(args.root, "scores.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"report: {report}\n{json.dumps(summary)}", flush=True)
+    return summary
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.root, exist_ok=True)
+    manifest = gen_corpora(args)
+    ckpt_dir = train(args)
+    proc, port = serve(args, ckpt_dir)
+    try:
+        outputs = run_pipeline(args, port)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+    return score(args, manifest, outputs)
+
+
+if __name__ == "__main__":
+    main()

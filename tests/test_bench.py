@@ -24,6 +24,13 @@ class TestMethodSpecs:
         assert kwargs["max_page_retries"] == 2
         assert kwargs["flag"] is True
 
+    def test_parse_url_value_keeps_colons(self):
+        name, kwargs = parse_method_arg(
+            "server:server=http://127.0.0.1:30024/v1:model=m")
+        assert name == "server"
+        assert kwargs["server"] == "http://127.0.0.1:30024/v1"
+        assert kwargs["model"] == "m"
+
 
 class TestScoring:
     def test_edit_distance(self):
@@ -107,3 +114,65 @@ class TestConvertFlow:
         assert counts.get("karanta_pipeline") == 1
         out = tmp_path / "karanta_pipeline" / "doc_pg1_repeat1.md"
         assert out.read_text() == "Hello from fake model"
+
+    def test_server_method_single_call(self, tmp_path):
+        """The native `server` method: one raw call to any OpenAI endpoint."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
+
+        pdfs = tmp_path / "pdfs"
+        pdfs.mkdir()
+        rng = np.random.default_rng(1)
+        img = Image.fromarray(rng.integers(150, 255, (100, 80, 3),
+                                           dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        (pdfs / "doc.pdf").write_bytes(
+            convert_image_to_pdf_bytes(buf.getvalue()))
+
+        server = FakeOpenAIServer()
+
+        async def run():
+            await server.start()
+            try:
+                return await process_pdfs(
+                    [("server", {"server": server.url,
+                                 "target_longest_image_dim": 128})],
+                    str(tmp_path), repeats=1, max_parallel=2)
+            finally:
+                await server.stop()
+
+        counts = asyncio.run(run())
+        assert counts.get("server") == 1
+        out = tmp_path / "server" / "doc_pg1_repeat1.md"
+        assert out.read_text() == "Hello from fake model"
+
+    def test_engine_method_inproc(self, tmp_path):
+        """The native `karanta_engine` method: serverless in-process engine
+        (tiny random weights — only the plumbing contract is asserted)."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
+
+        pdfs = tmp_path / "pdfs"
+        pdfs.mkdir()
+        rng = np.random.default_rng(2)
+        img = Image.fromarray(rng.integers(150, 255, (64, 56, 3),
+                                           dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        (pdfs / "doc.pdf").write_bytes(
+            convert_image_to_pdf_bytes(buf.getvalue()))
+
+        counts = asyncio.run(process_pdfs(
+            [("karanta_engine",
+              {"preset": "tiny", "max_model_len": 512,
+               "target_longest_image_dim": 64})],
+            str(tmp_path), repeats=1, max_parallel=1))
+        out = tmp_path / "karanta_engine" / "doc_pg1_repeat1.md"
+        # random tiny weights may emit an instant EOS (empty -> no file) but
+        # the method must not error; when text came back the file exists
+        assert counts.get("karanta_engine", 0) in (0, 1)
+        if counts.get("karanta_engine"):
+            assert out.read_text()
