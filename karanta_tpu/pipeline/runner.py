@@ -89,6 +89,7 @@ class PipelineArgs:
     prompt_key: str = "olmo_ocr_system_prompt"
     prompt_path: Optional[str] = None
     guided_decoding: bool = False
+    accept_raw_text: bool = False
     markdown: bool = False
     stats: bool = False
     serve_inproc: bool = False
@@ -138,14 +139,21 @@ async def build_page_query(local_pdf_path: str, page: int,
     }
 
 
-def parse_model_content(content: str) -> ListPageResponse:
-    """Model output -> ListPageResponse. Accepts a JSON page object, a JSON
-    list of page objects, or raw text (wrapped as natural_text)."""
+def parse_model_content(content: str,
+                        accept_raw_text: bool = False) -> ListPageResponse:
+    """Model output -> ListPageResponse: a JSON page object or a JSON list
+    of page objects (the reference's trained envelope — non-JSON counts as
+    a retryable attempt, reference pipeline.py:352-362,414-428). With
+    accept_raw_text, a non-JSON completion is wrapped as natural_text
+    instead — for fine-tunes that emit plain text/markdown (most
+    third-party OCR models do; training/data.py PlainTextFormat)."""
     stripped = content.strip()
     if stripped.startswith("{") or stripped.startswith("["):
         parsed = json.loads(stripped)
         items = parsed if isinstance(parsed, list) else [parsed]
         return ListPageResponse(pages=[PageResponse(**item) for item in items])
+    if accept_raw_text and stripped:
+        return ListPageResponse(pages=[PageResponse(natural_text=stripped)])
     raise json.JSONDecodeError("not JSON", content, 0)
 
 
@@ -192,7 +200,9 @@ async def process_page(args, worker_id: int, pdf_orig_path: str,
                 server_input_tokens=usage.get("prompt_tokens", 0),
                 server_output_tokens=usage.get("completion_tokens", 0))
 
-            page_response = parse_model_content(choice["message"]["content"])
+            page_response = parse_model_content(
+                choice["message"]["content"],
+                accept_raw_text=getattr(args, "accept_raw_text", False))
 
             first = page_response.pages[0]
             if not first.is_rotation_valid and attempt < max_retries - 1:
@@ -653,6 +663,10 @@ def parse_args(argv: Optional[list[str]] = None) -> PipelineArgs:
     parser.add_argument("--prompt_key", default="olmo_ocr_system_prompt")
     parser.add_argument("--prompt_path", default=None)
     parser.add_argument("--guided_decoding", action="store_true")
+    parser.add_argument("--accept_raw_text", action="store_true",
+                        help="accept non-JSON completions as natural_text "
+                             "(plain-text/markdown fine-tunes; default: "
+                             "strict reference JSON envelope)")
     parser.add_argument("--markdown", action="store_true")
     parser.add_argument("--stats", action="store_true")
     parser.add_argument("--serve-inproc", dest="serve_inproc",

@@ -109,12 +109,12 @@ class JSONOutputFormat:
 
 
 class PlainTextFormat:
-    """Target = the page's natural_text only (no JSON envelope). Page joins
-    with double newlines. The serving pipeline accepts raw-text completions
-    (runner.parse_model_content wraps them as natural_text), so checkpoints
-    trained this way still run end to end; the reference always trains the
-    JSON envelope (pipeline_steps.py:55-75) — this is the lighter variant
-    for small models / plain-text fine-tunes."""
+    """Target = the page's natural_text only (no JSON envelope). Pages join
+    with double newlines. Checkpoints trained this way run end to end
+    through the pipeline with --accept_raw_text (runner.parse_model_content
+    then wraps the completion as natural_text); the reference always trains
+    the JSON envelope (pipeline_steps.py:55-75) — this is the lighter
+    variant for small models / plain-text fine-tunes."""
 
     def __call__(self, sample: SingleDatapoint) -> SingleDatapoint:
         sample.response = "\n\n".join(

@@ -38,7 +38,9 @@ import sys
 import time
 import urllib.request
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# a CPU-scale demo by design: override the sitecustomize TPU pin (opt out
+# with KARANTA_DEMO_PLATFORM=tpu to fine-tune on the chip instead)
+os.environ["JAX_PLATFORMS"] = os.environ.get("KARANTA_DEMO_PLATFORM", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -50,12 +52,18 @@ PROMPTS = os.path.join(REPO, "configs/prompts/closed_loop.yaml")
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--root", default=os.path.join(REPO, "runs/closed_loop"))
-    p.add_argument("--train-pages", type=int, default=320)
+    p.add_argument("--train-pages", type=int, default=512)
     p.add_argument("--eval-pages", type=int, default=16)
     p.add_argument("--chars", type=int, default=4)
-    p.add_argument("--steps", type=int, default=1800)
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the config learning rate")
     p.add_argument("--skip-train", action="store_true",
                    help="reuse an existing checkpoint under <root>/train")
+    p.add_argument("--eval-from-train", action="store_true",
+                   help="evaluate on training strings (memorization check; "
+                        "used by the fast CI variant where every glyph class "
+                        "must appear in training)")
     p.add_argument("--port", type=int, default=0, help="0 = pick a free port")
     return p.parse_args(argv)
 
@@ -66,10 +74,13 @@ def gen_corpora(args) -> list[tuple[str, str]]:
     train_dir = os.path.join(args.root, "corpus_train")
     eval_dir = os.path.join(args.root, "corpus_eval")
     train_texts = random_texts(args.train_pages, args.chars, seed=0)
-    seen = set(train_texts)
-    eval_texts = [t for t in random_texts(args.eval_pages * 4, args.chars,
-                                          seed=99)
-                  if t not in seen][: args.eval_pages]
+    if args.eval_from_train:
+        eval_texts = train_texts[: args.eval_pages]
+    else:
+        seen = set(train_texts)
+        eval_texts = [t for t in random_texts(args.eval_pages * 4, args.chars,
+                                              seed=99)
+                      if t not in seen][: args.eval_pages]
     if not os.path.exists(os.path.join(train_dir, "pdfs")):
         make_corpus(train_dir, len(train_texts), texts=train_texts,
                     char_px=48, seed=0)
@@ -89,12 +100,15 @@ def train(args) -> str:
         print(f"reusing checkpoint {get_last_checkpoint(out_dir)}", flush=True)
         return out_dir
     t0 = time.time()
-    metrics = train_main([
+    argv = [
         CONFIG,
         "--dataset_root", os.path.join(args.root, "corpus_train"),
         "--output_dir", out_dir,
         "--max_steps", str(args.steps),
-    ])
+    ]
+    if args.lr is not None:
+        argv += ["--learning_rate", str(args.lr)]
+    metrics = train_main(argv)
     print(f"trained {args.steps} steps in {time.time()-t0:.0f}s: "
           f"loss={metrics['loss']:.4f}", flush=True)
     return out_dir
@@ -137,7 +151,10 @@ def run_pipeline(args, port: int) -> dict[str, str]:
     """OCR the eval corpus through the real pipeline; return pdf->text."""
     from karanta_tpu.pipeline.runner import main as pipeline_main
 
+    import shutil
+
     workspace = os.path.join(args.root, "workspace")
+    shutil.rmtree(workspace, ignore_errors=True)  # fresh queue every run
     eval_pdfs = os.path.join(args.root, "corpus_eval", "pdfs")
     pdfs = sorted(
         os.path.join(eval_pdfs, f) for f in os.listdir(eval_pdfs))
@@ -152,6 +169,7 @@ def run_pipeline(args, port: int) -> dict[str, str]:
         "--prompt_key", "olmo_ocr_system_prompt",
         "--prompt_path", PROMPTS,
         "--markdown",
+        "--accept_raw_text",
     ])
     outputs: dict[str, str] = {}
     results_dir = os.path.join(workspace, "results")

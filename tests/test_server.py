@@ -241,3 +241,38 @@ class TestLogprobs:
                 assert tops == sorted(tops, reverse=True)
                 # chosen token's logprob cannot beat the best alternative
                 assert entry["logprob"] <= tops[0] + 1e-5
+
+
+class TestNativeCheckpointServing:
+    def test_build_engine_from_native_checkpoint(self, tmp_path):
+        """--native-checkpoint restores trainer-saved params bit-exactly
+        (float leaves cast to the engine dtype, ints untouched)."""
+        import argparse
+
+        import optax
+
+        from karanta_tpu.inference.server import build_engine_from_args
+        from karanta_tpu.training.checkpoint import save_checkpoint
+        from karanta_tpu.training.train_step import create_train_state
+
+        tok = ByteTokenizer()
+        cfg = tiny_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+        state = create_train_state(params, optax.adamw(1e-4))
+        save_checkpoint(str(tmp_path), 7, state)
+
+        ns = argparse.Namespace(
+            model_path=None, native_checkpoint=str(tmp_path),
+            tokenizer_path=None, preset="tiny",
+            max_batch_size=1, max_model_len=128, decode_chunk=4,
+            quantize=None, kv_quantize=None, act_quant=None,
+            vision_quant=None, prefix_cache=False, speculative_ngram=0,
+            tensor_parallel_size=1, data_parallel_size=1)
+        engine, name = build_engine_from_args(ns)
+        assert name == "native-step_7"
+        got = jax.tree.leaves(engine.params)
+        want = jax.tree.leaves(params)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                          np.asarray(w, np.float32))
