@@ -76,9 +76,9 @@ def parse_method_arg(spec: str) -> tuple[str, dict[str, Any]]:
     name = parts[0]
     raw_kwargs: list[list[str]] = []
     for part in parts[1:]:
+        if not part:
+            continue  # trailing/double colon: ignore, as before the re-join
         if "=" in part or not raw_kwargs:
-            if not part:
-                continue
             key, _, raw = part.partition("=")
             raw_kwargs.append([key, raw])
         else:

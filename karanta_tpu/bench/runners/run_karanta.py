@@ -103,6 +103,11 @@ async def run_server(pdf_path: str, page_num: int,
 
 _ENGINE_CACHE: dict = {}
 _engine_lock = asyncio.Lock()
+# Engine.generate mutates shared slot/cache state and is NOT thread-safe:
+# all bench calls into one engine serialize here. (Pages still amortize
+# across Engine.generate's own continuous batching when passed together;
+# the bench harness calls per page, so this is correctness, not perf.)
+_generate_lock = asyncio.Lock()
 
 
 async def run_engine(pdf_path: str, page_num: int,
@@ -124,7 +129,8 @@ async def run_engine(pdf_path: str, page_num: int,
     from karanta_tpu.inference.engine import GenRequest
     from karanta_tpu.pipeline.runner import build_page_query, parse_model_content
 
-    key = (preset, model_path, native_checkpoint, max_model_len, quantize)
+    key = (preset, model_path, native_checkpoint, max_model_len,
+           max_batch_size, quantize)
     async with _engine_lock:
         if key not in _ENGINE_CACHE:
             import argparse
@@ -139,7 +145,10 @@ async def run_engine(pdf_path: str, page_num: int,
                 act_quant=None, vision_quant=None, prefix_cache=False,
                 speculative_ngram=0, tensor_parallel_size=1,
                 data_parallel_size=1)
-            _ENGINE_CACHE[key] = build_engine_from_args(ns)[0]
+            # model load + jit warmup takes seconds-to-minutes: keep the
+            # event loop (and any concurrent HTTP methods) alive
+            _ENGINE_CACHE[key] = (await asyncio.to_thread(
+                build_engine_from_args, ns))[0]
     engine = _ENGINE_CACHE[key]
 
     query = await build_page_query(
@@ -147,7 +156,8 @@ async def run_engine(pdf_path: str, page_num: int,
         prompt_key=prompt_key, prompt_path=prompt_path)
     request = GenRequest(messages=query["messages"],
                          max_tokens=query["max_tokens"], temperature=0.0)
-    result = (await asyncio.to_thread(engine.generate, [request]))[0]
+    async with _generate_lock:
+        result = (await asyncio.to_thread(engine.generate, [request]))[0]
     try:
         parsed = parse_model_content(result.text)
         return parsed.pages[0].natural_text if parsed.pages else None

@@ -534,6 +534,14 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
             from karanta_tpu.inference.tokenizer import HFTokenizer
 
             tok = HFTokenizer(args.tokenizer_path)
+        elif (args.preset or "tiny") != "tiny":
+            # the byte tokenizer's 272-id vocab only matches the tiny
+            # preset; silently serving a full-vocab model with it would
+            # start cleanly and emit garbage
+            raise SystemExit(
+                f"--native-checkpoint with preset {args.preset!r} needs "
+                "--tokenizer-path (an HF tokenizer dir); the hermetic byte "
+                "tokenizer only fits the 'tiny' preset")
         else:
             from karanta_tpu.inference.tokenizer import ByteTokenizer
 
@@ -591,7 +599,12 @@ def main(argv: Optional[list[str]] = None):
                         default=None,
                         help="serve a native-trainer checkpoint: a step_<N> "
                              "dir (training/checkpoint.py) or its parent "
-                             "output_dir (latest completed step is used)")
+                             "output_dir (latest completed step is used). "
+                             "With --quantize, weights quantize on-device "
+                             "AFTER the full-precision transfer — for 7B-"
+                             "class checkpoints on a 16 GB chip, export to "
+                             "HF format and use --model-path (quantize-on-"
+                             "transfer) instead")
     parser.add_argument("--tokenizer-path", dest="tokenizer_path",
                         default=None,
                         help="HF tokenizer dir for --native-checkpoint runs "

@@ -24,8 +24,13 @@ from karanta_tpu.pdf.primitives import render_pdf_to_base64png
 
 def load_prompt_template(prompt_key: str,
                          prompt_path: Optional[str] = None) -> Template:
-    if not prompt_path or not os.path.exists(prompt_path):
+    if not prompt_path:
         prompt_path = PROMPT_PATH
+    elif not os.path.exists(prompt_path):
+        # never silently substitute the default prompts for an explicit
+        # path: the prompt IS the model contract (checkpoints are tuned to
+        # exact wording), so a typo'd/CWD-relative path must fail loudly
+        raise FileNotFoundError(f"prompt file not found: {prompt_path!r}")
     with open(prompt_path, "r") as stream:
         templates = yaml.safe_load(stream)
     if prompt_key not in templates:

@@ -44,6 +44,9 @@ os.environ["JAX_PLATFORMS"] = os.environ.get("KARANTA_DEMO_PLATFORM", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# the training config references configs/prompts/*.yaml repo-relative; run
+# from anywhere without silently diverging the trained prompt
+os.chdir(REPO)
 
 CONFIG = os.path.join(REPO, "configs/training/ocr/closed_loop.yaml")
 PROMPTS = os.path.join(REPO, "configs/prompts/closed_loop.yaml")
@@ -81,9 +84,23 @@ def gen_corpora(args) -> list[tuple[str, str]]:
         eval_texts = [t for t in random_texts(args.eval_pages * 4, args.chars,
                                               seed=99)
                       if t not in seen][: args.eval_pages]
-    if not os.path.exists(os.path.join(train_dir, "pdfs")):
+    # regenerate the train corpus whenever its contents would differ (a
+    # stale-pdfs/ check would silently train on an old corpus after a
+    # --train-pages/--chars change)
+    manifest_path = os.path.join(train_dir, "manifest.json")
+    want = {"texts": train_texts}
+    have = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            have = json.load(f)
+    if have != want:
+        import shutil
+
+        shutil.rmtree(train_dir, ignore_errors=True)
         make_corpus(train_dir, len(train_texts), texts=train_texts,
                     char_px=48, seed=0)
+        with open(manifest_path, "w") as f:
+            json.dump(want, f)
     manifest = make_corpus(eval_dir, len(eval_texts), texts=eval_texts,
                            char_px=48, seed=1)
     print(f"corpora: {len(train_texts)} train / {len(manifest)} held-out "
@@ -173,6 +190,11 @@ def run_pipeline(args, port: int) -> dict[str, str]:
     ])
     outputs: dict[str, str] = {}
     results_dir = os.path.join(workspace, "results")
+    if not os.path.isdir(results_dir):
+        # no document survived the failure budget: report CER 1.0, not a
+        # stack trace
+        print("pipeline produced no result files", flush=True)
+        return outputs
     for name in os.listdir(results_dir):
         with open(os.path.join(results_dir, name)) as f:
             for line in f:
@@ -227,7 +249,11 @@ def main(argv=None):
         outputs = run_pipeline(args, port)
     finally:
         proc.terminate()
-        proc.wait(timeout=30)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()  # mid-compile servers can ignore SIGTERM
+            proc.wait(timeout=10)
     return score(args, manifest, outputs)
 
 

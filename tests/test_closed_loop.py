@@ -29,7 +29,7 @@ def test_closed_loop_memorization(tmp_path):
          "--root", str(tmp_path),
          "--train-pages", "8", "--chars", "1",
          "--eval-pages", "8", "--eval-from-train",
-         "--steps", "400", "--lr", "0.003"],
+         "--steps", "500", "--lr", "0.001"],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=560)
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     summary = json.loads((tmp_path / "scores.json").read_text())
