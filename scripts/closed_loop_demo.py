@@ -21,6 +21,14 @@ validated only against cloud teacher LLM outputs (SURVEY.md §4). This demo
 is the hermetic equivalent: a user can prove the whole train->serve->OCR
 stack is wired correctly, end to end, without network or checkpoints.
 
+Targets are PlainTextFormat (pipeline runs with --accept_raw_text) rather
+than the production JSON envelope: for the tiny model the ~140-token
+constant scaffold dilutes the vision gradient ~35:1 and the digits never
+train (measured: loss pinned at the digits-at-chance floor through 3500
+steps), while plain-text targets converge in hundreds of steps. Real-scale
+fine-tunes keep JSONOutputFormat; the strict-envelope pipeline path is
+covered by tests/test_pipeline.py against the fake server.
+
 Usage (CPU, ~20-30 min on one core; most of it the 1800-step fine-tune):
   JAX_PLATFORMS=cpu python scripts/closed_loop_demo.py
   # resume after training once the checkpoint exists:
