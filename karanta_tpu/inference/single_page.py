@@ -59,6 +59,13 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--pdf", required=True)
     parser.add_argument("--page", type=int, default=1)
     parser.add_argument("--model-path", default=None)
+    parser.add_argument("--native-checkpoint", dest="native_checkpoint",
+                        default=None,
+                        help="run a native-trainer checkpoint dir (the "
+                             "reference's test_trained_model use case on "
+                             "a fresh fine-tune)")
+    parser.add_argument("--tokenizer-path", dest="tokenizer_path",
+                        default=None)
     parser.add_argument("--preset", default=None)
     parser.add_argument("--max-batch-size", type=int, default=1)
     parser.add_argument("--max-model-len", type=int, default=8192)

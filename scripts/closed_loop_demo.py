@@ -147,7 +147,10 @@ def _free_port() -> int:
 
 def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
     port = args.port or _free_port()
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    # the server subprocess runs on the same platform as the rest of the
+    # demo (KARANTA_DEMO_PLATFORM=tpu serves the fine-tune on the chip)
+    env = dict(os.environ, JAX_PLATFORMS=os.environ["JAX_PLATFORMS"],
+               PYTHONPATH=REPO)
     proc = subprocess.Popen(
         [sys.executable, "-m", "karanta_tpu.inference.server",
          "--native-checkpoint", ckpt_dir, "--preset", "tiny",
