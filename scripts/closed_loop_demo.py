@@ -150,7 +150,11 @@ def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
     # the server subprocess runs on the same platform as the rest of the
     # demo (KARANTA_DEMO_PLATFORM=tpu serves the fine-tune on the chip)
     env = dict(os.environ, JAX_PLATFORMS=os.environ["JAX_PLATFORMS"],
-               PYTHONPATH=REPO)
+               # EXTEND PYTHONPATH: this environment loads its TPU plugin via a
+               # sitecustomize dir already on PYTHONPATH — clobbering it would
+               # unregister the TPU backend in the subprocess
+               PYTHONPATH=os.pathsep.join(
+                   [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
     proc = subprocess.Popen(
         [sys.executable, "-m", "karanta_tpu.inference.server",
          "--native-checkpoint", ckpt_dir, "--preset", "tiny",

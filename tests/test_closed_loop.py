@@ -23,7 +23,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_closed_loop_memorization(tmp_path):
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": os.pathsep.join(
+               [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep))}
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/closed_loop_demo.py"),
          "--root", str(tmp_path),
