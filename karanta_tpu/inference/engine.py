@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from karanta_tpu.inference import chat
-from karanta_tpu.inference.sampling import sample_tokens
+from karanta_tpu.inference.sampling import sample_tokens, spec_verify_sampled
 
 # native PNG decoder (native/fastpng.cpp, `make native`); PIL fallback
 import sys as _sys
@@ -299,6 +299,9 @@ class Engine:
         vocab = cfg.text.vocab_size
         self._allowed = jnp.ones((1, vocab), jnp.bool_)
         self._next_state = jnp.zeros((1, vocab), jnp.int32)
+        # states where guided decoding is a no-op forever (speculation-safe);
+        # with no automaton compiled only FREE (0) exists and is free
+        self._free_state_mask = np.ones((1,), bool)
 
         # prefix KV cache: prefix-id bytes -> (KVCache (L,1,P,KVH,D), P)
         from collections import OrderedDict
@@ -327,7 +330,8 @@ class Engine:
             self._hist_insert_jit = jax.jit(self._hist_insert_impl,
                                             donate_argnums=(0,))
             self._spec_chunk_jit = jax.jit(
-                self._spec_chunk_impl, static_argnames=("steps", "gamma"),
+                self._spec_chunk_impl,
+                static_argnames=("steps", "gamma", "use_sampling"),
                 donate_argnums=(1, 5))
 
         # ---- jitted stage functions (cached per shape bucket) ----
@@ -631,17 +635,20 @@ class Engine:
         return hist.at[slot, true_len].set(first_token)
 
     def _spec_chunk_impl(self, params, cache, cache_len, next_pos,
-                         last_token, hist, *, steps, gamma):
-        """Greedy chunk with n-gram speculation: each step drafts `gamma`
-        tokens from the slot's own history (most recent earlier occurrence
-        of its trailing bigram) and verifies them with one decode_multi
-        pass; rejected rows are simply left beyond cache_len."""
+                         last_token, hist, temps, key, *, steps, gamma,
+                         use_sampling=False):
+        """Chunk with n-gram speculation: each step drafts `gamma` tokens
+        from the slot's own history (most recent earlier occurrence of its
+        trailing bigram) and verifies them with one decode_multi pass;
+        rejected rows are simply left beyond cache_len. use_sampling (static)
+        verifies temp>0 rows by rejection sampling (spec_verify_sampled) —
+        exact under the output distribution; off, verification is argmax."""
         m = cache.k.shape[3]
         b = cache_len.shape[0]
         t = gamma + 1
         bidx = jnp.arange(b)
 
-        def step(carry, _):
+        def step(carry, step_key):
             cache, cache_len, next_pos, last_token, hist = carry
             cache_len = jnp.minimum(cache_len, m - t - 1)
             ntok = cache_len + 1          # history entries incl. pending token
@@ -664,10 +671,14 @@ class Engine:
                                              emb, positions, cache, cache_len)
             logits = dec.logits_from_hidden(params["text"], self.cfg.text,
                                             hidden)
-            y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
-            ok = jnp.cumprod((y[:, :gamma] == draft).astype(jnp.int32),
-                             axis=1)
-            n_new = 1 + jnp.sum(ok, axis=1)                    # (B,) 1..T
+            if use_sampling:  # static gate: greedy batches keep the
+                # argmax-only executable (no gumbel/logsumexp work)
+                y, n_new = spec_verify_sampled(logits, draft, temps, step_key)
+            else:
+                y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+                ok = jnp.cumprod((y[:, :gamma] == draft).astype(jnp.int32),
+                                 axis=1)
+                n_new = 1 + jnp.sum(ok, axis=1)                # (B,) 1..T
             # record all T candidates; rejected ones get overwritten later
             wpos = jnp.minimum(ntok[:, None] + jnp.arange(t)[None], m - 1)
             hist = hist.at[bidx[:, None], wpos].set(y)
@@ -676,36 +687,48 @@ class Engine:
             next_pos = next_pos + n_new
             return (cache, cache_len, next_pos, last_token, hist), (y, n_new)
 
+        keys = jax.random.split(key, steps)
         (cache, cache_len, next_pos, last_token, hist), (toks, counts) = \
             jax.lax.scan(step, (cache, cache_len, next_pos, last_token, hist),
-                         None, length=steps)
+                         keys)
         return cache, cache_len, next_pos, last_token, hist, toks, counts
 
     def decode_chunk_spec(self, steps: Optional[int] = None):
-        """Speculative greedy chunk. Returns (toks (S, B, gamma+1) np,
+        """Speculative chunk. Returns (toks (S, B, gamma+1) np,
         counts (S, B) np): step s emitted counts[s, b] tokens, the first
         counts[s, b] entries of toks[s, b]."""
         gamma = self.ecfg.speculative_ngram
         steps = steps or max(1, self.ecfg.decode_chunk // (gamma + 1))
+        active = [i for i, free in enumerate(self.slot_free) if not free]
+        use_sampling = any(self._slot_temp[i] > 0.0 for i in active)
+        if use_sampling:
+            self._key, sub = jax.random.split(self._key)
+        else:
+            sub = self._key
         (self.cache, self.cache_len, self.next_pos, self.last_token,
          self.token_hist, toks, counts) = self._spec_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
-            self.last_token, self.token_hist, steps=steps, gamma=gamma)
+            self.last_token, self.token_hist, self.temps, sub,
+            steps=steps, gamma=gamma, use_sampling=use_sampling)
         return np.asarray(toks), np.asarray(counts)
 
     def _spec_ok(self) -> bool:
-        """Speculation applies when enabled and every active slot is greedy
-        and unguided (sampling and DFA masks need per-token processing)."""
+        """Speculation applies when enabled and every active slot samples
+        plainly (temperature-only — nucleus filtering and per-token logprobs
+        need the per-step path) and is past any guided constraint: its DFA
+        state sits in the closed free set (all tokens allowed forever), so
+        skipping the mask gather cannot change output semantics."""
         if self.ecfg.speculative_ngram <= 0:
             return False
         active = [i for i, free in enumerate(self.slot_free) if not free]
         if not active:
             return False
-        if any(self._slot_temp[i] > 0.0 for i in active):
+        if any(self._slot_top_p[i] < 1.0 for i in active):
             return False
         if any(self._slot_wants_lp.get(i, False) for i in active):
             return False  # per-token logprobs need the per-step path
-        return not bool(np.any(np.asarray(self.dfa_state) > 0))
+        states = np.asarray(self.dfa_state)
+        return bool(self._free_state_mask[states[active]].all())
 
     # ------------------------------------------------------------------
     # host-side orchestration
@@ -916,6 +939,17 @@ class Engine:
         self._allowed = jnp.asarray(allowed)
         self._next_state = jnp.asarray(nxt)
         self._automaton_start = automaton.start
+        # speculation-safe states: once a guided slot's DFA enters the
+        # closed free set (e.g. the [\s\S]+ tail of the pipeline regex),
+        # masking is a no-op forever and the slot may speculate. Byte-less
+        # tokens (vocab holes) are exempt from the check — they self-loop
+        # and add no text — but EOS never is (early EOS truncates the match)
+        from karanta_tpu.inference.guided import closed_free_states
+
+        zero_len = np.array([len(t) == 0 for t in token_bytes], bool)
+        if 0 <= self.tok.eos_token_id < len(zero_len):
+            zero_len[self.tok.eos_token_id] = False
+        self._free_state_mask = closed_free_states(allowed, nxt, zero_len)
         return automaton.start
 
     def _encode_images(self, prepared: _Prepared):

@@ -382,6 +382,36 @@ def build_token_automaton(pattern: str, token_bytes: list[bytes],
                           start=1 + dfa.start)
 
 
+def closed_free_states(allowed: np.ndarray, next_state: np.ndarray,
+                       ignore: np.ndarray | None = None) -> np.ndarray:
+    """Boolean mask of token-automaton states where guided decoding is a
+    no-op forever: every token is allowed (hence EOS — allowed only in
+    accepting states), and every transition stays inside the set, so no
+    future step can reintroduce a constraint.
+
+    The pipeline's metadata regex (reference pipeline.py:304-307) ends in
+    ``(?:---|---\\n[\\s\\S]+)`` — once a slot enters the free-text tail it
+    lands here, and the engine can hand it to the speculative decode path
+    (which skips per-token mask gathers) without changing output semantics.
+    Greatest fixed point of free(s) = allowed[s].all() ∧ ∀v free(next[s,v]).
+
+    ignore (V,) bool exempts tokens from the allowed-everywhere check:
+    callers pass the zero-length tokens (vocab holes / byte-less specials,
+    which build_token_automaton force-forbids). They contribute no bytes
+    and self-loop in the DFA, so emitting one during speculation leaves the
+    regex match intact — but EOS must NOT be exempted even when byte-less
+    (emitting it early would truncate the match), which the engine enforces
+    when building the mask.
+    """
+    ok = allowed if ignore is None else (allowed | ignore[None, :])
+    free = ok.all(axis=1)
+    while True:
+        nxt = free & free[next_state].all(axis=1)
+        if np.array_equal(nxt, free):
+            return nxt
+        free = nxt
+
+
 def _gpt2_byte_decoder() -> dict[str, int]:
     """Inverse of the GPT-2/Qwen ByteLevel bytes->unicode table."""
     bs = (list(range(ord("!"), ord("~") + 1))

@@ -66,6 +66,48 @@ class TestTokenAutomaton:
         assert auto.allowed[TokenAutomaton.FREE].all()
 
 
+class TestClosedFreeStates:
+    """The speculation-safety fixed point: states where masking is forever
+    a no-op."""
+
+    def _auto(self, pattern):
+        from karanta_tpu.inference.guided import closed_free_states
+
+        tok = ByteTokenizer()
+        token_bytes = token_bytes_from_tokenizer(tok, tok.vocab_size)
+        auto = build_token_automaton(pattern, token_bytes, tok.eos_token_id)
+        # byte-less tokens are exempt (self-loop, no text) — except EOS
+        ignore = np.array([len(t) == 0 for t in token_bytes], bool)
+        ignore[tok.eos_token_id] = False
+        free = closed_free_states(auto.allowed, auto.next_state, ignore)
+        return tok, auto, free
+
+    def test_pipeline_style_tail_is_free(self):
+        tok, auto, free = self._auto(r"id: [0-9]{3}\n[\s\S]+")
+        assert free[0]                  # FREE row
+        assert not free[auto.start]     # constrained prefix
+        # walk "id: 123\nX": lands in the [\s\S]+ tail -> free forever
+        state = auto.start
+        for ch in b"id: 123\nX":
+            state = auto.next_state[state, ch + tok.OFFSET]
+        assert free[state]
+        # and the tail is closed: any token keeps it free
+        assert free[auto.next_state[state]].all()
+
+    def test_persistent_constraint_never_free(self):
+        _, auto, free = self._auto(r"[0-9]+")
+        # digits-only forever: no state (beyond FREE) may speculate
+        assert free[0]
+        assert not free[1:].any()
+
+    def test_accepting_without_all_tokens_not_free(self):
+        tok, auto, free = self._auto(r"ab*")
+        # after "a" the state accepts EOS and b, but not (say) c -> not free
+        state = auto.next_state[auto.start, ord("a") + tok.OFFSET]
+        assert auto.allowed[state, tok.eos_token_id]
+        assert not free[state]
+
+
 class TestEngineGuided:
     def test_generation_matches_regex(self):
         tok = ByteTokenizer()
