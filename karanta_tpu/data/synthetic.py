@@ -34,24 +34,26 @@ def render_text_image(text: str,
                       pad_px: int = 16,
                       noise: float = 0.0,
                       seed: int = 0) -> "np.ndarray":
-    """Render ``text`` (one line) as dark glyphs on a white page.
+    """Render ``text`` (possibly multi-line) as dark glyphs on a white page.
 
     Returns an (H, W, 3) uint8 array. ``char_px`` is the upscaled glyph
-    cell height; the default PIL bitmap font is ~6x11 px, upscaled with
-    NEAREST so the strokes stay hard-edged.
+    cell height (of one line); the default PIL bitmap font is ~6x11 px,
+    upscaled with NEAREST so the strokes stay hard-edged.
     """
     from PIL import Image, ImageDraw, ImageFont
 
     font = ImageFont.load_default()
-    # measure at native font scale
-    probe = Image.new("L", (8 * max(1, len(text)) + 8, 24), 255)
+    n_lines = max(1, text.count("\n") + 1)
+    longest = max((len(ln) for ln in text.splitlines()), default=1)
+    # measure at native font scale (textbbox handles multiline strings)
+    probe = Image.new("L", (8 * max(1, longest) + 8, 24 * n_lines + 8), 255)
     draw = ImageDraw.Draw(probe)
     left, top, right, bottom = draw.textbbox((2, 2), text, font=font)
     w, h = right - left + 4, bottom - top + 4
     canvas = Image.new("L", (w, h), 255)
     ImageDraw.Draw(canvas).text((2 - left + 2, 2 - top + 2), text, fill=20,
                                 font=font)
-    scale = max(1, char_px // max(1, h))
+    scale = max(1, char_px // max(1, h // n_lines))
     big = canvas.resize((w * scale, h * scale), Image.Resampling.NEAREST)
 
     page_w, page_h = big.width + 2 * pad_px, big.height + 2 * pad_px
@@ -65,15 +67,17 @@ def render_text_image(text: str,
     return np.stack([arr] * 3, axis=-1)
 
 
-def page_to_pdf_bytes(image: "np.ndarray", quality: int = 92) -> bytes:
-    """Wrap a rendered page as a single-page scanned (image-only) PDF."""
+def page_to_pdf_bytes(image: "np.ndarray", quality: int = 92,
+                      text_layer: Optional[str] = None) -> bytes:
+    """Wrap a rendered page as a single-page scanned PDF; text_layer adds
+    an invisible OCR-style text layer (anchor-extractable) under the image."""
     from PIL import Image
 
     from karanta_tpu.pdf.primitives import convert_image_to_pdf_bytes
 
     buf = io.BytesIO()
     Image.fromarray(image).save(buf, format="JPEG", quality=quality)
-    return convert_image_to_pdf_bytes(buf.getvalue())
+    return convert_image_to_pdf_bytes(buf.getvalue(), text_layer=text_layer)
 
 
 def ground_truth_json(text: str, language: str = "en") -> str:
@@ -90,17 +94,28 @@ def ground_truth_json(text: str, language: str = "en") -> str:
 
 
 def random_texts(n: int, n_chars: int = 4, charset: str = DIGITS,
-                 seed: int = 0, words: Optional[int] = None) -> list[str]:
+                 seed: int = 0, words: Optional[int] = None,
+                 lines: int = 1, vocab: Optional[int] = None) -> list[str]:
     """n random strings; with ``words`` set, that many space-separated
-    groups of n_chars each."""
+    groups of n_chars each; ``lines`` newline-joined lines of those.
+    ``vocab`` draws words from a fixed vocab of that size instead of fresh
+    random strings (prose-like repetition — the n-gram drafter's food)."""
     rng = np.random.default_rng(seed)
+
+    def word():
+        return "".join(charset[i] for i in rng.integers(0, len(charset),
+                                                        n_chars))
+
+    lexicon = [word() for _ in range(vocab)] if vocab else None
     out = []
     for _ in range(n):
-        groups = words or 1
-        parts = ["".join(charset[i] for i in
-                         rng.integers(0, len(charset), n_chars))
-                 for _ in range(groups)]
-        out.append(" ".join(parts))
+        page_lines = []
+        for _ in range(max(1, lines)):
+            groups = words or 1
+            parts = [lexicon[rng.integers(0, len(lexicon))] if lexicon
+                     else word() for _ in range(groups)]
+            page_lines.append(" ".join(parts))
+        out.append("\n".join(page_lines))
     return out
 
 
@@ -111,8 +126,15 @@ def make_corpus(root: str,
                 seed: int = 0,
                 char_px: int = 32,
                 noise: float = 0.0,
-                texts: Optional[Sequence[str]] = None) -> list[tuple[str, str]]:
+                texts: Optional[Sequence[str]] = None,
+                text_layer: bool = False) -> list[tuple[str, str]]:
     """Write a pdfs/ + json/ corpus under ``root``.
+
+    text_layer embeds each page's ground truth as an invisible PDF text
+    layer (an OCRed scan), so the pipeline's anchor extraction feeds the
+    page text into the prompt — the prompt-lookup setting where n-gram
+    speculative decoding shines (the transcript largely reproduces the
+    anchor).
 
     Returns [(doc_name, ground_truth_text), ...] sorted by doc name.
     """
@@ -128,7 +150,8 @@ def make_corpus(root: str,
         img = render_text_image(text, char_px=char_px, noise=noise,
                                 seed=seed + i)
         with open(os.path.join(pdf_dir, f"{name}.pdf"), "wb") as f:
-            f.write(page_to_pdf_bytes(img))
+            f.write(page_to_pdf_bytes(
+                img, text_layer=text if text_layer else None))
         with open(os.path.join(json_dir, f"{name}.json"), "w",
                   encoding="utf-8") as f:
             f.write(ground_truth_json(text))

@@ -327,6 +327,10 @@ class Engine:
         # (prompt + emitted), used for n-gram drafting inside the chunk
         if engine_cfg.speculative_ngram > 0:
             self.token_hist = jnp.zeros((b, m), jnp.int32)
+            # acceptance observability: verify passes run / tokens emitted
+            # (tokens/pass = 1 + mean accepted drafts; plain decode is 1.0)
+            self.spec_passes = 0
+            self.spec_tokens = 0
             self._hist_insert_jit = jax.jit(self._hist_insert_impl,
                                             donate_argnums=(0,))
             self._spec_chunk_jit = jax.jit(
@@ -710,7 +714,10 @@ class Engine:
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.token_hist, self.temps, sub,
             steps=steps, gamma=gamma, use_sampling=use_sampling)
-        return np.asarray(toks), np.asarray(counts)
+        counts_np = np.asarray(counts)
+        self.spec_passes += counts_np.shape[0] * max(1, len(active))
+        self.spec_tokens += int(counts_np[:, active].sum()) if active else 0
+        return np.asarray(toks), counts_np
 
     def _spec_ok(self) -> bool:
         """Speculation applies when enabled and every active slot samples

@@ -353,11 +353,19 @@ class InferenceServer:
                               "owned_by": "karanta-tpu"}],
                 })
             elif method == "GET" and path == "/metrics":
-                await self._respond(writer, 200, {
+                payload = {
                     "running": len(self.active),
                     "waiting": self.queue.qsize() + len(self._staged),
                     "requests_served": self.requests_served,
-                })
+                }
+                if getattr(self.engine, "spec_passes", 0):
+                    # speculative acceptance: tokens emitted per verify pass
+                    payload["spec_passes"] = self.engine.spec_passes
+                    payload["spec_tokens"] = self.engine.spec_tokens
+                    payload["spec_tokens_per_pass"] = round(
+                        self.engine.spec_tokens
+                        / max(1, self.engine.spec_passes), 3)
+                await self._respond(writer, 200, payload)
             elif method == "POST" and path.rstrip("/").endswith("/chat/completions"):
                 await self._chat_completions(writer, body)
             else:

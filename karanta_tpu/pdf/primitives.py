@@ -101,10 +101,13 @@ def _render_native(local_pdf_path: str, page_num: int,
 
     report = extract_page_report(doc, page_num - 1)
 
-    # scanned-page path: one embedded image covering most of the page
+    # scanned-page path: one embedded image covering most of the page.
+    # Text elements do NOT disqualify it — an OCRed scan carries an
+    # invisible text layer under the image and must still render as the
+    # image (poppler draws the image over the hidden text the same way)
     resources = doc.resolve(page.get(Name("Resources"))) or {}
     xobjects = doc.resolve(resources.get(Name("XObject"))) or {}
-    if len(report.image_elements) == 1 and not report.text_elements:
+    if len(report.image_elements) == 1:
         im_el = report.image_elements[0]
         coverage = ((im_el.x1 - im_el.x0) * (im_el.y1 - im_el.y0)) / (page_w * page_h)
         if coverage > 0.5:
@@ -216,11 +219,18 @@ def _head(path_or_bytes, n: int) -> bytes:
         return f.read(n)
 
 
-def convert_image_to_pdf_bytes(image_bytes: bytes) -> bytes:
+def convert_image_to_pdf_bytes(image_bytes: bytes,
+                               text_layer: Optional[str] = None) -> bytes:
     """Wrap a PNG/JPEG into a single-page PDF (native img2pdf replacement;
     reference uses the img2pdf package — karanta/bench/convert.py:51-53).
 
     JPEG embeds losslessly via DCTDecode; other formats embed via Flate RGB.
+
+    text_layer, when given, draws the string as (invisible: render mode 3)
+    Helvetica text behind the image — the synthetic-corpus equivalent of a
+    scanned page that has been OCRed once already, so anchor extraction
+    (pdf/anchor.py) sees it exactly as the reference's pipeline sees a
+    born-digital page's text layer (karanta/prompts/anchor.py).
     """
     import zlib
 
@@ -236,22 +246,39 @@ def convert_image_to_pdf_bytes(image_bytes: bytes) -> bytes:
         payload = zlib.compress(img.tobytes())
         filt, colorspace, bpc = "FlateDecode", "DeviceRGB", 8
 
+    font_res = " /Font << /F0 6 0 R >>" if text_layer is not None else ""
     objects = []
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     objects.append(
         f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {width} {height}] "
-        f"/Resources << /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >>"
-        .encode())
+        f"/Resources << /XObject << /Im0 4 0 R >>{font_res} >> "
+        f"/Contents 5 0 R >>".encode())
     img_dict = (
         f"<< /Type /XObject /Subtype /Image /Width {width} /Height {height} "
         f"/ColorSpace /{colorspace} /BitsPerComponent {bpc} "
         f"/Filter /{filt} /Length {len(payload)} >>").encode()
     objects.append(img_dict + b"\nstream\n" + payload + b"\nendstream")
     content = f"q {width} 0 0 {height} 0 0 cm /Im0 Do Q".encode()
+    if text_layer is not None:
+        lines = text_layer.splitlines() or [""]
+        parts = [b"BT 3 Tr /F0 10 Tf"]
+        y = height - 12
+        for line in lines:
+            esc = (line.encode("latin-1", "replace")
+                   .replace(b"\\", rb"\\").replace(b"(", rb"\(")
+                   .replace(b")", rb"\)"))
+            parts.append(b"1 0 0 1 4 " + str(max(y, 0)).encode()
+                         + b" Tm (" + esc + b") Tj")
+            y -= 12
+        parts.append(b"ET")
+        content += b" " + b" ".join(parts)
     objects.append(
         f"<< /Length {len(content)} >>".encode() + b"\nstream\n"
         + content + b"\nendstream")
+    if text_layer is not None:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = io.BytesIO()
     out.write(b"%PDF-1.4\n")

@@ -77,7 +77,9 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    for gamma in [0] + gammas:
+    def measure(gamma):
+        # everything engine-sized lives (and dies) inside this frame: the
+        # next config's cache alloc needs this one's HBM back
         ecfg = EngineConfig(max_batch_size=b, max_seq_len=m,
                             decode_chunk=chunk,
                             prefill_buckets=(1536,),
@@ -88,10 +90,10 @@ def main():
         engine = Engine(params, cfg, NoStop(), ecfg)
         filled(engine)
         if gamma == 0:
-            def run(e=engine):
-                jax.block_until_ready(e.cache.k)
-                e.decode_chunk()
-                jax.block_until_ready(e.cache.k)
+            def run():
+                jax.block_until_ready(engine.cache.k)
+                engine.decode_chunk()
+                jax.block_until_ready(engine.cache.k)
             run()  # warm/compile
             filled(engine)
             t = best_of(run, reps)
@@ -99,30 +101,32 @@ def main():
             results["plain"] = per_step
             print(f"plain    chunk({chunk})={t * 1e3:8.1f} ms  "
                   f"per-step={per_step * 1e3:6.2f} ms", flush=True)
-        else:
-            engine.token_hist = jnp.asarray(
-                rng.integers(16, 200, size=(b, m), dtype=np.int64),
-                jnp.int32)
-            steps = max(1, chunk // (gamma + 1))
+            return
+        engine.token_hist = jnp.asarray(
+            rng.integers(16, 200, size=(b, m), dtype=np.int64),
+            jnp.int32)
+        steps = max(1, chunk // (gamma + 1))
 
-            def run(e=engine, s=steps):
-                jax.block_until_ready(e.cache.k)
-                # re-pin fill each call: spec advances cache_len by
-                # accepted counts; clamp inside the impl keeps it in
-                # range but the read cost should stay at bench fill
-                e.cache_len = jnp.full((b,), fill, jnp.int32)
-                e.next_pos = jnp.full((b,), fill, jnp.int32)
-                e.decode_chunk_spec(steps=s)
-                jax.block_until_ready(e.cache.k)
-            run()  # warm/compile
-            t = best_of(run, reps)
-            per_step = t / steps
-            results[gamma] = per_step
-            print(f"gamma={gamma}  spec_chunk({steps})={t * 1e3:8.1f} ms  "
-                  f"per-verify-pass={per_step * 1e3:6.2f} ms  "
-                  f"vs plain x{per_step / results['plain']:.2f}", flush=True)
-        del engine
-        gc.collect()  # the next engine's cache alloc needs this one's HBM
+        def run():
+            jax.block_until_ready(engine.cache.k)
+            # re-pin fill each call: spec advances cache_len by
+            # accepted counts; clamp inside the impl keeps it in
+            # range but the read cost should stay at bench fill
+            engine.cache_len = jnp.full((b,), fill, jnp.int32)
+            engine.next_pos = jnp.full((b,), fill, jnp.int32)
+            engine.decode_chunk_spec(steps=steps)
+            jax.block_until_ready(engine.cache.k)
+        run()  # warm/compile
+        t = best_of(run, reps)
+        per_step = t / steps
+        results[gamma] = per_step
+        print(f"gamma={gamma}  spec_chunk({steps})={t * 1e3:8.1f} ms  "
+              f"per-verify-pass={per_step * 1e3:6.2f} ms  "
+              f"vs plain x{per_step / results['plain']:.2f}", flush=True)
+
+    for gamma in [0] + gammas:
+        measure(gamma)
+        gc.collect()
 
     print()
     print("projected speedup (tokens/step from spec_accept_sim, word level):")

@@ -66,6 +66,22 @@ def parse_args(argv=None):
     p.add_argument("--train-pages", type=int, default=512)
     p.add_argument("--eval-pages", type=int, default=16)
     p.add_argument("--chars", type=int, default=4)
+    p.add_argument("--words", type=int, default=None,
+                   help="words per line (default: one word per page)")
+    p.add_argument("--lines", type=int, default=1, help="lines per page")
+    p.add_argument("--vocab", type=int, default=None,
+                   help="draw words from a fixed vocab of this size "
+                        "(prose-like repetition)")
+    p.add_argument("--text-layer", action="store_true",
+                   help="embed each page's text as an invisible PDF text "
+                        "layer, so the pipeline's anchor extraction feeds "
+                        "it into the prompt (the prompt-lookup setting for "
+                        "speculative decoding)")
+    p.add_argument("--speculative-ngram", type=int, default=0,
+                   help="serve with n-gram speculative decoding (gamma)")
+    p.add_argument("--max-model-len", type=int, default=512)
+    p.add_argument("--max-length", type=int, default=None,
+                   help="training sequence cap override (longer pages)")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--lr", type=float, default=None,
                    help="override the config learning rate")
@@ -84,19 +100,21 @@ def gen_corpora(args) -> list[tuple[str, str]]:
 
     train_dir = os.path.join(args.root, "corpus_train")
     eval_dir = os.path.join(args.root, "corpus_eval")
-    train_texts = random_texts(args.train_pages, args.chars, seed=0)
+    kw = dict(n_chars=args.chars, words=args.words, lines=args.lines,
+              vocab=args.vocab)
+    train_texts = random_texts(args.train_pages, seed=0, **kw)
     if args.eval_from_train:
         eval_texts = train_texts[: args.eval_pages]
     else:
         seen = set(train_texts)
-        eval_texts = [t for t in random_texts(args.eval_pages * 4, args.chars,
-                                              seed=99)
+        eval_texts = [t for t in random_texts(args.eval_pages * 4, seed=99,
+                                              **kw)
                       if t not in seen][: args.eval_pages]
     # regenerate the train corpus whenever its contents would differ (a
     # stale-pdfs/ check would silently train on an old corpus after a
     # --train-pages/--chars change)
     manifest_path = os.path.join(train_dir, "manifest.json")
-    want = {"texts": train_texts}
+    want = {"texts": train_texts, "text_layer": args.text_layer}
     have = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -106,11 +124,11 @@ def gen_corpora(args) -> list[tuple[str, str]]:
 
         shutil.rmtree(train_dir, ignore_errors=True)
         make_corpus(train_dir, len(train_texts), texts=train_texts,
-                    char_px=48, seed=0)
+                    char_px=48, seed=0, text_layer=args.text_layer)
         with open(manifest_path, "w") as f:
             json.dump(want, f)
     manifest = make_corpus(eval_dir, len(eval_texts), texts=eval_texts,
-                           char_px=48, seed=1)
+                           char_px=48, seed=1, text_layer=args.text_layer)
     print(f"corpora: {len(train_texts)} train / {len(manifest)} held-out "
           f"pages under {args.root}", flush=True)
     return manifest
@@ -133,6 +151,8 @@ def train(args) -> str:
     ]
     if args.lr is not None:
         argv += ["--learning_rate", str(args.lr)]
+    if args.max_length is not None:
+        argv += ["--max_length", str(args.max_length)]
     metrics = train_main(argv)
     print(f"trained {args.steps} steps in {time.time()-t0:.0f}s: "
           f"loss={metrics['loss']:.4f}", flush=True)
@@ -155,12 +175,15 @@ def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
                # unregister the TPU backend in the subprocess
                PYTHONPATH=os.pathsep.join(
                    [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    cmd = [sys.executable, "-m", "karanta_tpu.inference.server",
+           "--native-checkpoint", ckpt_dir, "--preset", "tiny",
+           "--host", "127.0.0.1", "--port", str(port),
+           "--max-batch-size", "4", "--max-model-len",
+           str(args.max_model_len), "--decode-chunk", "8"]
+    if args.speculative_ngram:
+        cmd += ["--speculative-ngram", str(args.speculative_ngram)]
     proc = subprocess.Popen(
-        [sys.executable, "-m", "karanta_tpu.inference.server",
-         "--native-checkpoint", ckpt_dir, "--preset", "tiny",
-         "--host", "127.0.0.1", "--port", str(port),
-         "--max-batch-size", "4", "--max-model-len", "512",
-         "--decode-chunk", "8"],
+        cmd,
         env=env, stdout=open(os.path.join(args.root, "server.log"), "w"),
         stderr=subprocess.STDOUT)
     deadline = time.time() + 300
@@ -198,7 +221,11 @@ def run_pipeline(args, port: int) -> dict[str, str]:
         "--pages_per_group", "8",
         "--max_page_retries", "3",
         "--target_longest_image_dim", "128",
-        "--prompt_key", "olmo_ocr_system_prompt",
+        # parity with the branch FinetuningPrompt took at train time:
+        # text-layer corpora train on the anchored prompt, image-only on
+        # the no_anchor one
+        "--prompt_key", ("olmo_ocr_system_prompt" if args.text_layer
+                         else "olmo_ocr_system_prompt_no_anchor"),
         "--prompt_path", PROMPTS,
         "--markdown",
         "--accept_raw_text",
@@ -220,7 +247,7 @@ def run_pipeline(args, port: int) -> dict[str, str]:
 
 
 def score(args, manifest: list[tuple[str, str]],
-          outputs: dict[str, str]) -> dict:
+          outputs: dict[str, str], spec_metrics: dict = {}) -> dict:
     from karanta_tpu.bench.scoring import cer, wer
 
     rows, cers, wers, exact = [], [], [], 0
@@ -237,14 +264,21 @@ def score(args, manifest: list[tuple[str, str]],
         "mean_cer": sum(cers) / max(1, len(cers)),
         "mean_wer": sum(wers) / max(1, len(wers)),
     }
+    summary.update(spec_metrics)
     report = os.path.join(args.root, "report.md")
     with open(report, "w") as f:
         f.write("# Closed-loop demo: train -> serve -> pipeline -> CER\n\n")
-        f.write(f"Held-out pages: {summary['pages']} (digit strings unseen "
+        f.write(f"Held-out pages: {summary['pages']} (page texts unseen "
                 "in training)\n\n")
         f.write(f"- exact match: {exact}/{summary['pages']}\n")
         f.write(f"- mean CER: {summary['mean_cer']:.4f}\n")
-        f.write(f"- mean WER: {summary['mean_wer']:.4f}\n\n")
+        f.write(f"- mean WER: {summary['mean_wer']:.4f}\n")
+        if "spec_tokens_per_pass" in summary:
+            f.write(f"- speculative tokens/verify-pass: "
+                    f"{summary['spec_tokens_per_pass']} "
+                    f"({summary['spec_tokens']} tokens / "
+                    f"{summary['spec_passes']} passes; plain decode = 1.0)\n")
+        f.write("\n")
         f.write("| page | truth | pipeline output | CER |\n|---|---|---|---|\n")
         for name, truth, got, c in rows:
             f.write(f"| {name} | `{truth}` | `{got}` | {c:.3f} |\n")
@@ -260,8 +294,20 @@ def main(argv=None):
     manifest = gen_corpora(args)
     ckpt_dir = train(args)
     proc, port = serve(args, ckpt_dir)
+    spec_metrics = {}
     try:
         outputs = run_pipeline(args, port)
+        if args.speculative_ngram:
+            # acceptance observability: tokens emitted per verify pass
+            # (plain decode = 1.0/step) — the n-gram drafter's measured
+            # win on this corpus
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/metrics", timeout=5) as r:
+                m = json.loads(r.read())
+            spec_metrics = {k: m[k] for k in
+                            ("spec_passes", "spec_tokens",
+                             "spec_tokens_per_pass") if k in m}
+            print(f"speculative decoding: {spec_metrics}", flush=True)
     finally:
         proc.terminate()
         try:
@@ -269,7 +315,7 @@ def main(argv=None):
         except subprocess.TimeoutExpired:
             proc.kill()  # mid-compile servers can ignore SIGTERM
             proc.wait(timeout=10)
-    return score(args, manifest, outputs)
+    return score(args, manifest, outputs, spec_metrics)
 
 
 if __name__ == "__main__":

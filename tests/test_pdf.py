@@ -125,3 +125,35 @@ class TestPrimitives:
         assert doc.media_box(0) == (0, 0, 60, 40)
         report = extract_page_report(doc, 0)
         assert len(report.image_elements) == 1
+
+    def test_image_pdf_with_text_layer(self, tmp_path):
+        """An OCRed-scan page: invisible text layer under the image is
+        anchor-extractable, special chars escape, and rendering still
+        returns the embedded image (not the born-digital text fallback)."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.anchor import get_anchor_text
+        from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+        from karanta_tpu.pdf.textextract import extract_plain_text
+
+        rng = np.random.default_rng(1)
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(200, 255, (80, 120, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG")
+        text = "line one (with) \\escapes\nline two"
+        pdf_bytes = convert_image_to_pdf_bytes(buf.getvalue(),
+                                               text_layer=text)
+        path = tmp_path / "scan.pdf"
+        path.write_bytes(pdf_bytes)
+        doc = PdfDocument.open(str(path))
+        extracted = extract_plain_text(doc, 0)
+        assert "line one (with) \\escapes" in extracted
+        assert "line two" in extracted
+        anchor = get_anchor_text(str(path), 1, pdf_engine="pdfreport")
+        assert "line one" in anchor
+        # render: the near-white embedded image, not black glyph redraws
+        b64 = render_pdf_to_base64png(str(path), 1, 128)
+        arr = np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(b64))).convert("L"))
+        assert (arr < 128).mean() < 0.01
