@@ -694,6 +694,11 @@ def decode_multi(params: Params, cfg: TextConfig,
             "speculative decode_multi does not support the int4 KV cache "
             "(use kv_quantize='int8' with speculative_ngram)")
     quant = isinstance(cache, QuantKVCache)
+    if _PAGED_FORCE is not None:
+        paged_mode, paged_interp = _PAGED_FORCE
+    else:
+        paged_mode = _paged_decode_mode(cache.k.shape[3], quant=quant)
+        paged_interp = False
 
     def body(carry, layer_and_idx):
         x, *bufs = carry
@@ -704,16 +709,27 @@ def decode_multi(params: Params, cfg: TextConfig,
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
         if quant:
             k_all, v_all, ks_all, vs_all = bufs
-            # scatter T quantized rows per slot
             kq, ksc = quantize_kv_rows(k)                # (B, T, KVH, D)
             vq, vsc = quantize_kv_rows(v)
-            k_all = k_all.at[idx, batch_idx, :, write_pos].set(kq)
-            v_all = v_all.at[idx, batch_idx, :, write_pos].set(vq)
-            ks_all = ks_all.at[idx, batch_idx, :, write_pos].set(ksc)
-            vs_all = vs_all.at[idx, batch_idx, :, write_pos].set(vsc)
-            attn = decode_attention_multi(q, sl(k_all), sl(v_all), cache_len,
-                                          k_scale=sl(ks_all),
-                                          v_scale=sl(vs_all))
+            if paged_mode == "append":
+                from karanta_tpu.ops.decode_attention import (
+                    paged_decode_append_multi_quant,
+                )
+
+                (attn, k_all, v_all, ks_all,
+                 vs_all) = paged_decode_append_multi_quant(
+                    q, kq, vq, ksc, vsc, k_all, v_all, ks_all, vs_all, idx,
+                    cache_len, block=1024, interpret=paged_interp)
+            else:
+                # scatter T quantized rows per slot (XLA fallback: carries
+                # full cache copies in the scan — fine for CPU/small buckets)
+                k_all = k_all.at[idx, batch_idx, :, write_pos].set(kq)
+                v_all = v_all.at[idx, batch_idx, :, write_pos].set(vq)
+                ks_all = ks_all.at[idx, batch_idx, :, write_pos].set(ksc)
+                vs_all = vs_all.at[idx, batch_idx, :, write_pos].set(vsc)
+                attn = decode_attention_multi(q, sl(k_all), sl(v_all),
+                                              cache_len, k_scale=sl(ks_all),
+                                              v_scale=sl(vs_all))
             new_bufs = (k_all, v_all, ks_all, vs_all)
         else:
             k_all, v_all = bufs

@@ -1005,6 +1005,374 @@ def paged_decode_append_quant(
     return attn.reshape(b, 1, h, d), k_new, v_new, ks_new, vs_new
 
 
+def _decode_append_multi_quant_kernel(
+        len_ref,               # SMEM (B,) int32
+        layer_ref,             # SMEM (1,) int32
+        q_ref,                 # VMEM (SPP, KVH*G*T, D) — rows h-major, then
+                               #      g, then t (query t of head (h, g) at
+                               #      row h*G*T + g*T + t)
+        newk_ref, newv_ref,    # VMEM (SPP, T*KVH, D) int8 — row t*KVH + h
+        newks_ref, newvs_ref,  # VMEM (SPP, T*KVH, 1) row scales
+        k_in, v_in,            # ANY int8 (L, B, KVH, M, D)
+        ks_in, vs_in,          # ANY (L, B, KVH, M)
+        o_ref,                 # VMEM (SPP, KVH*G*T, D)
+        k_out, v_out, ks_out, vs_out,   # ANY aliased to the four caches
+        k_buf, v_buf,          # VMEM scratch (SPP, NBUF, KVH, BLK, D) int8
+        ksc_buf, vsc_buf,      # VMEM scratch (SPP, NBUF, KVH, BLK)
+        kslab, vslab,          # VMEM scratch (SPP, KVH, SLAB, D) int8
+        ksslab, vsslab,        # VMEM scratch (SPP, KVH, SSLAB)
+        acc_ref, m_ref, l_ref,
+        sems, wsems,
+        *, block: int, kvh: int, group: int, tq: int, scale: float,
+        slab: int, sslab: int, nbuf: int, spp: int, compute_dtype):
+    """Multi-token (speculative-verify) variant of _decode_append_quant_kernel:
+    appends tq int8 rows per slot at cache_len + [0, tq) and attends tq
+    queries per head against ONE ring read of the cache — query t sees cache
+    rows [0, cache_len + t] (causal over the fresh rows, matching
+    ops.attention.decode_attention_multi). The XLA decode_multi path
+    materializes full K+V cache copies in the scan carry (2x cache HBM
+    traffic per verify pass, OOM at 7B B80 — BENCH_NOTES round-2 session 4);
+    this kernel keeps all four cache buffers aliased in place.
+
+    Slab geometry: the tq new rows start anywhere in [0, 32) of a 32-row
+    window, so the RMW slab is 64 rows anchored at (len//32)*32 (clamped to
+    m - slab) — offset + tq <= 31 + tq <= slab for tq <= 33."""
+    prog = pl.program_id(0)
+    lidx = layer_ref[0]
+    gt = group * tq
+    seqs = [len_ref[prog * spp + sp] for sp in range(spp)]
+    nblocks = [jax.lax.div(sl + (block - 1), block) for sl in seqs]
+    max_nb = nblocks[0]
+    for nb in nblocks[1:]:
+        max_nb = jnp.maximum(max_nb, nb)
+
+    # --- slab RMW of each slot's tq int8 rows + their scales ---
+    # Anchors must be PROVABLY tile-aligned for Mosaic's DMA checker, so the
+    # clamp happens BEFORE the div/mul (min(seq, m-size) then round down to
+    # the alignment): row slabs align to 32 (sublane tiling 8), scale slabs
+    # to 128 (lane tiling). offset + tq stays inside the slab because seq is
+    # <= m - tq - 1 and the slab extends one full alignment past the window.
+    m_total = k_in.shape[3]
+
+    def anchor(sl, size, align):
+        return jax.lax.mul(
+            jax.lax.div(jnp.minimum(sl, m_total - size), align), align)
+
+    slab_starts = [anchor(sl, slab, 32) for sl in seqs]
+    sslab_starts = [anchor(sl, sslab, 128 if sslab >= 128 else sslab)
+                    for sl in seqs]
+    rcopies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        for j, (src, dst) in enumerate(((k_in, kslab), (v_in, vslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, kvh),
+                       pl.ds(slab_starts[sp], slab)],
+                dst.at[sp], wsems.at[j, sp])
+            rc.start()
+            rcopies.append(rc)
+        for j, (src, dst) in enumerate(((ks_in, ksslab), (vs_in, vsslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, kvh),
+                       pl.ds(sslab_starts[sp], sslab)],
+                dst.at[sp], wsems.at[2 + j, sp])
+            rc.start()
+            rcopies.append(rc)
+    for rc in rcopies:
+        rc.wait()
+    wcopies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (kvh, sslab), 1)
+        off = seqs[sp] - slab_starts[sp]
+        off_s = seqs[sp] - sslab_starts[sp]
+        for t in range(tq):
+            row_sel = row_iota == off + t
+            for h in range(kvh):
+                kslab[sp, h] = jnp.where(row_sel,
+                                         newk_ref[sp, t * kvh + h][None, :],
+                                         kslab[sp, h])
+                vslab[sp, h] = jnp.where(row_sel,
+                                         newv_ref[sp, t * kvh + h][None, :],
+                                         vslab[sp, h])
+            col_sel = col_iota == off_s + t
+            ksslab[sp] = jnp.where(
+                col_sel,
+                newks_ref[sp, t * kvh:(t + 1) * kvh].astype(ksslab.dtype),
+                ksslab[sp])
+            vsslab[sp] = jnp.where(
+                col_sel,
+                newvs_ref[sp, t * kvh:(t + 1) * kvh].astype(vsslab.dtype),
+                vsslab[sp])
+        for j, (src, dst, starts, size) in enumerate((
+                (kslab, k_out, slab_starts, slab),
+                (vslab, v_out, slab_starts, slab),
+                (ksslab, ks_out, sslab_starts, sslab),
+                (vsslab, vs_out, sslab_starts, sslab))):
+            wc = pltpu.make_async_copy(
+                src.at[sp], dst.at[lidx, slot, pl.ds(0, kvh),
+                                   pl.ds(starts[sp], size)],
+                wsems.at[j, sp])
+            wc.start()
+            wcopies.append(wc)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+
+    def dmas(sp, i, buf_slot):
+        slot = prog * spp + sp
+        return [
+            pltpu.make_async_copy(
+                k_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                k_buf.at[sp, buf_slot], sems.at[0, sp, buf_slot]),
+            pltpu.make_async_copy(
+                v_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                v_buf.at[sp, buf_slot], sems.at[1, sp, buf_slot]),
+            pltpu.make_async_copy(
+                ks_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                ksc_buf.at[sp, buf_slot], sems.at[2, sp, buf_slot]),
+            pltpu.make_async_copy(
+                vs_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                vsc_buf.at[sp, buf_slot], sems.at[3, sp, buf_slot]),
+        ]
+
+    for sp in range(spp):
+        for j in range(nbuf - 1):
+            @pl.when(j < nblocks[sp])
+            def _(sp=sp, j=j):
+                for dma in dmas(sp, j, j):
+                    dma.start()
+
+    def body(i, _):
+        cur = jax.lax.rem(i, nbuf)
+
+        for sp in range(spp):
+            @pl.when(i + nbuf - 1 < nblocks[sp])
+            def _(sp=sp):
+                pre = i + nbuf - 1
+                for dma in dmas(sp, pre, jax.lax.rem(pre, nbuf)):
+                    dma.start()
+
+        for sp in range(spp):
+            @pl.when(i < nblocks[sp])
+            def _(sp=sp):
+                for dma in dmas(sp, i, cur):
+                    dma.wait()
+
+                # ring rows < cache_len: visible to every one of the tq
+                # queries, so this is the single-token loop with the score
+                # tile widened from (G, BLK) to (G*T, BLK)
+                cols = i * block + jax.lax.broadcasted_iota(
+                    jnp.int32, (gt, block), 1)
+                valid = cols < seqs[sp]
+                q = q_ref[sp]
+                ksc = ksc_buf[sp, cur].astype(jnp.float32)
+                vsc = vsc_buf[sp, cur].astype(jnp.float32)
+
+                for h in range(kvh):
+                    qh = q[h * gt:(h + 1) * gt]
+                    k = k_buf[sp, cur, h].astype(compute_dtype)
+                    s = jax.lax.dot_general(qh, k, (((1,), (1,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                    s = s * ksc[h][None, :]
+                    s = jnp.where(valid, s * scale, NEG_INF)
+
+                    rows = slice(h * gt, (h + 1) * gt)
+                    m_prev = m_ref[sp, rows, 0:1]
+                    l_prev = l_ref[sp, rows, 0:1]
+                    m_new = jnp.maximum(m_prev,
+                                        jnp.max(s, axis=-1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(m_prev - m_new)
+                    l_ref[sp, rows, 0:1] = alpha * l_prev + jnp.sum(
+                        p, axis=-1, keepdims=True)
+                    m_ref[sp, rows, 0:1] = m_new
+                    pv = jax.lax.dot_general(
+                        (p * vsc[h][None, :]).astype(compute_dtype),
+                        v_buf[sp, cur, h].astype(compute_dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc_ref[sp, rows, :] = acc_ref[sp, rows, :] * alpha + pv
+        return ()
+
+    jax.lax.fori_loop(0, max_nb, body, ())
+
+    # fold in the tq fresh rows (dequantized from VMEM), causally: the
+    # query at row h*G*T + g*T + t_q sees new key t_k iff t_k <= t_q
+    t_of_row = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (gt, 1), 0), tq)
+    for sp in range(spp):
+        q = q_ref[sp]
+        # cast the scale columns to f32 BEFORE any scalar extract — Mosaic
+        # only supports 32-bit scalar vector.extracts
+        nks_f = newks_ref[sp][:, 0].astype(jnp.float32)   # (T*KVH,)
+        nvs_f = newvs_ref[sp][:, 0].astype(jnp.float32)
+        for h in range(kvh):
+            rows = slice(h * gt, (h + 1) * gt)
+            qh = q[rows]
+            for t in range(tq):
+                nk = (newk_ref[sp, t * kvh + h].astype(jnp.float32)
+                      * nks_f[t * kvh + h])
+                s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
+                              keepdims=True) * scale
+                s_x = jnp.where(t_of_row >= t, s_x, NEG_INF)
+                m_prev = m_ref[sp, rows, 0:1]
+                l_prev = l_ref[sp, rows, 0:1]
+                m_new = jnp.maximum(m_prev, s_x)
+                p_x = jnp.exp(s_x - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                l_ref[sp, rows, 0:1] = alpha * l_prev + p_x
+                m_ref[sp, rows, 0:1] = m_new
+                nv = (newv_ref[sp, t * kvh + h].astype(jnp.float32)
+                      * nvs_f[t * kvh + h])
+                acc_ref[sp, rows, :] = (acc_ref[sp, rows, :] * alpha
+                                        + p_x * nv[None, :])
+
+    for wc in wcopies:
+        wc.wait()
+
+    for sp in range(spp):
+        l = l_ref[sp, :, 0:1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[sp] = (acc_ref[sp] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "scale", "interpret", "nbuf",
+                                    "spp"))
+def paged_decode_append_multi_quant(
+    q: jnp.ndarray,          # (B, T, H, D)
+    new_k: jnp.ndarray,      # (B, T, KVH, D) int8 quantized rows
+    new_v: jnp.ndarray,      # (B, T, KVH, D) int8
+    new_ks: jnp.ndarray,     # (B, T, KVH) row scales
+    new_vs: jnp.ndarray,     # (B, T, KVH)
+    k_cache: jnp.ndarray,    # (L, B, KVH, M, D) int8, aliased
+    v_cache: jnp.ndarray,    # (L, B, KVH, M, D) int8
+    ks_cache: jnp.ndarray,   # (L, B, KVH, M) scales, aliased
+    vs_cache: jnp.ndarray,   # (L, B, KVH, M)
+    layer: jnp.ndarray,      # () int32
+    cache_len: jnp.ndarray,  # (B,) rows present BEFORE the T new ones
+    scale: Optional[float] = None,
+    block: int = 512,
+    interpret: bool = False,
+    nbuf: int = 2,
+    spp: int = 4,
+):
+    """Fused multi-token append + verify attention over the int8 KV cache:
+    one ring read of the cache serves all T speculative queries, and the
+    four cache buffers update in place (input_output_aliases) — the
+    structural fix for the measured 2.5-4x verify-pass cost of the XLA
+    decode_multi path (scan-carry cache copies; BENCH_NOTES round-2
+    session 4). Semantics match ops.attention.decode_attention_multi.
+
+    Callers must keep every cache_len <= M - T - 1 (the engine's spec loop
+    clamps exactly that) so the slab RMW stays in bounds."""
+    b, tq, h, d = q.shape
+    kvh = k_cache.shape[2]
+    m = k_cache.shape[3]
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+    if nbuf < 2:
+        raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
+    if tq > 32:
+        raise ValueError(f"tq {tq} exceeds the 64-row slab headroom")
+    block, spp, nbuf = _ring_env(block, spp, nbuf)
+    # smaller budget than the single-token kernel: the q/acc/m/l tiles grow
+    # by T and must fit the same scoped-VMEM ceiling
+    block, spp = _fit_ring(m, block, spp, b, kvh, d, 1, nbuf,
+                           budget=_RING_BUDGET or 8 << 20)
+    slab = min(64, m)
+    # scale slab: 128-lane anchored, one extra 128-window so offsets up to
+    # 127 + tq never spill past it
+    sslab = min(256, m)
+    if m % 32 or (m >= 128 and m % 128):
+        raise ValueError(f"max_seq_len {m} must be a multiple of 32 "
+                         "(and 128 when >= 128)")
+    compute_dtype = q.dtype
+    sdtype = ks_cache.dtype
+
+    # rows h-major then g then t (see kernel docstring)
+    qg = q.transpose(0, 2, 1, 3).reshape(b, h * tq, d)
+    nk = new_k.reshape(b, tq * kvh, d)
+    nv = new_v.reshape(b, tq * kvh, d)
+    nks = new_ks.reshape(b, tq * kvh, 1).astype(sdtype)
+    nvs = new_vs.reshape(b, tq * kvh, 1).astype(sdtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // spp,),
+        in_specs=[
+            pl.BlockSpec((spp, kvh * group * tq, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * kvh, 1), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * kvh, 1), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((spp, kvh * group * tq, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((spp, nbuf, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((spp, nbuf, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((spp, nbuf, kvh, block), sdtype),
+            pltpu.VMEM((spp, nbuf, kvh, block), sdtype),
+            pltpu.VMEM((spp, kvh, slab, d), k_cache.dtype),
+            pltpu.VMEM((spp, kvh, slab, d), v_cache.dtype),
+            pltpu.VMEM((spp, kvh, sslab), sdtype),
+            pltpu.VMEM((spp, kvh, sslab), sdtype),
+            pltpu.VMEM((spp, kvh * group * tq, d), jnp.float32),
+            pltpu.VMEM((spp, kvh * group * tq, 128), jnp.float32),
+            pltpu.VMEM((spp, kvh * group * tq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, spp, nbuf)),
+            pltpu.SemaphoreType.DMA((4, spp)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_decode_append_multi_quant_kernel, block=block,
+                          kvh=kvh, group=group, tq=tq, scale=scale,
+                          slab=slab, sslab=sslab, nbuf=nbuf, spp=spp,
+                          compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh * group * tq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(ks_cache.shape, sdtype),
+            jax.ShapeDtypeStruct(vs_cache.shape, sdtype),
+        ],
+        # operands: 0 lens, 1 layer, 2 q, 3 new_k, 4 new_v, 5 new_ks,
+        # 6 new_vs, 7 k_cache, 8 v_cache, 9 ks_cache, 10 vs_cache
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )(cache_len.astype(jnp.int32),
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      qg, nk, nv, nks, nvs,
+      k_cache, v_cache, ks_cache, vs_cache)
+
+    attn, k_new, v_new, ks_new, vs_new = out
+    attn = attn.reshape(b, kvh * group, tq, d).transpose(0, 2, 1, 3)
+    return attn.reshape(b, tq, h, d), k_new, v_new, ks_new, vs_new
+
+
 # ---------------------------------------------------------------------------
 # int4 (nibble-packed) cache variant — see Q4KVCache in
 # models/qwen25_vl/decoder.py for the packing scheme. Packed row r of a

@@ -215,6 +215,91 @@ class TestAppendQuantKernel:
         np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ks_ref))
         np.testing.assert_array_equal(np.asarray(vs2), np.asarray(vs_ref))
 
+    @pytest.mark.parametrize("tq,lens", [
+        (3, [0, 5, 200, 248]),
+        (5, [31, 32, 63, 127]),
+    ])
+    def test_multi_matches_scatter_plus_multi_dense(self, tq, lens):
+        """The fused multi-token (speculative-verify) kernel vs scatter +
+        decode_attention_multi: attention and all four cache buffers."""
+        from karanta_tpu.models.qwen25_vl.decoder import quantize_kv_rows
+        from karanta_tpu.ops.attention import decode_attention_multi
+        from karanta_tpu.ops.decode_attention import (
+            paged_decode_append_multi_quant,
+        )
+
+        rng = np.random.default_rng(11)
+        L, B, M, H, KVH, D = 2, 4, 256, 8, 2, 64
+        q = jnp.asarray(rng.normal(size=(B, tq, H, D)), jnp.float32)
+        kq, ks = quantize_kv_rows(
+            jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32))
+        vq, vs = quantize_kv_rows(
+            jnp.asarray(rng.normal(size=(L, B, KVH, M, D)), jnp.float32))
+        nkq, nks = quantize_kv_rows(
+            jnp.asarray(rng.normal(size=(B, tq, KVH, D)), jnp.float32))
+        nvq, nvs = quantize_kv_rows(
+            jnp.asarray(rng.normal(size=(B, tq, KVH, D)), jnp.float32))
+        lens = jnp.asarray(lens, jnp.int32)
+        attn, k2, v2, ks2, vs2 = paged_decode_append_multi_quant(
+            q, nkq, nvq, nks, nvs, kq, vq, ks, vs, jnp.asarray(1), lens,
+            block=128, interpret=True)
+        bidx = jnp.arange(B)[:, None]
+        wpos = lens[:, None] + jnp.arange(tq)[None]
+        kq_ref = kq.at[1, bidx, :, wpos].set(nkq)
+        vq_ref = vq.at[1, bidx, :, wpos].set(nvq)
+        ks_ref = ks.at[1, bidx, :, wpos].set(nks)
+        vs_ref = vs.at[1, bidx, :, wpos].set(nvs)
+        want = decode_attention_multi(q, kq_ref[1], vq_ref[1], lens,
+                                      k_scale=ks_ref[1], v_scale=vs_ref[1])
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(want),
+                                   atol=5e-3)
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(kq_ref))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(vq_ref))
+        np.testing.assert_allclose(np.asarray(ks2), np.asarray(ks_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vs2), np.asarray(vs_ref),
+                                   atol=1e-6)
+
+    def test_decode_multi_quant_append_integration(self, monkeypatch):
+        """decode_multi on a QuantKVCache with the fused multi kernel
+        matches the default XLA scatter path."""
+        import karanta_tpu.models.qwen25_vl.decoder as dec
+        from karanta_tpu.models.qwen25_vl.config import get_config
+
+        cfg = get_config("tiny").text
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(1),
+                                         dtype=jnp.float32)
+        B, M, T = 2, 64, 4
+        rng = np.random.default_rng(3)
+        cache0 = dec.QuantKVCache.zeros(cfg, B, M, jnp.float32)
+        cache0 = dec.QuantKVCache(
+            jnp.asarray(rng.integers(-127, 127, size=cache0.k.shape),
+                        jnp.int8),
+            jnp.asarray(rng.integers(-127, 127, size=cache0.v.shape),
+                        jnp.int8),
+            jnp.asarray(rng.uniform(0.01, 0.1, size=cache0.ks.shape),
+                        jnp.float32),
+            jnp.asarray(rng.uniform(0.01, 0.1, size=cache0.vs.shape),
+                        jnp.float32))
+        emb = jnp.asarray(rng.normal(size=(B, T, cfg.hidden_size)),
+                          jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 40, size=(3, B, T)), jnp.int32)
+        lens = jnp.asarray([7, 33], jnp.int32)
+
+        monkeypatch.setattr(dec, "_PAGED_FORCE", ("", False))
+        h_ref, c_ref = dec.decode_multi(params, cfg, emb, pos, cache0, lens)
+        monkeypatch.setattr(dec, "_PAGED_FORCE", ("append", True))
+        h_pag, c_pag = dec.decode_multi(params, cfg, emb, pos, cache0, lens)
+
+        np.testing.assert_allclose(np.asarray(h_pag), np.asarray(h_ref),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_pag.k),
+                                      np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_pag.v),
+                                      np.asarray(c_ref.v))
+        np.testing.assert_allclose(np.asarray(c_pag.ks),
+                                   np.asarray(c_ref.ks), atol=1e-6)
+
     def test_decode_step_quant_append_integration(self, monkeypatch):
         """decode_step on a QuantKVCache with the fused quant kernel matches
         the default XLA quant path."""

@@ -181,6 +181,28 @@ class TestSpeculativeExactness:
         assert re.match(r"id: [0-9]{3}\n", out.text), out.text
         assert calls["n"] > 0  # speculation engaged once inside the tail
 
+    def test_int8_kv_fused_kernel_matches_plain(self, monkeypatch):
+        """Speculative decode over the int8 KV cache routed through the
+        fused multi-token append kernel (interpret mode) must equal the
+        plain greedy int8 path token-for-token."""
+        import karanta_tpu.models.qwen25_vl.decoder as dec
+
+        monkeypatch.setattr(dec, "_PAGED_FORCE", ("append", True))
+        tok = NoStop()
+        cfg = tiny_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        base = dict(max_batch_size=2, max_seq_len=128, decode_chunk=6,
+                    prefill_buckets=(128,), dtype=jnp.float32,
+                    kv_quantize="int8")
+        plain = Engine(params, cfg, tok, EngineConfig(**base))
+        spec = Engine(params, cfg, tok,
+                      EngineConfig(**base, speculative_ngram=3))
+        out_p = plain.generate(_reqs())
+        out_s = spec.generate(_reqs())
+        for a, b in zip(out_p, out_s):
+            assert a.token_ids == b.token_ids, (a.request_id,
+                                                a.token_ids, b.token_ids)
+
     def test_spec_chunk_emits_valid_counts(self, engines):
         _, spec = engines
         # directly exercise the chunk after inserting one request
