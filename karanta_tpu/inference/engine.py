@@ -672,7 +672,8 @@ class Engine:
             p1 = next_pos[:, None] + jnp.arange(t)[None]
             positions = jnp.broadcast_to(p1[None], (3, b, t))
             hidden, cache = dec.decode_multi(params["text"], self.cfg.text,
-                                             emb, positions, cache, cache_len)
+                                             emb, positions, cache, cache_len,
+                                             act_quant=self._act_quant)
             logits = dec.logits_from_hidden(params["text"], self.cfg.text,
                                             hidden)
             if use_sampling:  # static gate: greedy batches keep the

@@ -669,12 +669,18 @@ def decode_multi(params: Params, cfg: TextConfig,
                  positions: jnp.ndarray,     # (3, B, T) int32
                  cache: KVCache,
                  cache_len: jnp.ndarray,     # (B,) rows already in cache
+                 act_quant: bool = False,
                  ) -> tuple[jnp.ndarray, KVCache]:
     """T-token decode for speculative verification: writes T kv rows per
     slot at cache_len + [0, T) and attends causally within the window plus
     the existing cache. One pass of weight/cache reads verifies T drafted
     tokens (reference capability: vLLM's speculative decoding; the
     reference delegates serving to vLLM, karanta/pipeline.py:707-742).
+
+    act_quant=True runs the layer matmuls W8A8, like prefill_forward —
+    at B*T rows XLA's bf16-dequant strategy for int8 weights halves the
+    effective weight-stream bandwidth (profiled 20 vs 8.6 ms/pass at 7B
+    B80 T4), while the int8 MXU path keeps the weights int8 end to end.
 
     Rollback is free: rejected rows simply stay past the slot's cache_len
     and every later read is bounded by it."""
@@ -699,12 +705,13 @@ def decode_multi(params: Params, cfg: TextConfig,
     else:
         paged_mode = _paged_decode_mode(cache.k.shape[3], quant=quant)
         paged_interp = False
+    mm = matmul_w8a8 if act_quant else qmm
 
     def body(carry, layer_and_idx):
         x, *bufs = carry
         layer, idx = layer_and_idx
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(xn, layer["attn"], cfg)
+        q, k, v = _project_qkv(xn, layer["attn"], cfg, mm=mm)
         q, k = apply_rope(q, k, cos, sin)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
         if quant:
@@ -738,8 +745,9 @@ def decode_multi(params: Params, cfg: TextConfig,
             v_all = v_all.at[idx, batch_idx, :, write_pos].set(v)
             attn = decode_attention_multi(q, sl(k_all), sl(v_all), cache_len)
             new_bufs = (k_all, v_all)
-        x = x + qmm(attn.reshape(b, tq, -1), layer["attn"]["wo"])
-        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"])
+        x = x + mm(attn.reshape(b, tq, -1), layer["attn"]["wo"])
+        x = x + _mlp(rms_norm(x, layer["ln2"], cfg.rms_norm_eps), layer["mlp"],
+                     mm=mm)
         return (x,) + new_bufs, None
 
     init = ((embeds, cache.k, cache.v, cache.ks, cache.vs) if quant

@@ -86,6 +86,7 @@ def main():
                             image_token_buckets=(2048,),
                             dtype=jnp.bfloat16, quantize=engine_q,
                             kv_quantize="int8",
+                            act_quant=os.environ.get("ACT_QUANT") or None,
                             speculative_ngram=gamma)
         engine = Engine(params, cfg, NoStop(), ecfg)
         filled(engine)
