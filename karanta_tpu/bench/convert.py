@@ -70,19 +70,28 @@ OLMOCR_METHODS: dict[str, str] = {
 def parse_method_arg(spec: str) -> tuple[str, dict[str, Any]]:
     """"name:k1=v1:k2=v2" -> (name, kwargs) with int/float/bool casting
     (reference convert.py:65-95). A segment without '=' is re-joined onto
-    the previous value with ':' so URL values survive
-    ("server:server=http://host:30024/v1")."""
+    the previous value with ':' ONLY when that value plausibly continues
+    across a colon (a URL scheme or a host:port), so
+    "server:server=http://host:30024/v1" survives while a typo'd extra
+    like "karanta_engine:preset=tiny:quantize" raises as the reference
+    does for non key=value segments."""
     parts = spec.split(":")
     name = parts[0]
     raw_kwargs: list[list[str]] = []
     for part in parts[1:]:
         if not part:
             continue  # trailing/double colon: ignore, as before the re-join
-        if "=" in part or not raw_kwargs:
+        if "=" in part:
             key, _, raw = part.partition("=")
             raw_kwargs.append([key, raw])
-        else:
+        elif raw_kwargs and (raw_kwargs[-1][1].lower().endswith(("http", "https"))
+                             or part.startswith("//")
+                             or part[:1].isdigit()):
             raw_kwargs[-1][1] += ":" + part
+        else:
+            raise ValueError(
+                f"Invalid kwarg segment {part!r} in method spec {spec!r}: "
+                "expected key=value")
     kwargs: dict[str, Any] = {}
     for key, raw in raw_kwargs:
         value: Any = raw

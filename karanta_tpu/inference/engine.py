@@ -715,10 +715,11 @@ class Engine:
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.token_hist, self.temps, sub,
             steps=steps, gamma=gamma, use_sampling=use_sampling)
-        counts_np = np.asarray(counts)
-        self.spec_passes += counts_np.shape[0] * max(1, len(active))
-        self.spec_tokens += int(counts_np[:, active].sum()) if active else 0
-        return np.asarray(toks), counts_np
+        # acceptance accounting happens host-side in the consumer, from the
+        # truncated-at-EOS emission lists — the raw device counts include
+        # post-EOS steps whose tokens the host discards, which skewed
+        # spec_tokens_per_pass for short completions
+        return np.asarray(toks), np.asarray(counts)
 
     def _spec_ok(self) -> bool:
         """Speculation applies when enabled and every active slot samples
@@ -1527,13 +1528,29 @@ class Engine:
                            for slot in active}
             elif self._spec_ok():
                 spec_toks, spec_counts = self.decode_chunk_spec()
-                emitted = {
-                    slot: [int(tok)
-                           for st in range(spec_toks.shape[0])
-                           for tok in spec_toks[st, slot,
-                                                :spec_counts[st, slot]]]
-                    for slot in active
-                }
+                emitted = {}
+                for slot in active:
+                    _, sprepared, scollected, _, _ = active[slot]
+                    budget = sprepared.max_tokens - len(scollected)
+                    toks_list: list[int] = []
+                    passes = 0
+                    done = False
+                    for st in range(spec_toks.shape[0]):
+                        if done or len(toks_list) >= budget:
+                            break
+                        passes += 1
+                        for tok in spec_toks[st, slot,
+                                             :spec_counts[st, slot]]:
+                            toks_list.append(int(tok))
+                            if (int(tok) == self.tok.eos_token_id
+                                    or len(toks_list) >= budget):
+                                done = True
+                                break
+                    # host-truth acceptance metrics: only passes that ran
+                    # before EOS/budget and only tokens the host keeps
+                    self.spec_passes += passes
+                    self.spec_tokens += len(toks_list)
+                    emitted[slot] = toks_list
             else:
                 steps = self.ecfg.decode_chunk
                 collect = inflight if inflight is not None \

@@ -402,6 +402,15 @@ def closed_free_states(allowed: np.ndarray, next_state: np.ndarray,
     regex match intact — but EOS must NOT be exempted even when byte-less
     (emitting it early would truncate the match), which the engine enforces
     when building the mask.
+
+    Documented tradeoff: a speculating guided slot may therefore emit a
+    byte-less special token the per-step guided path would force-forbid, so
+    raw token-id streams (and logprobs) can diverge between speculative and
+    plain guided decoding even though the decoded TEXT and the regex match
+    are identical. Exact token-stream parity would require post-masking the
+    verify logits with allowed[state] for free states — not worth a gather
+    per verified token for a cosmetic invariant; logprob-requesting slots
+    already take the per-step path (engine._spec_ok).
     """
     ok = allowed if ignore is None else (allowed | ignore[None, :])
     free = ok.all(axis=1)

@@ -101,30 +101,43 @@ def _render_native(local_pdf_path: str, page_num: int,
 
     report = extract_page_report(doc, page_num - 1)
 
-    # scanned-page path: one embedded image covering most of the page.
-    # Text elements do NOT disqualify it — an OCRed scan carries an
-    # invisible text layer under the image and must still render as the
-    # image (poppler draws the image over the hidden text the same way)
+    # Invisible text (Tr 3) is an OCR layer under a scan — never drawn;
+    # visible text on top of a dominant image must still be drawn
+    # (poppler paints both; the old image-only shortcut dropped it).
+    visible_texts = [el for el in report.text_elements if el.render_mode != 3]
+
+    # scanned-page path: one embedded image covering most of the page and
+    # no VISIBLE text — extracted and resized directly, no rasterizer.
     resources = doc.resolve(page.get(Name("Resources"))) or {}
     xobjects = doc.resolve(resources.get(Name("XObject"))) or {}
+    dominant = None
     if len(report.image_elements) == 1:
         im_el = report.image_elements[0]
         coverage = ((im_el.x1 - im_el.x0) * (im_el.y1 - im_el.y0)) / (page_w * page_h)
         if coverage > 0.5:
-            decoded = _decode_embedded_image(doc, xobjects)
-            if decoded is not None:
-                decoded.thumbnail(
-                    (target_longest_image_dim, target_longest_image_dim),
-                    Image.Resampling.BICUBIC)
-                # scanned page may not fill the media box exactly; good enough
-                buf = io.BytesIO()
-                decoded.convert("RGB").save(buf, format="PNG")
-                return base64.b64encode(buf.getvalue()).decode("utf-8")
+            dominant = _decode_embedded_image(doc, xobjects)
+    if dominant is not None and not visible_texts:
+        dominant.thumbnail(
+            (target_longest_image_dim, target_longest_image_dim),
+            Image.Resampling.BICUBIC)
+        # scanned page may not fill the media box exactly; good enough
+        buf = io.BytesIO()
+        dominant.convert("RGB").save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("utf-8")
 
-    # born-digital fallback: draw positioned text (approximate glyphs)
+    # born-digital fallback: paste the dominant image (if any) into its
+    # bbox, then draw positioned visible text (approximate glyphs)
     img = Image.new("RGB", (out_w, out_h), (255, 255, 255))
+    if dominant is not None:
+        im_el = report.image_elements[0]
+        bx = max(0, round((im_el.x0 - x0) * scale))
+        by = max(0, round(out_h - (im_el.y1 - y0) * scale))
+        bw = max(1, round((im_el.x1 - im_el.x0) * scale))
+        bh = max(1, round((im_el.y1 - im_el.y0) * scale))
+        img.paste(dominant.convert("RGB").resize(
+            (bw, bh), Image.Resampling.BICUBIC), (bx, by))
     draw = ImageDraw.Draw(img)
-    for el in report.text_elements:
+    for el in visible_texts:
         px = (el.x - x0) * scale
         py = out_h - (el.y - y0) * scale
         draw.text((px, py - 10), el.text, fill=(0, 0, 0))

@@ -74,6 +74,10 @@ class TextElement:
     x: float
     y: float
     text: str
+    # PDF text rendering mode (Tr operator); 3 = invisible — the OCR text
+    # layer under a scanned image. Visible-vs-invisible drives the poppler-
+    # free renderer's image-only exemption (pdf/primitives.py).
+    render_mode: int = 0
 
 
 @dataclasses.dataclass
@@ -212,6 +216,7 @@ def extract_page_report(doc: PdfDocument, page_index: int,
     font: Optional[_Font] = None
     font_size = 1.0
     leading = 0.0
+    render_mode = 0  # Tr text state; part of graphics state (q/Q-saved)
     operands: list = []
 
     def show(raw: bytes):
@@ -222,7 +227,7 @@ def extract_page_report(doc: PdfDocument, page_index: int,
         if not decoded.strip():
             return
         trm = _mat_mul(tm, ctm)
-        texts.append(TextElement(trm[4], trm[5], decoded))
+        texts.append(TextElement(trm[4], trm[5], decoded, render_mode))
 
     ops = 0
     for obj in _iter_tokens(content, doc):
@@ -235,9 +240,11 @@ def extract_page_report(doc: PdfDocument, page_index: int,
         op = obj
         try:
             if op == b"q":
-                stack.append(ctm)
+                stack.append((ctm, render_mode))
             elif op == b"Q":
-                ctm = stack.pop() if stack else _IDENTITY
+                ctm, render_mode = stack.pop() if stack else (_IDENTITY, 0)
+            elif op == b"Tr" and operands:
+                render_mode = int(float(operands[-1]))
             elif op == b"cm" and len(operands) >= 6:
                 m = tuple(float(v) for v in operands[-6:])
                 ctm = _mat_mul(m, ctm)

@@ -16,9 +16,12 @@ from urllib.parse import urlparse
 
 async def apost(url: str, json_data: dict,
                 api_key: Optional[str] = None,
-                timeout: float = 300.0) -> tuple[int, bytes]:
+                timeout: float = 300.0,
+                extra_headers: Optional[dict] = None) -> tuple[int, bytes]:
     """POST json; returns (status_code, body_bytes). Raises ConnectionError
-    on transport failures (the retry ladder treats those as backoff-able)."""
+    on transport failures (the retry ladder treats those as backoff-able).
+    `extra_headers` lets provider clients send non-Bearer auth schemes
+    (Azure `api-key:`, Anthropic `x-api-key:` + `anthropic-version:`)."""
     parsed = urlparse(url)
     host = parsed.hostname or "localhost"
     port = parsed.port or (443 if parsed.scheme == "https" else 80)
@@ -36,6 +39,8 @@ async def apost(url: str, json_data: dict,
     ]
     if api_key:
         headers.append(f"Authorization: Bearer {api_key}")
+    for name, value in (extra_headers or {}).items():
+        headers.append(f"{name}: {value}")
     request = ("\r\n".join(headers) + "\r\n\r\n").encode("ascii") + payload
 
     writer = None

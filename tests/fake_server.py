@@ -18,6 +18,8 @@ class FakeOpenAIServer:
     def __init__(self, responder: Optional[Callable] = None):
         self.responder = responder or self.default_responder
         self.calls: list[dict] = []
+        # full request records incl. path/query/headers (Azure URL-shape tests)
+        self.raw_calls: list[dict] = []
         self._server: Optional[asyncio.AbstractServer] = None
         self.port: Optional[int] = None
         # mutable queue depths served on GET /metrics (admission-control tests)
@@ -80,16 +82,22 @@ class FakeOpenAIServer:
             request_line = await reader.readline()
             if not request_line:
                 return
-            method, path, _ = request_line.decode().split(" ", 2)
+            method, raw_path, _ = request_line.decode().split(" ", 2)
+            path, _, query = raw_path.partition("?")
             content_length = 0
+            headers: dict[str, str] = {}
             while True:
                 line = await reader.readline()
                 if line in (b"\r\n", b"\n", b""):
                     break
                 name, _, value = line.decode().partition(":")
+                headers[name.strip().lower()] = value.strip()
                 if name.strip().lower() == "content-length":
                     content_length = int(value.strip())
             body = await reader.readexactly(content_length) if content_length else b""
+            self.raw_calls.append({"method": method, "path": path,
+                                   "query": query, "headers": headers,
+                                   "body": body})
 
             if method == "GET" and path.endswith("/models"):
                 payload = json.dumps({"object": "list",

@@ -9,8 +9,12 @@ import zlib
 def make_pdf(pages: list[list[tuple[float, float, str]]],
              compress: bool = False,
              media_box=(0, 0, 612, 792),
-             with_image: bool = False) -> bytes:
-    """Build a classic-xref PDF. Each page is a list of (x, y, text)."""
+             with_image: bool = False,
+             image_cm: str = "100 0 0 80 50 600",
+             text_render_mode: int = 0) -> bytes:
+    """Build a classic-xref PDF. Each page is a list of (x, y, text).
+    `image_cm` positions/scales the image XObject; `text_render_mode` sets
+    the Tr operator (3 = invisible, i.e. a scanned page's OCR layer)."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -35,12 +39,14 @@ def make_pdf(pages: list[list[tuple[float, float, str]]],
     page_nums = []
     for page in pages:
         ops = [b"BT /F1 12 Tf"]
+        if text_render_mode:
+            ops.append(f"{text_render_mode} Tr".encode())
         for x, y, text in page:
             escaped = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
             ops.append(f"1 0 0 1 {x} {y} Tm ({escaped}) Tj".encode())
         ops.append(b"ET")
         if with_image:
-            ops.append(b"q 100 0 0 80 50 600 cm /Im1 Do Q")
+            ops.append(f"q {image_cm} cm /Im1 Do Q".encode())
         content = b"\n".join(ops)
         if compress:
             payload = zlib.compress(content)

@@ -31,6 +31,12 @@ class TestMethodSpecs:
         assert kwargs["server"] == "http://127.0.0.1:30024/v1"
         assert kwargs["model"] == "m"
 
+    def test_parse_rejects_bare_segment(self):
+        # a typo'd option must error, not corrupt the previous value
+        # (reference convert.py raises for non key=value extras)
+        with pytest.raises(ValueError, match="key=value"):
+            parse_method_arg("karanta_engine:preset=tiny:quantize")
+
 
 class TestScoring:
     def test_edit_distance(self):

@@ -56,6 +56,14 @@ class TestMiniPdf:
         report = extract_page_report(doc, 0)
         assert report.text_elements[0].text == "paren (x) and \\ back"
 
+    def test_render_mode_tracked(self):
+        doc = PdfDocument.open(make_pdf(PAGES, text_render_mode=3))
+        report = extract_page_report(doc, 0)
+        assert all(el.render_mode == 3 for el in report.text_elements)
+        doc2 = PdfDocument.open(make_pdf(PAGES))
+        report2 = extract_page_report(doc2, 0)
+        assert all(el.render_mode == 0 for el in report2.text_elements)
+
 
 class TestAnchor:
     def test_pdfreport_format(self, tmp_path):
@@ -157,3 +165,45 @@ class TestPrimitives:
         arr = np.asarray(
             Image.open(io.BytesIO(base64.b64decode(b64))).convert("L"))
         assert (arr < 128).mean() < 0.01
+
+    def test_dominant_image_with_visible_text_keeps_text(self, tmp_path):
+        """Born-digital page with a >50%-coverage image AND visible text:
+        the fallback renderer must draw both (the image-only shortcut is
+        reserved for invisible OCR layers, Tr 3)."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+
+        text = [(72, 760, "Caption over a big figure")]
+        # image covers ~94% of the 612x792 page
+        pdf_bytes = make_pdf([text], with_image=True,
+                             image_cm="600 0 0 760 6 16")
+        path = tmp_path / "figure.pdf"
+        path.write_bytes(pdf_bytes)
+        b64 = render_pdf_to_base64png(str(path), 1, 256)
+        img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("L")
+        arr = np.asarray(img)
+        # page-shaped canvas (not the bare 64x64 embedded image)...
+        assert max(img.size) == 256 and img.size[1] > img.size[0]
+        # ...with the black embedded image pasted over most of it
+        assert (arr < 128).mean() > 0.5
+        # ...and the text drawn in the white margin above it (y=760pt
+        # maps near the top; the image top edge is at 776pt -> row ~5)
+        top_band = arr[:12]
+        assert (top_band < 128).any()
+
+    def test_invisible_layer_takes_image_only_path(self, tmp_path):
+        """Same dominant image but a Tr-3 text layer: image-only path
+        (output is the embedded 64x64 image, not a page-shaped canvas)."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+
+        pdf_bytes = make_pdf([[(72, 760, "hidden ocr text")]],
+                             with_image=True, image_cm="600 0 0 760 6 16",
+                             text_render_mode=3)
+        path = tmp_path / "scan2.pdf"
+        path.write_bytes(pdf_bytes)
+        b64 = render_pdf_to_base64png(str(path), 1, 256)
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        assert img.size == (64, 64)

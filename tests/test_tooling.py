@@ -136,3 +136,152 @@ class TestClients:
         monkeypatch.delenv("OPENAI_API_KEY", raising=False)
         with pytest.raises(EnvironmentError):
             OpenAICompatLLM("gpt-4o")
+
+
+class TestAzureClient:
+    """Azure URL/auth shape + structured-output channels (reference
+    karanta/llm_clients/azure_client.py:28-154)."""
+
+    def _run(self, server, client_fn):
+        async def run():
+            port = await server.start()
+            try:
+                return await client_fn(port)
+            finally:
+                await server.stop()
+        return asyncio.run(run())
+
+    def test_api_version_in_url_and_api_key_header(self, monkeypatch):
+        from karanta_tpu.llm_clients.openai_client import AzureOpenAILLM
+
+        server = FakeOpenAIServer()
+        monkeypatch.setenv("AZURE_OPENAI_API_KEY", "sekret")
+
+        async def go(port):
+            monkeypatch.setenv("AZURE_OPENAI_ENDPOINT",
+                               f"http://127.0.0.1:{port}")
+            llm = AzureOpenAILLM("gpt-4o", deployment="dep1",
+                                 api_version="2024-10-21", max_retries=1)
+            return await llm.acompletion(["hi"], max_tokens=4)
+
+        (completion,) = self._run(server, go)
+        assert completion.completion_tokens == 20
+        raw = server.raw_calls[0]
+        assert raw["path"] == "/openai/deployments/dep1/chat/completions"
+        assert raw["query"] == "api-version=2024-10-21"
+        assert raw["headers"].get("api-key") == "sekret"
+        # api-version must NOT leak into the JSON body (real Azure rejects it)
+        assert "api-version" not in json.loads(raw["body"])
+        assert "authorization" not in raw["headers"]
+
+    def test_new_api_uses_json_schema_response_format(self, monkeypatch):
+        from karanta_tpu.llm_clients.openai_client import AzureOpenAILLM
+
+        server = FakeOpenAIServer(lambda req, i: (
+            200, FakeOpenAIServer.completion(FakeOpenAIServer.page_json())))
+        monkeypatch.setenv("AZURE_OPENAI_API_KEY", "k")
+
+        async def go(port):
+            monkeypatch.setenv("AZURE_OPENAI_ENDPOINT",
+                               f"http://127.0.0.1:{port}")
+            llm = AzureOpenAILLM("gpt-4o", api_version="2024-08-01-preview",
+                                 max_retries=1)
+            return await llm.acompletion(["hi"],
+                                         structured_object=PageAnalysis)
+
+        (completion,) = self._run(server, go)
+        assert isinstance(completion.response, PageAnalysis)
+        body = server.calls[0]
+        assert body["response_format"]["type"] == "json_schema"
+        assert "tools" not in body
+
+    def test_old_api_falls_back_to_function_tool(self, monkeypatch):
+        from karanta_tpu.llm_clients.openai_client import AzureOpenAILLM
+
+        def tool_responder(req, i):
+            # old deployments answer structured requests via tool_calls
+            # (reference azure_client.py:136-141)
+            args = json.dumps(FakeOpenAIServer.page_json("tooled"))
+            return 200, {
+                "id": "fake-1", "object": "chat.completion", "model": "fake",
+                "choices": [{
+                    "index": 0,
+                    "message": {"role": "assistant", "content": None,
+                                "tool_calls": [{
+                                    "id": "c1", "type": "function",
+                                    "function": {"name": "PageAnalysis",
+                                                 "arguments": args}}]},
+                    "finish_reason": "tool_calls"}],
+                "usage": {"prompt_tokens": 5, "completion_tokens": 9,
+                          "total_tokens": 14},
+            }
+
+        server = FakeOpenAIServer(tool_responder)
+        monkeypatch.setenv("AZURE_OPENAI_API_KEY", "k")
+
+        async def go(port):
+            monkeypatch.setenv("AZURE_OPENAI_ENDPOINT",
+                               f"http://127.0.0.1:{port}")
+            llm = AzureOpenAILLM("gpt-4o", api_version="2024-02-01",
+                                 max_retries=1)
+            return await llm.acompletion(["hi"],
+                                         structured_object=PageAnalysis)
+
+        (completion,) = self._run(server, go)
+        assert isinstance(completion.response, PageAnalysis)
+        assert completion.response.natural_text == "tooled"
+        body = server.calls[0]
+        assert body["tools"][0]["type"] == "function"
+        assert body["tools"][0]["function"]["name"] == "PageAnalysis"
+        assert "response_format" not in body
+
+    def test_azure_old_forces_tools_even_on_new_api(self, monkeypatch):
+        from karanta_tpu.llm_clients.openai_client import AzureOldDeploymentsLLM
+
+        monkeypatch.setenv("AZURE_OPENAI_API_KEY", "k")
+        monkeypatch.setenv("AZURE_OPENAI_ENDPOINT", "http://x")
+        llm = AzureOldDeploymentsLLM("gpt-4o",
+                                     api_version="2025-01-01-preview")
+        body = {"model": "m", "messages": []}
+        llm._apply_structured(body, PageAnalysis)
+        assert "tools" in body and "response_format" not in body
+
+
+class TestProviderShims:
+    """gemini/anthropic/together reached via their OpenAI-compat surfaces
+    (reference litellm dispatch, karanta/llm_clients/litellm_client.py)."""
+
+    def test_factory_builds_shims(self, monkeypatch):
+        monkeypatch.setenv("GEMINI_API_KEY", "g")
+        monkeypatch.setenv("ANTHROPIC_API_KEY", "a")
+        monkeypatch.setenv("TOGETHER_API_KEY", "t")
+        gem = get_client("gemini", "gemini-1.5-pro")
+        assert "generativelanguage.googleapis.com" in gem.base_url
+        ant = get_client("anthropic", "claude-sonnet-4-5")
+        assert ant.extra_headers.get("anthropic-version")
+        tog = get_client("together", "llama-3.1-70b")
+        assert "together.xyz" in tog.base_url
+
+    def test_shim_requires_key(self, monkeypatch):
+        monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+        with pytest.raises(EnvironmentError):
+            get_client("gemini", "gemini-1.5-pro")
+
+    def test_shim_request_shape(self, monkeypatch):
+        server = FakeOpenAIServer()
+
+        async def go():
+            port = await server.start()
+            try:
+                llm = get_client("anthropic", "claude-sonnet-4-5",
+                                 api_key="sk-ant", max_retries=1,
+                                 base_url=f"http://127.0.0.1:{port}/v1")
+                return await llm.acompletion(["hello"], max_tokens=4)
+            finally:
+                await server.stop()
+
+        (completion,) = asyncio.run(go())
+        assert completion.completion_tokens == 20
+        raw = server.raw_calls[0]
+        assert raw["headers"].get("authorization") == "Bearer sk-ant"
+        assert raw["headers"].get("anthropic-version")
