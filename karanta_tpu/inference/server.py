@@ -65,6 +65,7 @@ class InferenceServer:
         self._engine_task: Optional[asyncio.Task] = None
         self.port: Optional[int] = None
         self.requests_served = 0
+        self.completion_tokens_served = 0
 
     # ------------------------------------------------------------------
     # engine loop
@@ -260,6 +261,7 @@ class InferenceServer:
     def _finish(self, slot: int, state: _Active, reason: str):
         self.engine.free_slot(slot)
         self.requests_served += 1
+        self.completion_tokens_served += len(state.collected)
         if state.stream is not None:
             self._emit_delta(state)
             state.stream.put_nowait({"finish_reason": reason})

@@ -99,6 +99,10 @@ class PipelineArgs:
     admission_control: bool = True
     admission_poll_interval: float = 1.0
     admission_release_interval: float = 30.0
+    # per-page completion budget; the reference hardcodes 4000
+    # (pipeline.py:124) — overridable so capacity planning (and the
+    # pipeline bench) can match the serving engine's decode budget
+    max_output_tokens: int = MAX_OUTPUT_TOKENS_PER_PAGE
 
 
 async def build_page_query(local_pdf_path: str, page: int,
@@ -106,7 +110,9 @@ async def build_page_query(local_pdf_path: str, page: int,
                            image_rotation: int = 0,
                            model_name: str = "karanta-ocr",
                            prompt_key: str = "olmo_ocr_system_prompt",
-                           prompt_path: Optional[str] = None) -> dict:
+                           prompt_path: Optional[str] = None,
+                           max_tokens: int = MAX_OUTPUT_TOKENS_PER_PAGE
+                           ) -> dict:
     """Render a page + anchor text into one chat-completions request body."""
     assert image_rotation in (0, 90, 180, 270), "invalid rotation"
     template = load_prompt_template(prompt_key, prompt_path)
@@ -134,7 +140,7 @@ async def build_page_query(local_pdf_path: str, page: int,
     return {
         "model": model_name,
         "messages": create_vision_message(template, anchor_text, image_base64),
-        "max_tokens": MAX_OUTPUT_TOKENS_PER_PAGE,
+        "max_tokens": max_tokens,
         "temperature": 0.0,
     }
 
@@ -172,7 +178,9 @@ async def process_page(args, worker_id: int, pdf_orig_path: str,
         query = await build_page_query(
             pdf_local_path, page_num, args.target_longest_image_dim,
             image_rotation=cumulative_rotation, model_name=args.model,
-            prompt_key=args.prompt_key, prompt_path=args.prompt_path)
+            prompt_key=args.prompt_key, prompt_path=args.prompt_path,
+            max_tokens=getattr(args, "max_output_tokens",
+                               MAX_OUTPUT_TOKENS_PER_PAGE))
         query["temperature"] = TEMPERATURE_BY_ATTEMPT[lookup]
         if args.guided_decoding:
             query["guided_regex"] = GUIDED_REGEX
@@ -679,6 +687,10 @@ def parse_args(argv: Optional[list[str]] = None) -> PipelineArgs:
     parser.add_argument("--admission_poll_interval", type=float, default=1.0)
     parser.add_argument("--admission_release_interval", type=float,
                         default=30.0)
+    parser.add_argument("--max_output_tokens", type=int,
+                        default=MAX_OUTPUT_TOKENS_PER_PAGE,
+                        help="per-page completion budget (reference "
+                             "pipeline.py:124 hardcodes 4000)")
     # unknown flags pass through to the spawned inference server, as the
     # reference forwards unknowns to vLLM (pipeline.py:1249,733-734)
     ns, extra = parser.parse_known_args(argv)

@@ -1,0 +1,75 @@
+"""Pipeline-level throughput bench (bench.py --pipeline) smoke test.
+
+Runs the real thing at CI scale: tiny model, 4 single-page PDFs, the full
+rasterize -> anchor -> HTTP -> engine -> Dolma path in one process. On the
+TPU host the same code path produces the published pipeline_pages_per_sec
+number (VERDICT r2 directive #3)."""
+
+import glob
+import json
+import os
+
+from karanta_tpu.bench import pipeline_bench
+
+
+def _args(tmp_path, **over):
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    pipeline_bench.add_args(parser)
+    args = parser.parse_args([])
+    args.preset = "tiny"
+    args.pages = 4
+    args.workers = 2
+    args.batch = 2
+    args.max_seq_len = 256
+    args.decode_tokens = 8
+    args.decode_chunk = 8
+    args.page_dim = 224
+    args.image_token_buckets = [16, 64]
+    args.quantize = "none"
+    args.kv_quantize = "none"
+    args.prompt_key = "olmo_ocr_system_prompt_no_anchor"
+    args.prompt_path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "prompts",
+        "closed_loop.yaml")
+    args.admission_control = False
+    args.workspace = str(tmp_path)
+    for k, v in over.items():
+        setattr(args, k, v)
+    return args
+
+
+class TestPipelineBench:
+    def test_end_to_end_metric(self, tmp_path, capsys):
+        # text_layer: the anchor fallback then carries text, so the Dolma
+        # write path is exercised too (image-only + random weights would
+        # correctly drop every doc as text-less, reference pipeline.py:560)
+        result = pipeline_bench.run(_args(tmp_path, text_layer=True))
+        assert result["metric"] == "pipeline_pages_per_sec_per_chip"
+        assert result["value"] > 0
+        detail = result["detail"]
+        assert detail["pages"] == 4
+        assert detail["requests_served"] >= 5  # 4 pages + warmup
+        # the bench prints exactly one JSON line on stdout (driver contract
+        # shape shared with bench.py)
+        line = [ln for ln in capsys.readouterr().out.splitlines()
+                if ln.startswith("{")][-1]
+        assert json.loads(line)["unit"] == "pages/s/chip"
+        # the pipeline actually wrote Dolma results
+        results = glob.glob(os.path.join(str(tmp_path), "results", "*.jsonl"))
+        assert results
+        docs = [json.loads(ln) for p in results for ln in open(p)]
+        assert len(docs) == 4
+        for doc in docs:
+            assert doc["metadata"]["total-fallback-pages"] == 1
+
+    def test_text_layer_corpus_has_anchors(self, tmp_path):
+        paths = pipeline_bench.build_corpus(
+            str(tmp_path / "c"), 2, text_layer=True, height=224)
+        from karanta_tpu.pdf.anchor import get_anchor_text
+
+        anchor = get_anchor_text(paths[0], 1, "pdfreport")
+        # the invisible text layer must be anchor-extractable (the signal
+        # the pipeline's speculation heuristic keys on)
+        assert len(anchor) > 200
