@@ -117,6 +117,12 @@ class GenRequest:
     guided_regex: Optional[str] = None
     logprobs: bool = False               # return per-token logprobs
     top_logprobs: int = 0                # 0..5 alternatives per position
+    # per-request speculation hint: n-gram drafting pays off only when the
+    # continuation repeats prompt/history text (anchored pages); the
+    # pipeline sets this from the anchor signal. None = engine default
+    # (speculate when the engine has --speculative-ngram), False = this
+    # request prefers per-step decode.
+    speculative: Optional[bool] = None
 
 
 @dataclasses.dataclass
@@ -147,6 +153,7 @@ class _Prepared:
     prefix_len: int = 0                  # shared-prefix tokens (0 = no reuse)
     logprobs: bool = False
     top_logprobs: int = 0
+    speculative: Optional[bool] = None   # per-request speculation hint
     staged: Optional[dict] = None        # fused-path operands pre-put on device
 
 
@@ -363,6 +370,9 @@ class Engine:
         # static sampling gates: the nucleus sort / gumbel sampling only
         # compile in when some active slot actually needs them
         self._slot_top_p = [1.0] * b
+        # per-slot speculation votes (None hint counts as yes); a decode
+        # wave speculates when eligible voters are the majority (_spec_ok)
+        self._slot_spec = [True] * b
         self._slot_temp = [0.0] * b
         # host mirror of per-slot lengths drives the static attend horizon
         self._slot_len = [0] * b
@@ -721,6 +731,34 @@ class Engine:
         # spec_tokens_per_pass for short completions
         return np.asarray(toks), np.asarray(counts)
 
+    def spec_emissions(self, spec_toks, spec_counts,
+                       budgets: dict) -> dict:
+        """Truncate raw speculative-chunk emissions at EOS/budget per slot
+        and account acceptance metrics from what the host actually keeps
+        (post-EOS steps and their tokens don't count — raw device counts
+        skew spec_tokens_per_pass for short completions). `budgets` maps
+        slot -> remaining token budget; returns slot -> kept token list.
+        Shared by engine.generate and the server's engine loop."""
+        emitted: dict = {}
+        for slot, budget in budgets.items():
+            toks_list: list = []
+            passes = 0
+            done = False
+            for st in range(spec_toks.shape[0]):
+                if done or len(toks_list) >= budget:
+                    break
+                passes += 1
+                for tok in spec_toks[st, slot, :spec_counts[st, slot]]:
+                    toks_list.append(int(tok))
+                    if (int(tok) == self.tok.eos_token_id
+                            or len(toks_list) >= budget):
+                        done = True
+                        break
+            self.spec_passes += passes
+            self.spec_tokens += len(toks_list)
+            emitted[slot] = toks_list
+        return emitted
+
     def _spec_ok(self) -> bool:
         """Speculation applies when enabled and every active slot samples
         plainly (temperature-only — nucleus filtering and per-token logprobs
@@ -736,6 +774,12 @@ class Engine:
             return False
         if any(self._slot_wants_lp.get(i, False) for i in active):
             return False  # per-token logprobs need the per-step path
+        # per-request votes: speculate when opted-in slots are the majority
+        # of the wave. Verification is exact either way; this balances
+        # anchored pages (measured win) against scanned pages (measured
+        # loss, acceptance ~1.03) sharing a batch.
+        if 2 * sum(self._slot_spec[i] for i in active) <= len(active):
+            return False
         states = np.asarray(self.dfa_state)
         return bool(self._free_state_mask[states[active]].all())
 
@@ -870,7 +914,8 @@ class Engine:
             request_id=request.request_id, guide=None,
             guide_regex=request.guided_regex or None, prefix_len=prefix_len,
             logprobs=request.logprobs,
-            top_logprobs=min(int(request.top_logprobs or 0), 5))
+            top_logprobs=min(int(request.top_logprobs or 0), 5),
+            speculative=request.speculative)
 
         if len(image_feeds) == 1 and not prefix_len:
             # stage the fused-path prompt operands on device from the
@@ -1201,6 +1246,8 @@ class Engine:
             self._slot_len[slot] = len(g.ids)
             self._slot_wants_lp[slot] = False
             self._slot_logprobs[slot] = 0
+            self._slot_spec[slot] = getattr(g, "speculative",
+                                            None) is not False
             if self.ecfg.speculative_ngram > 0:
                 m = self.ecfg.max_seq_len
                 arr = np.zeros((m,), np.int32)
@@ -1241,6 +1288,8 @@ class Engine:
         self._slot_len[slot] = true_len
         self._slot_wants_lp[slot] = bool(getattr(prepared, "logprobs", False))
         self._slot_logprobs[slot] = int(getattr(prepared, "top_logprobs", 0))
+        self._slot_spec[slot] = getattr(prepared, "speculative",
+                                        None) is not False
         if self.ecfg.speculative_ngram > 0:
             m = self.ecfg.max_seq_len
             ids = np.zeros((m,), np.int32)
@@ -1287,6 +1336,8 @@ class Engine:
         self._slot_len[slot] = len(prepared.ids)
         self._slot_wants_lp[slot] = False
         self._slot_logprobs[slot] = 0
+        self._slot_spec[slot] = getattr(prepared, "speculative",
+                                        None) is not False
         if self.ecfg.speculative_ngram > 0:
             m = self.ecfg.max_seq_len
             arr = np.zeros((m,), np.int32)
@@ -1379,6 +1430,7 @@ class Engine:
     def free_slot(self, slot: int):
         self.slot_free[slot] = True
         self._slot_guided[slot] = False
+        self._slot_spec[slot] = True
 
     # ------------------------------------------------------------------
 
@@ -1528,29 +1580,9 @@ class Engine:
                            for slot in active}
             elif self._spec_ok():
                 spec_toks, spec_counts = self.decode_chunk_spec()
-                emitted = {}
-                for slot in active:
-                    _, sprepared, scollected, _, _ = active[slot]
-                    budget = sprepared.max_tokens - len(scollected)
-                    toks_list: list[int] = []
-                    passes = 0
-                    done = False
-                    for st in range(spec_toks.shape[0]):
-                        if done or len(toks_list) >= budget:
-                            break
-                        passes += 1
-                        for tok in spec_toks[st, slot,
-                                             :spec_counts[st, slot]]:
-                            toks_list.append(int(tok))
-                            if (int(tok) == self.tok.eos_token_id
-                                    or len(toks_list) >= budget):
-                                done = True
-                                break
-                    # host-truth acceptance metrics: only passes that ran
-                    # before EOS/budget and only tokens the host keeps
-                    self.spec_passes += passes
-                    self.spec_tokens += len(toks_list)
-                    emitted[slot] = toks_list
+                emitted = self.spec_emissions(spec_toks, spec_counts, {
+                    slot: active[slot][1].max_tokens - len(active[slot][2])
+                    for slot in active})
             else:
                 steps = self.ecfg.decode_chunk
                 collect = inflight if inflight is not None \

@@ -98,11 +98,10 @@ class InferenceServer:
                         continue
                     toks, counts = await asyncio.to_thread(
                         self.engine.decode_chunk_spec)
-                    self._distribute_lists({
-                        slot: [int(t)
-                               for st in range(toks.shape[0])
-                               for t in toks[st, slot, :counts[st, slot]]]
-                        for slot in self.active})
+                    self._distribute_lists(self.engine.spec_emissions(
+                        toks, counts,
+                        {slot: st.prepared.max_tokens - len(st.collected)
+                         for slot, st in self.active.items()}))
                 else:
                     steps = self.engine.ecfg.decode_chunk
                     collect = (inflight if inflight is not None else
@@ -404,6 +403,8 @@ class InferenceServer:
             guided_regex=payload.get("guided_regex"),
             logprobs=bool(payload.get("logprobs", False)),
             top_logprobs=int(payload.get("top_logprobs", 0) or 0),
+            speculative=(None if payload.get("speculative") is None
+                         else bool(payload["speculative"])),
         )
         future: asyncio.Future = asyncio.get_running_loop().create_future()
 

@@ -262,3 +262,37 @@ class TestEndToEndRemoteWorkspace:
 
         before = asyncio.run(rerun())
         assert len(server.calls) == before  # no pages reprocessed
+
+
+class TestSpeculativeAutoEnable:
+    """The pipeline's per-request speculation hint (VERDICT r2 #1): pages
+    with a non-trivial anchor vote speculation ON, scanned pages vote it
+    OFF, and the flag reaches the server request body verbatim."""
+
+    def _captured_request(self, tmp_path, pdf):
+        server = FakeOpenAIServer()
+
+        async def run():
+            await server.start()
+            try:
+                args = _args(tmp_path, server.url, max_page_retries=1)
+                await process_page(args, 0, pdf, pdf, 1)
+            finally:
+                await server.stop()
+
+        asyncio.run(run())
+        return server.calls[0]
+
+    def test_scanned_page_votes_off(self, tmp_path):
+        body = self._captured_request(tmp_path, _scanned_pdf(tmp_path))
+        assert body["speculative"] is False
+
+    def test_anchored_page_votes_on(self, tmp_path):
+        from karanta_tpu.data.synthetic import page_to_pdf_bytes
+
+        text = "\n".join(f"line {i} of the page text layer" for i in range(20))
+        img = np.full((400, 300, 3), 250, np.uint8)
+        path = tmp_path / "anchored.pdf"
+        path.write_bytes(page_to_pdf_bytes(img, text_layer=text))
+        body = self._captured_request(tmp_path, str(path))
+        assert body["speculative"] is True

@@ -73,3 +73,11 @@ class TestPipelineBench:
         # the invisible text layer must be anchor-extractable (the signal
         # the pipeline's speculation heuristic keys on)
         assert len(anchor) > 200
+
+    def test_speculation_flows_through_http(self, tmp_path):
+        """Anchored corpus + --speculative-ngram: the pipeline's per-request
+        hint reaches the engine through HTTP and speculative verify passes
+        actually run (spec metrics nonzero)."""
+        result = pipeline_bench.run(_args(
+            tmp_path, text_layer=True, speculative_ngram=2))
+        assert result["detail"]["spec_tokens_per_pass"] > 0

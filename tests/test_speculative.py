@@ -215,3 +215,46 @@ class TestSpeculativeExactness:
         assert counts.shape == (3, 2)
         assert ((counts >= 1) & (counts <= 4)).all()
         spec.free_slot(0)
+
+
+class TestPerRequestOptOut:
+    """Per-request speculation votes (pipeline auto-enable heuristic):
+    opted-out majorities take the per-step path, opted-in majorities (and
+    the None default) speculate. Exactness is unaffected either way."""
+
+    def _count_spec_calls(self, engine, reqs):
+        calls = {"n": 0}
+        orig = engine.decode_chunk_spec
+
+        def counted(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        engine.decode_chunk_spec = counted
+        try:
+            outs = engine.generate(reqs)
+        finally:
+            engine.decode_chunk_spec = orig
+        return calls["n"], outs
+
+    def test_opted_out_majority_decodes_per_step(self, engines):
+        _, spec = engines
+        reqs = _reqs()
+        for r in reqs:
+            r.speculative = False
+        n, outs = self._count_spec_calls(spec, reqs)
+        assert n == 0
+        assert all(len(o.token_ids) == 24 for o in outs)
+
+    def test_split_vote_is_not_a_majority(self, engines):
+        _, spec = engines
+        reqs = _reqs()
+        reqs[0].speculative = True
+        reqs[1].speculative = False
+        n, _ = self._count_spec_calls(spec, reqs)
+        assert n == 0  # 1 of 2 is not a majority
+
+    def test_default_none_speculates(self, engines):
+        _, spec = engines
+        n, _ = self._count_spec_calls(spec, _reqs())
+        assert n > 0
