@@ -23,6 +23,7 @@ import io
 import os
 import logging
 import time
+from collections import OrderedDict
 from typing import Any, Optional, Sequence
 
 import jax
@@ -296,22 +297,29 @@ class Engine:
         self.top_ps = jnp.ones((b,), jnp.float32)
         self.slot_free = [True] * b
 
-        # guided decoding: token automaton tables live on device; dfa state 0
-        # is FREE (unguided slots). One compiled regex active at a time.
+        # guided decoding: token-automaton tables live on device; dfa state 0
+        # is FREE (unguided slots). Compiled regexes share ONE flattened
+        # state arena — each automaton occupies a contiguous row range with
+        # its next_state values pre-offset, and a slot's dfa_state indexes
+        # the arena absolutely, so requests with DIFFERENT regexes decode
+        # concurrently in the same wave with no executable change.
         import threading
 
         self.dfa_state = jnp.zeros((b,), jnp.int32)
         self._automaton_lock = threading.Lock()
-        self._guided_regex: Optional[str] = None
+        self._slot_regex: list = [None] * b
         vocab = cfg.text.vocab_size
         self._allowed = jnp.ones((1, vocab), jnp.bool_)
         self._next_state = jnp.zeros((1, vocab), jnp.int32)
         # states where guided decoding is a no-op forever (speculation-safe);
         # with no automaton compiled only FREE (0) exists and is free
         self._free_state_mask = np.ones((1,), bool)
+        self._arena: "OrderedDict[str, dict]" = OrderedDict()
+        self._arena_used = 1               # row 0 is the shared FREE state
+        self._automaton_cache: "OrderedDict[str, Any]" = OrderedDict()
+        self._token_bytes = None           # lazy; expensive over big vocabs
 
         # prefix KV cache: prefix-id bytes -> (KVCache (L,1,P,KVH,D), P)
-        from collections import OrderedDict
 
         self._prefix_kv: "OrderedDict[bytes, Any]" = OrderedDict()
         # decoded-image cache: raw-bytes sha1 -> RGB uint8 array. Repeated
@@ -944,67 +952,128 @@ class Engine:
                 true_len=jnp.asarray(s, jnp.int32))
         return prepared
 
+    _ARENA_BUCKETS = (64, 256, 1024, 4096)
+    ARENA_MAX_ROWS = 4096
+
     def guided_available(self, regex: str) -> bool:
         """Can a request with this regex be admitted right now? True when it
-        matches the active automaton or no live slot is still guided."""
+        is already resident in the state arena, fits beside the resident
+        automatons, or every resident automaton has drained (the arena then
+        resets at bind time). Requests held back here are re-offered by the
+        server each admission round — never dropped."""
         with self._automaton_lock:
-            if regex == self._guided_regex:
+            if regex in self._arena:
                 return True
-            return not self._active_guided_locked()
+            n = self._compile_automaton_locked(regex).allowed.shape[0] - 1
+            if self._arena_used + n <= self.ARENA_MAX_ROWS:
+                return True
+            return not self._live_regexes_locked()
 
-    def _active_guided_locked(self) -> bool:
-        return any(guided and not free for guided, free
-                   in zip(self._slot_guided, self.slot_free))
+    def _live_regexes_locked(self) -> set:
+        return {r for r, free in zip(self._slot_regex, self.slot_free)
+                if r is not None and not free}
 
-    def _ensure_automaton(self, regex: str) -> int:
-        """Compile/activate the token automaton for `regex`. Returns the DFA
-        start state for the new slot; raises GuidedRegexBusy when a different
-        regex still has live guided slots (callers defer until it drains)."""
-        with self._automaton_lock:
-            return self._ensure_automaton_locked(regex)
-
-    def _ensure_automaton_locked(self, regex: str) -> int:
-        if regex == self._guided_regex:
-            return self._automaton_start
-        if self._guided_regex is not None and self._active_guided_locked():
-            raise GuidedRegexBusy(
-                "another guided regex has live slots; retry when it drains")
+    def _compile_automaton_locked(self, regex: str):
+        """Host-side regex -> token-automaton compile, LRU-cached (the token
+        walk over a 152k vocab is the expensive part; arena resets reuse it)."""
+        hit = self._automaton_cache.get(regex)
+        if hit is not None:
+            self._automaton_cache.move_to_end(regex)
+            return hit
         from karanta_tpu.inference.guided import (
             build_token_automaton, token_bytes_from_tokenizer,
         )
 
-        token_bytes = token_bytes_from_tokenizer(
-            self.tok, self.cfg.text.vocab_size)
-        automaton = build_token_automaton(regex, token_bytes,
+        if self._token_bytes is None:
+            self._token_bytes = token_bytes_from_tokenizer(
+                self.tok, self.cfg.text.vocab_size)
+        automaton = build_token_automaton(regex, self._token_bytes,
                                           self.tok.eos_token_id)
-        self._guided_regex = regex
-        # pad the state axis to a bucket so every regex shares the same
-        # decode-executable shapes (otherwise each new regex pays a full
-        # recompile of the guided decode step — measured ~4 min on CPU,
-        # minutes on the remote TPU compile service too)
-        n = automaton.allowed.shape[0]
-        bucket = next((b for b in (64, 256, 1024, 4096) if b >= n), n)
-        allowed = np.zeros((bucket,) + automaton.allowed.shape[1:], bool)
-        nxt = np.zeros((bucket,) + automaton.next_state.shape[1:], np.int32)
-        allowed[:n] = automaton.allowed
-        nxt[:n] = automaton.next_state
-        if 0 <= self.tok.eos_token_id < allowed.shape[1]:
-            allowed[n:, self.tok.eos_token_id] = True  # unreachable; safety
-        self._allowed = jnp.asarray(allowed)
-        self._next_state = jnp.asarray(nxt)
-        self._automaton_start = automaton.start
+        self._automaton_cache[regex] = automaton
+        while len(self._automaton_cache) > 8:
+            self._automaton_cache.popitem(last=False)
+        return automaton
+
+    def _ensure_automaton(self, regex: str) -> int:
+        """Make `regex` resident in the state arena. Returns the (absolute)
+        DFA start state for a newly-admitted slot; raises GuidedRegexBusy
+        when the arena is full of OTHER regexes with live slots (callers
+        defer until one drains — the constraint is never dropped)."""
+        with self._automaton_lock:
+            return self._ensure_automaton_locked(regex)
+
+    def _ensure_automaton_locked(self, regex: str) -> int:
+        entry = self._arena.get(regex)
+        if entry is not None:
+            self._arena.move_to_end(regex)
+            return entry["start"]
+        automaton = self._compile_automaton_locked(regex)
+        n = automaton.allowed.shape[0] - 1   # its rows minus its FREE row
+        if 1 + n > self.ARENA_MAX_ROWS:
+            raise ValueError(
+                f"guided regex needs {n} token-automaton states; the arena "
+                f"holds at most {self.ARENA_MAX_ROWS - 1}")
+        if self._arena_used + n > self.ARENA_MAX_ROWS:
+            if self._live_regexes_locked():
+                raise GuidedRegexBusy(
+                    "guided state arena is full with live automatons; "
+                    "retry when one drains")
+            # nothing live: drop every resident automaton and start over
+            # (host compiles are cached, so this is just a table rebuild)
+            self._arena.clear()
+            self._arena_used = 1
+        offset = self._arena_used
+        start = offset + (automaton.start - 1)
+        self._arena[regex] = {"offset": offset, "n": n, "start": start}
+        self._arena_used += n
+        self._upload_arena_locked()
+        return start
+
+    def _upload_arena_locked(self) -> None:
+        """Rebuild + upload the flattened guided tables.
+
+        Layout: row 0 is the shared FREE state (everything allowed,
+        self-loop, speculation-safe); automaton `a` with n_a regex states
+        occupies rows [offset_a, offset_a + n_a) with next-state values
+        pre-offset, so `allowed[dfa_state]` and `next_state[dfa_state,
+        token]` in the decode step need no per-automaton index. The row axis
+        is padded to a bucket so resident-set changes within a bucket reuse
+        the compiled decode executable (a new bucket recompiles — measured
+        ~4 min on CPU, minutes on the remote TPU compile service too)."""
+        from karanta_tpu.inference.guided import closed_free_states
+
+        vocab = self.cfg.text.vocab_size
+        bucket = next(b for b in self._ARENA_BUCKETS
+                      if b >= self._arena_used)
+        allowed = np.zeros((bucket, vocab), bool)
+        nxt = np.zeros((bucket, vocab), np.int32)  # default: fall to FREE
+        free_mask = np.zeros((bucket,), bool)
+        allowed[0] = True
+        free_mask[0] = True
+        eos = self.tok.eos_token_id
+        if 0 <= eos < vocab:
+            allowed[1:, eos] = True  # unoccupied rows (unreachable): safety
         # speculation-safe states: once a guided slot's DFA enters the
         # closed free set (e.g. the [\s\S]+ tail of the pipeline regex),
         # masking is a no-op forever and the slot may speculate. Byte-less
         # tokens (vocab holes) are exempt from the check — they self-loop
         # and add no text — but EOS never is (early EOS truncates the match)
-        from karanta_tpu.inference.guided import closed_free_states
-
-        zero_len = np.array([len(t) == 0 for t in token_bytes], bool)
-        if 0 <= self.tok.eos_token_id < len(zero_len):
-            zero_len[self.tok.eos_token_id] = False
-        self._free_state_mask = closed_free_states(allowed, nxt, zero_len)
-        return automaton.start
+        zero_len = np.array([len(t) == 0 for t in self._token_bytes], bool)
+        if 0 <= eos < len(zero_len):
+            zero_len[eos] = False
+        for regex, entry in self._arena.items():
+            automaton = self._compile_automaton_locked(regex)
+            o, n = entry["offset"], entry["n"]
+            allowed[o:o + n] = automaton.allowed[1:]
+            # local states 1..n map to arena rows o..o+n-1 (no local row
+            # beyond FREE ever transitions to local 0, so +o-1 is exact)
+            nxt[o:o + n] = automaton.next_state[1:] + (o - 1)
+            local_free = closed_free_states(
+                automaton.allowed, automaton.next_state, zero_len)
+            free_mask[o:o + n] = local_free[1:]
+        self._allowed = jnp.asarray(allowed)
+        self._next_state = jnp.asarray(nxt)
+        self._free_state_mask = free_mask
 
     def _encode_images(self, prepared: _Prepared):
         """Run the vision encoder for each image; returns padded token arrays
@@ -1241,6 +1310,7 @@ class Engine:
         for i, (g, slot) in enumerate(zip(group, slots)):
             self.slot_free[slot] = False
             self._slot_guided[slot] = False
+            self._slot_regex[slot] = None
             self._slot_top_p[slot] = float(g.top_p)
             self._slot_temp[slot] = float(g.temperature)
             self._slot_len[slot] = len(g.ids)
@@ -1283,6 +1353,8 @@ class Engine:
             jnp.asarray(dfa_val, jnp.int32))
         self.slot_free[slot] = False
         self._slot_guided[slot] = dfa_val > 0
+        self._slot_regex[slot] = (prepared.guide_regex
+                                  if dfa_val > 0 else None)
         self._slot_top_p[slot] = float(prepared.top_p)
         self._slot_temp[slot] = float(prepared.temperature)
         self._slot_len[slot] = true_len
@@ -1331,6 +1403,7 @@ class Engine:
             jnp.asarray(pos_after, jnp.int32), n_windows=layout.n_windows)
         self.slot_free[slot] = False
         self._slot_guided[slot] = False
+        self._slot_regex[slot] = None
         self._slot_top_p[slot] = 1.0
         self._slot_temp[slot] = 0.0
         self._slot_len[slot] = len(prepared.ids)
@@ -1430,6 +1503,7 @@ class Engine:
     def free_slot(self, slot: int):
         self.slot_free[slot] = True
         self._slot_guided[slot] = False
+        self._slot_regex[slot] = None
         self._slot_spec[slot] = True
 
     # ------------------------------------------------------------------

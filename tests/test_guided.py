@@ -132,10 +132,11 @@ class TestEngineGuided:
             max_tokens=6, temperature=0.0)])
         assert free.completion_tokens <= 6
 
-    def test_two_regexes_in_flight_both_guided(self):
-        """Requests with different regexes in one batch: the second defers
-        until the first automaton drains, and BOTH outputs match their own
-        constraints (previously the second silently ran unguided)."""
+    def test_two_regexes_in_flight_both_guided_concurrently(self):
+        """Requests with DIFFERENT regexes decode in the same wave: both
+        automatons are resident in the flattened state arena, both slots
+        are live at once, and BOTH outputs match their own constraints
+        (round 1 silently unguided the second; round 2 deferred it)."""
         tok = ByteTokenizer()
         cfg = tiny_config(vocab_size=tok.vocab_size)
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
@@ -152,9 +153,25 @@ class TestEngineGuided:
             GenRequest(messages=[{"role": "user", "content": "code"}],
                        max_tokens=24, temperature=1.0, guided_regex=p2),
         ]
-        r1, r2 = engine.generate(reqs)
+        live_sets = []
+        orig = engine.decode_chunk_async
+
+        def spy(*a, **k):
+            live_sets.append({r for r, free in zip(engine._slot_regex,
+                                                   engine.slot_free)
+                              if r is not None and not free})
+            return orig(*a, **k)
+
+        engine.decode_chunk_async = spy
+        try:
+            r1, r2 = engine.generate(reqs)
+        finally:
+            engine.decode_chunk_async = orig
         assert match_full(compile_regex(p1), r1.text.encode()), r1.text
         assert match_full(compile_regex(p2), r2.text.encode()), r2.text
+        # concurrency proof: some decode wave carried BOTH regexes live
+        assert {p1, p2} in live_sets, live_sets
+        assert set(engine._arena) == {p1, p2}
 
 
 class TestAutomatonBucketing:
@@ -178,7 +195,59 @@ class TestAutomatonBucketing:
         start1 = eng._ensure_automaton(r"[0-9]{4}")
         shape1 = eng._allowed.shape
         assert shape1[0] in (64, 256, 1024, 4096)
-        eng._guided_regex = None  # force re-activation
         start2 = eng._ensure_automaton(r"[a-f]{2}-[0-9]{2}")
         assert eng._allowed.shape == shape1  # same bucket -> same executable
         assert start1 >= 1 and start2 >= 1
+        # both resident side by side in the arena, at distinct offsets
+        e1, e2 = eng._arena.values()
+        assert e1["offset"] + e1["n"] <= e2["offset"]
+        # re-requesting a resident regex is a no-op returning the same start
+        assert eng._ensure_automaton(r"[0-9]{4}") == start1
+
+
+class TestArenaCapacity:
+    """State-arena management: full-with-live defers (never drops), full
+    after drain resets, resident automatons survive alongside each other."""
+
+    def _engine(self):
+        tok = ByteTokenizer()
+        cfg = tiny_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        return Engine(params, cfg, tok, EngineConfig(
+            max_batch_size=2, max_seq_len=64, decode_chunk=4,
+            prefill_buckets=(64,), image_token_buckets=(16,),
+            dtype=jnp.float32))
+
+    def test_full_arena_with_live_slots_defers(self):
+        from karanta_tpu.inference.engine import GuidedRegexBusy
+
+        eng = self._engine()
+        p1 = r"[0-9]{6}"
+        eng.ARENA_MAX_ROWS = 1 + (
+            eng._compile_automaton_locked(p1).allowed.shape[0] - 1)
+        start = eng._ensure_automaton(p1)
+        assert start >= 1
+        # simulate a live guided slot on p1
+        eng.slot_free[0] = False
+        eng._slot_guided[0] = True
+        eng._slot_regex[0] = p1
+        p2 = r"[a-f]{2}"
+        assert not eng.guided_available(p2)
+        import pytest as _pytest
+
+        with _pytest.raises(GuidedRegexBusy):
+            eng._ensure_automaton(p2)
+        # the drained arena resets and admits the new regex
+        eng.free_slot(0)
+        assert eng.guided_available(p2)
+        start2 = eng._ensure_automaton(p2)
+        assert start2 >= 1
+        assert set(eng._arena) == {p2}
+
+    def test_oversized_regex_rejected_permanently(self):
+        eng = self._engine()
+        eng.ARENA_MAX_ROWS = 4
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            eng._ensure_automaton(r"[0-9]{64}")

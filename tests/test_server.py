@@ -130,9 +130,9 @@ class TestHTTPSurface:
         assert all(status == 200 for status, _ in results)
 
     def test_two_guided_regexes_concurrently(self, server_url):
-        """Two in-flight requests with different guided regexes: the server
-        defers the second until the first automaton drains; both responses
-        match their own constraints (OpenAI-compatible per-request guiding)."""
+        """Two in-flight requests with different guided regexes decode
+        concurrently (shared state arena); both responses match their own
+        constraints (OpenAI-compatible per-request guiding)."""
         from karanta_tpu.inference.guided import compile_regex, match_full
 
         p1, p2 = r"(?:yes|no): [0-9]{1,3}", r"[a-f]{2}-[0-9]{2}"
