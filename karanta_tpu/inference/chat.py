@@ -34,9 +34,21 @@ class ParsedPrompt:
     images: list[bytes]
 
 
+# sentinel payload the server substitutes for base64 image data it already
+# decoded straight off the request bytes (inference/server.py fast path);
+# alphabet-safe for _DATA_URL_RE
+RAW_IMAGE_SENTINEL = "KARANTARAW"
+
+
 def parse_openai_messages(messages: list[dict[str, Any]],
-                          system: Optional[str] = DEFAULT_SYSTEM) -> ParsedPrompt:
-    """Render OpenAI chat messages into the Qwen ChatML prompt string."""
+                          system: Optional[str] = DEFAULT_SYSTEM,
+                          raw_images: Optional[list[bytes]] = None
+                          ) -> ParsedPrompt:
+    """Render OpenAI chat messages into the Qwen ChatML prompt string.
+
+    raw_images: pre-decoded image bytes referenced by sentinel data URLs
+    (``data:image/png;base64,KARANTARAW<i>``) — lets the HTTP server skip
+    JSON-scanning and re-encoding multi-MB base64 payloads."""
     parts: list[str] = []
     images: list[bytes] = []
 
@@ -63,7 +75,13 @@ def parse_openai_messages(messages: list[dict[str, Any]],
                     if not match:
                         raise ValueError(
                             "Only data:image/...;base64 image URLs are supported")
-                    images.append(base64.b64decode(match.group(2)))
+                    payload = match.group(2)
+                    if (raw_images is not None
+                            and payload.startswith(RAW_IMAGE_SENTINEL)):
+                        images.append(
+                            raw_images[int(payload[len(RAW_IMAGE_SENTINEL):])])
+                    else:
+                        images.append(base64.b64decode(payload))
                     parts.append(f"{VISION_START}{IMAGE_PAD}{VISION_END}")
                 else:
                     raise ValueError(f"Unsupported content type {itype!r}")

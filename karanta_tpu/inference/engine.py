@@ -124,6 +124,9 @@ class GenRequest:
     # (speculate when the engine has --speculative-ngram), False = this
     # request prefers per-step decode.
     speculative: Optional[bool] = None
+    # pre-decoded image bytes for sentinel data URLs (the HTTP server's
+    # raw-body fast path; see chat.RAW_IMAGE_SENTINEL)
+    raw_images: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -411,7 +414,8 @@ class Engine:
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
             kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_len - 1]
-        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last,
+                                        act_quant=self._act_quant)
         return logits, _greedy_token(logits), cache
 
     def _prefill_fused_impl(self, params, pixel_values, perm, valid, pos_hw,
@@ -432,7 +436,8 @@ class Engine:
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
             kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_len - 1]
-        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last,
+                                        act_quant=self._act_quant)
         return logits, _greedy_token(logits), cache
 
     def _prefill_insert_impl(self, params, pixel_values, perm, valid, pos_hw,
@@ -457,7 +462,8 @@ class Engine:
             params["text"], self.cfg.text, emb[None], positions[:, None, :],
             kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_len - 1]
-        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last,
+                                        act_quant=self._act_quant)
         first = _greedy_token(logits)
         s = pcache.k.shape[3]
         if isinstance(cache, dec.Q4KVCache):
@@ -512,7 +518,8 @@ class Engine:
             params["text"], self.cfg.text, emb, positions, kv_mask=kv_mask,
             act_quant=self._act_quant)
         last = hidden[jnp.arange(n_images), true_len - 1]
-        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last,
+                                        act_quant=self._act_quant)
         return logits, _greedy_token(logits), cache
 
     def _insert_batch_impl(self, prefill_cache, cache, cache_len, next_pos,
@@ -566,7 +573,8 @@ class Engine:
             dec.KVCache(prefix_k, prefix_v), prefix_mask[None],
             kv_mask=kv_mask[None], act_quant=self._act_quant)
         last = hidden[0, true_suffix_len - 1]
-        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last)
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last,
+                                        act_quant=self._act_quant)
         return logits, _greedy_token(logits), cache
 
     def _insert_impl(self, prefill_cache, cache, cache_len, next_pos,
@@ -622,7 +630,8 @@ class Engine:
                 params["text"], self.cfg.text, emb, pos, cache,
                 jnp.minimum(cache_len, m - 1), attend_len=attend_len)
             logits = dec.logits_from_hidden(
-                params["text"], self.cfg.text, hidden[:, 0])
+                params["text"], self.cfg.text, hidden[:, 0],
+                act_quant=self._act_quant)
             if use_guided:  # static gate: the (B, V) mask gather + where
                 # costs real HBM every step; skip when no slot is guided
                 mask = allowed[dfa_state]  # (B, V)
@@ -693,7 +702,8 @@ class Engine:
                                              emb, positions, cache, cache_len,
                                              act_quant=self._act_quant)
             logits = dec.logits_from_hidden(params["text"], self.cfg.text,
-                                            hidden)
+                                            hidden,
+                                            act_quant=self._act_quant)
             if use_sampling:  # static gate: greedy batches keep the
                 # argmax-only executable (no gumbel/logsumexp work)
                 y, n_new = spec_verify_sampled(logits, draft, temps, step_key)
@@ -842,7 +852,8 @@ class Engine:
         return rgb
 
     def prepare(self, request: GenRequest) -> _Prepared:
-        parsed = chat.parse_openai_messages(request.messages)
+        parsed = chat.parse_openai_messages(
+            request.messages, raw_images=request.raw_images)
         image_feeds = []
         img_token_counts = []
         grids = []

@@ -22,17 +22,67 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import base64
 import dataclasses
 import json
 import logging
 import time
 import uuid
+from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Optional
 
+from karanta_tpu.inference.chat import RAW_IMAGE_SENTINEL
 from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
 
 logger = logging.getLogger("karanta_tpu.server")
+
+
+def extract_data_images(body: bytes) -> tuple[bytes, list[bytes]]:
+    """Pull base64 data-URL payloads out of a raw request body BEFORE JSON
+    parsing, replacing each with a short sentinel reference.
+
+    A 1288 px page is a ~1.7 MB base64 string; json.loads must scan it
+    byte-by-byte for escapes and materialize it as a str, and the chat
+    layer then b64-decodes from that str — measured milliseconds per page
+    of pure host overhead on the serving path. The base64 alphabet contains
+    no JSON escapes, so the payload can be sliced straight off the wire
+    bytes and b64-decoded zero-copy; anything surprising (an escape inside
+    the payload, malformed base64) falls back to the slow path untouched.
+    """
+    images: list[bytes] = []
+    out = bytearray()
+    view = memoryview(body)
+    copied = 0   # bytes [0, copied) already appended to `out`
+    search = 0   # where to look for the next data URL
+    while True:
+        i = body.find(b"data:image/", search)
+        if i < 0:
+            break
+        j = body.find(b";base64,", i, i + 40)
+        if j < 0:
+            search = i + 11
+            continue
+        start = j + 8
+        k = body.find(b'"', start)
+        if k < 0:
+            break
+        search = k
+        payload = view[start:k]
+        if b"\\" in payload:  # escaped char inside: not plain base64
+            continue
+        try:
+            raw = base64.b64decode(payload)
+        except Exception:
+            continue
+        out += view[copied:start]
+        out += f"{RAW_IMAGE_SENTINEL}{len(images)}".encode()
+        images.append(raw)
+        copied = k
+    if not images:
+        return body, images
+    out += view[copied:]
+    return bytes(out), images
 
 
 @dataclass
@@ -66,6 +116,10 @@ class InferenceServer:
         self.port: Optional[int] = None
         self.requests_served = 0
         self.completion_tokens_served = 0
+        # per-op host accounting of the serving path (seconds, cumulative);
+        # exposed under /metrics "prof" — the measured answer to "where does
+        # the HTTP surface spend the 1-core host" (VERDICT r2 #2)
+        self._prof: defaultdict = defaultdict(float)
 
     # ------------------------------------------------------------------
     # engine loop
@@ -122,10 +176,14 @@ class InferenceServer:
                             and self.engine.decode_headroom(steps)):
                         inflight = await asyncio.to_thread(
                             self.engine.decode_chunk_async)
+                    t0 = time.perf_counter()
                     toks = await asyncio.to_thread(collect)
+                    t1 = time.perf_counter()
                     self._distribute_lists({
                         slot: [int(t) for t in toks[:, slot]]
                         for slot in self.active})
+                    self._prof["decode_collect_s"] += t1 - t0
+                    self._prof["distribute_s"] += time.perf_counter() - t1
             else:
                 if inflight is not None:
                     # every slot finished via eos under the inflight chunk:
@@ -192,8 +250,10 @@ class InferenceServer:
                 max(1, self.engine.ecfg.max_seq_len - len(prepared.ids) - 1))
             try:
                 slot = self.engine.slot_free.index(True)
+                t0 = time.perf_counter()
                 first = await asyncio.to_thread(
                     self.engine.prefill_insert, slot, prepared)
+                self._prof["prefill_dispatch_s"] += time.perf_counter() - t0
                 wave.append((slot, prepared, future, stream_q, first))
             except GuidedRegexBusy:
                 # the regex table filled between the availability check and
@@ -268,8 +328,11 @@ class InferenceServer:
             return
         out_ids = [t for t in state.collected
                    if t != self.engine.tok.eos_token_id]
+        t0 = time.perf_counter()
+        text = self.engine.tok.decode(out_ids)
+        self._prof["detokenize_s"] += time.perf_counter() - t0
         result = {
-            "text": self.engine.tok.decode(out_ids),
+            "text": text,
             "finish_reason": reason,
             "prompt_tokens": int(len(state.prepared.ids)),
             "completion_tokens": len(state.collected),
@@ -335,6 +398,7 @@ class InferenceServer:
                 await self._respond(writer, 400, {"error": "bad request line"})
                 return
             content_length = 0
+            t0 = time.perf_counter()
             while True:
                 line = await reader.readline()
                 if line in (b"\r\n", b"\n", b""):
@@ -342,8 +406,11 @@ class InferenceServer:
                 name, _, value = line.decode("latin-1").partition(":")
                 if name.strip().lower() == "content-length":
                     content_length = int(value.strip())
+            t1 = time.perf_counter()
             body = (await reader.readexactly(content_length)
                     if content_length else b"")
+            self._prof["header_read_s"] += t1 - t0
+            self._prof["body_read_s"] += time.perf_counter() - t1
 
             if method == "GET" and path in ("/health", "/health/"):
                 await self._respond(writer, 200, {"status": "ok"})
@@ -366,6 +433,9 @@ class InferenceServer:
                     payload["spec_tokens_per_pass"] = round(
                         self.engine.spec_tokens
                         / max(1, self.engine.spec_passes), 3)
+                if self._prof:
+                    payload["prof"] = {k: round(v, 4)
+                                       for k, v in self._prof.items()}
                 await self._respond(writer, 200, payload)
             elif method == "POST" and path.rstrip("/").endswith("/chat/completions"):
                 await self._chat_completions(writer, body)
@@ -388,13 +458,20 @@ class InferenceServer:
 
     async def _chat_completions(self, writer, body: bytes):
         try:
+            t0 = time.perf_counter()
+            body, raw_images = extract_data_images(body)
+            t1 = time.perf_counter()
             payload = json.loads(body)
             messages = payload["messages"]
+            self._prof["extract_images_s"] += t1 - t0
+            self._prof["json_parse_s"] += time.perf_counter() - t1
+            self._prof["requests"] += 1
         except (json.JSONDecodeError, KeyError) as exc:
             await self._respond(writer, 400, {"error": f"bad request: {exc}"})
             return
 
         request = GenRequest(
+            raw_images=raw_images or None,
             messages=messages,
             max_tokens=int(payload.get("max_tokens", 4000)),
             temperature=float(payload.get("temperature", 0.0)),

@@ -760,12 +760,19 @@ def decode_multi(params: Params, cfg: TextConfig,
 
 
 def logits_from_hidden(params: Params, cfg: TextConfig,
-                       hidden: jnp.ndarray) -> jnp.ndarray:
+                       hidden: jnp.ndarray,
+                       act_quant: bool = False) -> jnp.ndarray:
+    """Hidden -> vocab logits. The LM head is COMPUTE-bound even at decode
+    (B rows x hidden x 152k vocab), so with act_quant the activations
+    quantize per token onto the MXU's 2x int8 path — applied identically in
+    per-step decode, prefill tails, and the speculative verify pass so the
+    three paths stay token-exact with each other."""
+    mm = matmul_w8a8 if act_quant else qmm
     if "logits_head" in params:  # int8 table for tied embeddings
-        return qmm(hidden, params["logits_head"])
+        return mm(hidden, params["logits_head"])
     if cfg.tie_word_embeddings:
         return hidden @ params["embed"].T
-    return qmm(hidden, params["lm_head"])
+    return mm(hidden, params["lm_head"])
 
 
 def embed_tokens(params: Params, token_ids: jnp.ndarray) -> jnp.ndarray:

@@ -102,6 +102,17 @@ async def amain():
               flush=True)
     print(f"HTTP full-stack: {best:.4f} pages/s/chip "
           f"(preset={preset} batch={batch} tokens={max_tokens})", flush=True)
+    from karanta_tpu.pipeline.http import aget
+
+    _, metrics_body = await aget(f"http://127.0.0.1:{port}/metrics")
+    import json as _json
+
+    prof = _json.loads(metrics_body).get("prof", {})
+    n = max(1, prof.get("requests", 1))
+    print("server per-op accounting (ms/request): "
+          + ", ".join(f"{k[:-2]}={1000 * v / n:.2f}"
+                      for k, v in sorted(prof.items()) if k.endswith("_s")),
+          flush=True)
     await server.stop()
 
 

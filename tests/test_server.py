@@ -276,3 +276,51 @@ class TestNativeCheckpointServing:
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g, np.float32),
                                           np.asarray(w, np.float32))
+
+
+class TestExtractDataImages:
+    """Raw-body base64 extraction (the HTTP host fast path): payloads are
+    sliced off the wire bytes before JSON parsing; anything surprising
+    falls back to the slow path untouched."""
+
+    def test_extracts_and_replaces(self):
+        import base64 as b64
+
+        from karanta_tpu.inference.server import extract_data_images
+
+        raw1, raw2 = b"\x89PNG fake bytes 1", b"second image bytes"
+        body = json.dumps({"messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {
+                "url": "data:image/png;base64,"
+                       + b64.b64encode(raw1).decode()}},
+            {"type": "text", "text": "and data:image/ in text is fine"},
+            {"type": "image_url", "image_url": {
+                "url": "data:image/jpeg;base64,"
+                       + b64.b64encode(raw2).decode()}},
+        ]}]}).encode()
+        new_body, images = extract_data_images(body)
+        assert images == [raw1, raw2]
+        payload = json.loads(new_body)  # still valid JSON
+        urls = [item["image_url"]["url"]
+                for item in payload["messages"][0]["content"]
+                if item["type"] == "image_url"]
+        assert urls == ["data:image/png;base64,KARANTARAW0",
+                        "data:image/jpeg;base64,KARANTARAW1"]
+
+    def test_escaped_payload_falls_back(self):
+        from karanta_tpu.inference.server import extract_data_images
+
+        # an escape sequence inside the payload: not plain base64 -> leave it
+        body = b'{"url": "data:image/png;base64,abc\\/def"}'
+        new_body, images = extract_data_images(body)
+        assert new_body == body and images == []
+
+    def test_sentinel_resolves_in_chat_layer(self):
+        from karanta_tpu.inference.chat import parse_openai_messages
+
+        raw = b"raw image bytes"
+        messages = [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {
+                "url": "data:image/png;base64,KARANTARAW0"}}]}]
+        parsed = parse_openai_messages(messages, raw_images=[raw])
+        assert parsed.images == [raw]
