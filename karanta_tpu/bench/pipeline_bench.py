@@ -110,8 +110,8 @@ def build_engine(args, cfg, dtype):
         quantize = None  # int8 fusion targets the TPU path
     params, engine_quantize = init_params_bench(cfg, dtype, quantize)
     prefill_buckets = tuple(
-        b for b in (512, 1024, 1536, 2048, 4096) if b <= args.max_seq_len) \
-        or (args.max_seq_len,)
+        b for b in (512, 1024, 1536, 2048, 2432, 4096)
+        if b <= args.max_seq_len) or (args.max_seq_len,)
     ecfg = EngineConfig(
         max_batch_size=args.batch,
         max_seq_len=args.max_seq_len,
@@ -261,8 +261,12 @@ def add_args(parser: argparse.ArgumentParser) -> None:
                         help="per-page completion budget (matches bench.py)")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--max-seq-len", dest="max_seq_len", type=int,
-                        default=2048,
-                        help="KV bucket: ~1450-token prompt + 512 decode")
+                        default=2816,
+                        help="KV bucket: the pipeline's real prompt is "
+                             "~2290 byte-tokens (olmOCR prompt text + "
+                             "~1630 image tokens at 1288 px) + 512 decode "
+                             "= 2801. 2944 at B64 OOMs the 16 GB chip by "
+                             "28 MB; 2816 fits")
     parser.add_argument("--decode-chunk", dest="decode_chunk", type=int,
                         default=64)
     parser.add_argument("--page-dim", dest="page_dim", type=int,
@@ -325,7 +329,9 @@ def run(args) -> dict:
     enable_compilation_cache()
 
     if args.batch is None:
-        args.batch = 80 if "7b" in args.preset.lower() else 128
+        # 64 at 7B: the 2944-row int8 KV bucket is ~62 KB/row-slot, so 80
+        # slots (6.4 GB) + 9.5 GB int8 weights OOM the 16 GB chip; 64 fits
+        args.batch = 64 if "7b" in args.preset.lower() else 128
     if args.kv_quantize is None:
         args.kv_quantize = "int8"
 

@@ -424,6 +424,10 @@ class InferenceServer:
                 payload = {
                     "running": len(self.active),
                     "waiting": self.queue.qsize() + len(self._staged),
+                    # decode-slot capacity: lets admission control fast-ramp
+                    # while the engine is starved instead of pacing releases
+                    # on the timer (runner.admission_controller)
+                    "slots": self.engine.ecfg.max_batch_size,
                     "requests_served": self.requests_served,
                 }
                 if getattr(self.engine, "spec_passes", 0):

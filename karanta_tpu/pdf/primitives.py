@@ -115,6 +115,16 @@ def _render_native(local_pdf_path: str, page_num: int,
         im_el = report.image_elements[0]
         coverage = ((im_el.x1 - im_el.x0) * (im_el.y1 - im_el.y0)) / (page_w * page_h)
         if coverage > 0.5:
+            if not visible_texts:
+                # scanned-page fast path: the embedded JPEG already is the
+                # page at (about) the requested resolution — ship its bytes
+                # untouched instead of decode -> resize -> PNG-encode
+                # (~250 ms/page of host work on a 1-core pipeline host;
+                # downstream consumers sniff JPEG vs PNG from the bytes)
+                raw_jpeg = _dominant_jpeg_passthrough(
+                    doc, xobjects, target_longest_image_dim)
+                if raw_jpeg is not None:
+                    return base64.b64encode(raw_jpeg).decode("utf-8")
             dominant = _decode_embedded_image(doc, xobjects)
     if dominant is not None and not visible_texts:
         dominant.thumbnail(
@@ -144,6 +154,45 @@ def _render_native(local_pdf_path: str, page_num: int,
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+def _dominant_jpeg_passthrough(doc, xobjects, target_longest_image_dim):
+    """Raw JPEG bytes of the page's single image XObject, when shipping them
+    unmodified is pixel-faithful to rasterizing at the target dim: plain
+    DCTDecode (no SMask/Mask/Decode remapping, no extra filters) and the
+    native longest side within 4% of the target (a pdftoppm render would
+    reproduce the same pixels modulo resampling). Returns None otherwise."""
+    from karanta_tpu.pdf.minipdf import Name, Stream
+
+    streams = [xo for xo in ((doc.resolve(ref)) for ref in
+                             (xobjects or {}).values())
+               if isinstance(xo, Stream)
+               and doc.resolve(xo.dict.get(Name("Subtype"))) == Name("Image")]
+    if len(streams) != 1:
+        return None
+    xo = streams[0]
+    filt = doc.resolve(xo.dict.get(Name("Filter")))
+    filters = [doc.resolve(f)
+               for f in (filt if isinstance(filt, list) else [filt])]
+    if filters != [Name("DCTDecode")]:
+        return None
+    for key in ("SMask", "Mask", "Decode"):
+        if xo.dict.get(Name(key)) is not None:
+            return None
+    cs = doc.resolve(xo.dict.get(Name("ColorSpace")))
+    if cs not in (Name("DeviceRGB"), Name("DeviceGray"), None):
+        return None  # CMYK/ICC/indexed JPEGs need a real decode
+    width = int(doc.resolve(xo.dict.get(Name("Width"), 0)) or 0)
+    height = int(doc.resolve(xo.dict.get(Name("Height"), 0)) or 0)
+    longest = max(width, height)
+    if not longest:
+        return None
+    if abs(longest - target_longest_image_dim) / target_longest_image_dim \
+            > 0.04:
+        return None
+    if not xo.raw.startswith(b"\xff\xd8"):
+        return None
+    return xo.raw
 
 
 def _decode_embedded_image(doc, xobjects):

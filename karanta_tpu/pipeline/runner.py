@@ -476,15 +476,22 @@ async def admission_controller(args, semaphore: asyncio.Semaphore,
 
         running = int(data.get("running", 0))
         waiting = int(data.get("waiting", 0))
+        slots = int(data.get("slots", 0))
         if running < last_running:
             running_decreased = True
         last_running = running
         peak_running = max(peak_running, running)
 
+        # a starved engine (idle slots, empty queue) cannot be overloaded:
+        # ramp at the poll cadence until it saturates. Servers that don't
+        # advertise slot capacity (vLLM) keep the timed ramp only.
+        starved = slots > 0 and waiting == 0 and running < slots
+        min_gap = (args.admission_poll_interval if starved
+                   else args.admission_release_interval)
         if (waiting <= int(peak_running * 0.2)
-                and now - last_release > args.admission_release_interval
+                and now - last_release > min_gap
                 and semaphore.locked()
-                and (running == 0 or running_decreased)):
+                and (starved or running == 0 or running_decreased)):
             semaphore.release()
             running_decreased = False
             last_release = now

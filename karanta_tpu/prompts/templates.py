@@ -48,12 +48,16 @@ def create_vision_message(prompt_template: Template,
         rendered = prompt_template.render({"base_text": anchor_text})
     else:
         rendered = prompt_template.render()
+    # the renderer's scanned-page fast path ships the embedded JPEG bytes
+    # untouched; label the data URL to match the bytes ("/9j/" is base64 of
+    # the JPEG SOI marker) for servers that trust the MIME type
+    mime = "image/jpeg" if image_base64.startswith("/9j/") else "image/png"
     return [{
         "role": "user",
         "content": [
             {"type": "text", "text": rendered},
             {"type": "image_url",
-             "image_url": {"url": f"data:image/png;base64,{image_base64}"}},
+             "image_url": {"url": f"data:{mime};base64,{image_base64}"}},
         ],
     }]
 

@@ -92,6 +92,15 @@ def parse_args(argv=None):
                         "used by the fast CI variant where every glyph class "
                         "must appear in training)")
     p.add_argument("--port", type=int, default=0, help="0 = pick a free port")
+    p.add_argument("--time-pipeline", action="store_true",
+                   help="run the pipeline phase twice — one untimed warmup "
+                        "pass (compiles), one timed pass — and record "
+                        "pages/s in the report (the speculative-decoding "
+                        "throughput measurement)")
+    p.add_argument("--serve-batch", type=int, default=4,
+                   help="server decode slots")
+    p.add_argument("--decode-chunk", type=int, default=8)
+    p.add_argument("--pipeline-workers", type=int, default=4)
     return p.parse_args(argv)
 
 
@@ -178,8 +187,9 @@ def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
     cmd = [sys.executable, "-m", "karanta_tpu.inference.server",
            "--native-checkpoint", ckpt_dir, "--preset", "tiny",
            "--host", "127.0.0.1", "--port", str(port),
-           "--max-batch-size", "4", "--max-model-len",
-           str(args.max_model_len), "--decode-chunk", "8"]
+           "--max-batch-size", str(args.serve_batch), "--max-model-len",
+           str(args.max_model_len), "--decode-chunk",
+           str(args.decode_chunk)]
     if args.speculative_ngram:
         cmd += ["--speculative-ngram", str(args.speculative_ngram)]
     proc = subprocess.Popen(
@@ -217,7 +227,7 @@ def run_pipeline(args, port: int) -> dict[str, str]:
         workspace,
         "--pdfs", *pdfs,
         "--server", f"http://127.0.0.1:{port}/v1",
-        "--workers", "4",
+        "--workers", str(args.pipeline_workers),
         "--pages_per_group", "8",
         "--max_page_retries", "3",
         "--target_longest_image_dim", "128",
@@ -278,6 +288,11 @@ def score(args, manifest: list[tuple[str, str]],
                     f"{summary['spec_tokens_per_pass']} "
                     f"({summary['spec_tokens']} tokens / "
                     f"{summary['spec_passes']} passes; plain decode = 1.0)\n")
+        if "pipeline_pages_per_sec" in summary:
+            f.write(f"- pipeline throughput (timed 2nd pass): "
+                    f"{summary['pipeline_pages_per_sec']} pages/s "
+                    f"({summary['pages']} pages in "
+                    f"{summary['pipeline_elapsed_s']}s)\n")
         f.write("\n")
         f.write("| page | truth | pipeline output | CER |\n|---|---|---|---|\n")
         for name, truth, got, c in rows:
@@ -297,6 +312,18 @@ def main(argv=None):
     spec_metrics = {}
     try:
         outputs = run_pipeline(args, port)
+        if args.time_pipeline:
+            # pass 1 above triggered every compile; this pass is the
+            # measurement (same held-out corpus, fresh work queue)
+            t0 = time.time()
+            outputs = run_pipeline(args, port)
+            elapsed = time.time() - t0
+            spec_metrics["pipeline_elapsed_s"] = round(elapsed, 3)
+            spec_metrics["pipeline_pages_per_sec"] = round(
+                len(manifest) / elapsed, 4)
+            print(f"timed pipeline pass: {len(manifest)} pages in "
+                  f"{elapsed:.1f}s = {len(manifest)/elapsed:.3f} pages/s",
+                  flush=True)
         if args.speculative_ngram:
             # acceptance observability: tokens emitted per verify pass
             # (plain decode = 1.0/step) — the n-gram drafter's measured

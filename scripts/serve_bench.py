@@ -26,7 +26,7 @@ async def amain():
     import jax
     import jax.numpy as jnp
 
-    from bench import init_params_bench, make_page_png
+    from bench import init_params_bench
     from karanta_tpu.inference.engine import Engine, EngineConfig
     from karanta_tpu.inference.server import InferenceServer
     from karanta_tpu.inference.tokenizer import ByteTokenizer
@@ -60,10 +60,32 @@ async def amain():
     url = f"http://127.0.0.1:{port}/v1/chat/completions"
     print(f"server on :{port}", flush=True)
 
-    # pre-generate distinct pages OUTSIDE the timed runs (PNG encoding is
-    # ~150 ms/page on this 1-core host and must not pollute the measurement)
+    # pre-generate distinct pages OUTSIDE the timed runs (image encoding is
+    # host work that must not pollute the measurement). JPEG q92 matches
+    # what the pipeline now ships (pdf/primitives.py scanned-page JPEG
+    # pass-through), and the server's host decode is ~2x cheaper than PNG.
     print("generating pages...", flush=True)
-    pages_b64 = [make_page_png(seed=i) for i in range(pages)]
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def make_page_jpeg(seed: int) -> str:
+        rng = np.random.default_rng(seed)
+        h, w = 1288, 994
+        page = np.full((h, w), 235, np.uint8)
+        for y in range(60, h - 60, 22):
+            line = rng.integers(0, 2, size=(12, w - 120)) * rng.integers(
+                100, 200, size=(12, w - 120))
+            page[y:y + 12, 60:w - 60] = np.minimum(
+                page[y:y + 12, 60:w - 60], 255 - line).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(np.stack([page] * 3, axis=-1)).save(
+            buf, format="JPEG", quality=92)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    pages_b64 = [make_page_jpeg(seed=i) for i in range(pages)]
 
     def body(i: int) -> dict:
         return {
@@ -76,7 +98,7 @@ async def amain():
                     {"type": "text", "text": "Return the plain text of this "
                                              "document.\n"},
                     {"type": "image_url",
-                     "image_url": {"url": "data:image/png;base64,"
+                     "image_url": {"url": "data:image/jpeg;base64,"
                                           + pages_b64[i % len(pages_b64)]}},
                 ],
             }],

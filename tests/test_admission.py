@@ -81,6 +81,39 @@ class TestAdmissionController:
 
         asyncio.run(run())
 
+    def test_starved_engine_fast_ramps(self, tmp_path):
+        """A server advertising idle decode slots (running < slots, empty
+        queue) releases at the poll cadence, bypassing both the release
+        timer and the running-decreased gate — an under-filled engine can't
+        be overloaded by admitting more work."""
+        server = FakeOpenAIServer()
+        # same running/waiting as test_no_release_while_running_grows, but
+        # the server advertises capacity: 3 of 64 slots busy
+        server.metrics = {"running": 3, "waiting": 0, "slots": 64}
+
+        async def run():
+            await server.start()
+            try:
+                args = _args(tmp_path, server.url,
+                             admission_poll_interval=0.02,
+                             admission_release_interval=60.0)
+                sem = asyncio.Semaphore(1)
+                await sem.acquire()
+                stop = asyncio.Event()
+                task = asyncio.create_task(
+                    admission_controller(args, sem, stop))
+                for _ in range(100):
+                    if not sem.locked():
+                        break
+                    await asyncio.sleep(0.02)
+                assert not sem.locked(), "starved engine never fast-ramped"
+                stop.set()
+                await task
+            finally:
+                await server.stop()
+
+        asyncio.run(run())
+
 
 class TestAdmissionFallback:
     def test_unreachable_metrics_releases_on_timer(self, tmp_path):

@@ -207,3 +207,60 @@ class TestPrimitives:
         b64 = render_pdf_to_base64png(str(path), 1, 256)
         img = Image.open(io.BytesIO(base64.b64decode(b64)))
         assert img.size == (64, 64)
+
+    def test_scanned_jpeg_passthrough(self, tmp_path):
+        """Scanned page whose embedded JPEG already sits at the requested
+        resolution: the renderer ships the raw DCTDecode bytes untouched
+        (no decode/resize/re-encode on the pipeline host)."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+
+        rng = np.random.default_rng(7)
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG", quality=90)
+        raw = buf.getvalue()
+        pdf_bytes = convert_image_to_pdf_bytes(raw, text_layer="ocr layer")
+        path = tmp_path / "scan3.pdf"
+        path.write_bytes(pdf_bytes)
+        out = base64.b64decode(render_pdf_to_base64png(str(path), 1, 128))
+        assert out == raw  # byte-identical pass-through
+
+    def test_jpeg_passthrough_skips_offsize(self, tmp_path):
+        """Same scanned page but the embedded JPEG is half the requested
+        resolution: pass-through must NOT fire (the consumer asked for 256
+        px; ship a real resize instead of lying about resolution)."""
+        from PIL import Image
+
+        from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+
+        rng = np.random.default_rng(8)
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG", quality=90)
+        pdf_bytes = convert_image_to_pdf_bytes(buf.getvalue())
+        path = tmp_path / "scan4.pdf"
+        path.write_bytes(pdf_bytes)
+        out = base64.b64decode(render_pdf_to_base64png(str(path), 1, 256))
+        assert is_png(out)
+        img = Image.open(io.BytesIO(out))
+        assert max(img.size) == 128  # image-only path, native resolution
+
+    def test_vision_message_mime_follows_bytes(self):
+        """The data-URL MIME must match the payload: pass-through pages are
+        JPEG ("/9j/" = base64 SOI), rendered pages are PNG."""
+        from karanta_tpu.prompts.templates import (
+            create_vision_message, load_prompt_template,
+        )
+
+        tmpl = load_prompt_template("olmo_ocr_system_prompt_no_anchor")
+        jpeg_b64 = base64.b64encode(b"\xff\xd8\xff\xe0 fake").decode()
+        png_b64 = base64.b64encode(b"\x89PNG fake").decode()
+        for payload, mime in ((jpeg_b64, "image/jpeg"),
+                              (png_b64, "image/png")):
+            msg = create_vision_message(tmpl, None, payload)
+            url = msg[0]["content"][1]["image_url"]["url"]
+            assert url.startswith(f"data:{mime};base64,")
