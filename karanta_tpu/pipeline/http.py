@@ -29,7 +29,11 @@ async def apost(url: str, json_data: dict,
     if parsed.query:
         path += "?" + parsed.query
 
-    payload = json.dumps(json_data).encode("utf-8")
+    # bytes pass through untouched: callers on hot paths (serve_bench, the
+    # pipeline's per-page POST) pre-serialize once instead of re-encoding a
+    # multi-hundred-KB body dict per attempt
+    payload = (json_data if isinstance(json_data, (bytes, bytearray))
+               else json.dumps(json_data).encode("utf-8"))
     headers = [
         f"POST {path} HTTP/1.1",
         f"Host: {host}",
