@@ -242,6 +242,18 @@ async def run_bench(args) -> dict:
     if getattr(engine, "spec_passes", 0):
         detail["spec_tokens_per_pass"] = round(
             engine.spec_tokens / max(1, engine.spec_passes), 3)
+    for key in ("render_ms", "render_wait_ms", "http_ms"):
+        if key in totals:
+            detail[f"client_{key}_per_page"] = round(
+                totals[key] / max(1, args.pages), 2)
+    prof = dict(getattr(server, "_prof", {}) or {})
+    reqs = max(1, prof.pop("requests", 1))
+    if prof:
+        # server-side per-op wall ms/request (see serve_bench: body_read and
+        # decode_collect are waits, the rest is host work)
+        detail["server_prof_ms_per_req"] = {
+            k[:-2]: round(1000 * v / reqs, 2)
+            for k, v in sorted(prof.items()) if k.endswith("_s")}
     return {
         "metric": "pipeline_pages_per_sec_per_chip",
         "value": round(rate / n_chips, 4),

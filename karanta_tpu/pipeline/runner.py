@@ -22,6 +22,7 @@ import logging
 import os
 import sys
 import tempfile
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -121,10 +122,17 @@ async def build_page_query(local_pdf_path: str, page: int,
     assert image_rotation in (0, 90, 180, 270), "invalid rotation"
     template = load_prompt_template(prompt_key, prompt_path)
 
+    t0 = time.perf_counter()
     async with _render_sem():
+        t1 = time.perf_counter()
         image_base64, anchor_text = await asyncio.to_thread(
             prepare_image_and_text, local_pdf_path, page,
             target_longest_image_dim, 4000, True)
+    # client-side accounting (totals; consumers divide by pages):
+    # render_wait = queueing for the bounded render pool, render = the
+    # rasterize+anchor thread itself
+    metrics.add_metrics(render_wait_ms=1000 * (t1 - t0),
+                        render_ms=1000 * (time.perf_counter() - t1))
 
     if image_rotation:
         from PIL import Image
@@ -196,8 +204,11 @@ async def process_page(args, worker_id: int, pdf_orig_path: str,
             query["guided_regex"] = GUIDED_REGEX
 
         try:
+            t_post = time.perf_counter()
             status, body = await apost(completion_url, query,
                                        api_key=getattr(args, "api_key", None))
+            metrics.add_metrics(
+                http_ms=1000 * (time.perf_counter() - t_post))
             if status in (400, 500):
                 raise ValueError(f"server returned {status}: {body[:500]!r}")
             if status == 429:
@@ -433,8 +444,6 @@ async def admission_controller(args, semaphore: asyncio.Semaphore,
     poll. Keeps the engine saturated without letting its queue grow
     unboundedly.
     """
-    import time
-
     base = args.server.rstrip("/")
     if base.endswith("/v1"):
         base = base[: -len("/v1")]

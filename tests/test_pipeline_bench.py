@@ -63,6 +63,10 @@ class TestPipelineBench:
         assert len(docs) == 4
         for doc in docs:
             assert doc["metadata"]["total-fallback-pages"] == 1
+        # host-attribution accounting rides along: server per-op profile
+        # plus client render/http totals (ms) land in the detail block
+        prof = detail["server_prof_ms_per_req"]
+        assert prof["body_read"] >= 0 and prof["extract_images"] >= 0
 
     def test_text_layer_corpus_has_anchors(self, tmp_path):
         paths = pipeline_bench.build_corpus(
