@@ -62,20 +62,20 @@ def scale_by_muon(beta: float = 0.95, ns_steps: int = 5,
 
     def update(grads, state, params=None):
         del params
+        # two maps, no tuple-leaf packing: a param tree may contain empty
+        # tuples as internal nodes, which an is_leaf=isinstance(.., tuple)
+        # repack would misread as leaves and crash on
+        new_momentum = jax.tree.map(
+            lambda g, m: beta * m + (1.0 - beta) * g, grads, state.momentum)
 
-        def one(g, m):
-            new_m = beta * m + (1.0 - beta) * g
+        def one(g, new_m):
             u = (1.0 - beta) * g + beta * new_m if nesterov else new_m
             if g.ndim >= 2:
                 u = orthogonalize(u, steps=ns_steps)
                 u = u * jnp.sqrt(jnp.maximum(1.0, g.shape[-2] / g.shape[-1]))
-            return u, new_m
+            return u
 
-        flat = jax.tree.map(one, grads, state.momentum)
-        updates = jax.tree.map(lambda t: t[0], flat,
-                               is_leaf=lambda x: isinstance(x, tuple))
-        new_momentum = jax.tree.map(lambda t: t[1], flat,
-                                    is_leaf=lambda x: isinstance(x, tuple))
+        updates = jax.tree.map(one, grads, new_momentum)
         return updates, MuonState(new_momentum)
 
     return optax.GradientTransformation(init, update)

@@ -309,3 +309,39 @@ class TestGradAccumBf16:
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
         del optax
+
+    def test_muon_full_param_step_on_model_tree(self):
+        """make_optimizer('muon') must run a full-parameter train step on
+        the REAL model param tree — which contains empty-tuple pytree nodes
+        that a tuple-leaf repack in scale_by_muon misread as leaves — and
+        the loss must decrease on a repeated batch (the optimizer
+        optimizes, not just runs)."""
+        import jax
+        import jax.numpy as jnp
+
+        from karanta_tpu.models.qwen25_vl.config import tiny_config
+        from karanta_tpu.models.qwen25_vl.layout import mrope_positions
+        from karanta_tpu.models.qwen25_vl.model import init_params
+        from karanta_tpu.training.optimizer import make_optimizer
+        from karanta_tpu.training.train_step import (
+            create_train_state, make_train_step,
+        )
+
+        cfg = tiny_config()
+        params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+        opt = make_optimizer("muon", 1e-3)
+        state = create_train_state(params, opt)
+        step = jax.jit(make_train_step(cfg, opt))
+        rng = np.random.default_rng(2)
+        ids = rng.integers(3, 400, size=(2, 16))
+        pos = np.stack([mrope_positions(r, [], cfg.image_token_id)
+                        for r in ids], axis=1)
+        batch = {"token_ids": jnp.asarray(ids),
+                 "positions": jnp.asarray(pos),
+                 "labels": jnp.asarray(ids)}
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
