@@ -41,6 +41,9 @@ def main():
     p.add_argument("--optimizer", default="muon", choices=["muon", "adamw"])
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--no-guards", action="store_true",
+                   help="drop grad-clip + apply_if_finite (each can pin an "
+                        "extra state-sized buffer at the 16 GB boundary)")
     args = p.parse_args()
 
     from karanta_tpu.utils.compile_cache import enable_compilation_cache
@@ -67,7 +70,11 @@ def main():
     jax.block_until_ready(params)
     print(f"init params: {time.time() - t0:.1f}s")
 
-    opt = make_optimizer(args.optimizer, args.lr)
+    if args.no_guards:
+        opt = make_optimizer(args.optimizer, args.lr,
+                             max_grad_norm=None, skip_nonfinite=False)
+    else:
+        opt = make_optimizer(args.optimizer, args.lr)
     state = create_train_state(params, opt)
     del params  # the state holds the only copy; free before compile
     step = jax.jit(make_train_step(cfg, opt, remat=not args.no_remat),
