@@ -117,13 +117,26 @@ def restore_checkpoint(path: str, target: Any) -> tuple[Any, dict]:
     """Restore a pytree state saved by save_checkpoint.
 
     `target` is an example pytree (same structure/shapes/dtypes/shardings).
+    With target=None the restore is cross-platform safe: orbax's bare
+    target-less restore replays the SAVED sharding metadata, whose device
+    names belong to the saving process (a CPU-trained checkpoint served on
+    a TPU host dies with "Device TFRT_CPU_0 was not found"). Instead we
+    build an abstract target from the checkpoint's own shapes/dtypes with
+    every array placed on this process's default device.
     Returns (state, metadata).
     """
+    import jax
     import orbax.checkpoint as ocp
 
     checkpointer = ocp.StandardCheckpointer()
-    state = checkpointer.restore(
-        os.path.abspath(os.path.join(path, "state")), target)
+    state_path = os.path.abspath(os.path.join(path, "state"))
+    if target is None:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        target = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding),
+            checkpointer.metadata(state_path).item_metadata)
+    state = checkpointer.restore(state_path, target)
     meta_path = os.path.join(path, "metadata.json")
     metadata = {}
     if os.path.exists(meta_path):

@@ -331,10 +331,11 @@ def main(argv=None):
             with urllib.request.urlopen(
                     f"http://127.0.0.1:{port}/metrics", timeout=5) as r:
                 m = json.loads(r.read())
-            spec_metrics = {k: m[k] for k in
-                            ("spec_passes", "spec_tokens",
-                             "spec_tokens_per_pass") if k in m}
-            print(f"speculative decoding: {spec_metrics}", flush=True)
+            spec = {k: m[k] for k in
+                    ("spec_passes", "spec_tokens",
+                     "spec_tokens_per_pass") if k in m}
+            spec_metrics.update(spec)  # keep the --time-pipeline numbers
+            print(f"speculative decoding: {spec}", flush=True)
     finally:
         proc.terminate()
         try:

@@ -170,6 +170,39 @@ class TestTrainLoop:
         metrics2 = main(argv2 + ["--resume_from_checkpoint", "auto"])
         assert metrics2["step"] == 4
 
+    def test_targetless_restore_ignores_saved_shardings(self, tmp_path):
+        """restore_params must rebuild its target from the checkpoint's own
+        shape/dtype metadata and place arrays on THIS process's default
+        device. orbax's bare target-less restore replays the sharding
+        metadata written at save time, whose device names belong to the
+        saving host — a CPU-trained checkpoint served on a TPU host died
+        with "Device TFRT_CPU_0 was not found in jax.local_devices()"."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from karanta_tpu.parallel import MeshConfig, create_mesh
+        from karanta_tpu.training.checkpoint import (restore_params,
+                                                     save_checkpoint)
+        from karanta_tpu.training.train_step import create_train_state
+
+        mesh = create_mesh(MeshConfig(data=len(jax.devices())))
+        sharding = NamedSharding(mesh, P("data"))
+        params = {"w": jax.device_put(
+            jnp.arange(16, dtype=jnp.float32).reshape(8, 2), sharding)}
+        state = create_train_state(params, optax.adamw(1e-4))
+        save_checkpoint(str(tmp_path), 5, state)
+
+        restored, meta = restore_params(str(tmp_path / "step_5"))
+        assert meta["step"] == 5
+        leaf = jax.tree.leaves(restored)[0]
+        # saved 8-way sharded; restored on the single default device
+        assert leaf.sharding == jax.sharding.SingleDeviceSharding(
+            jax.devices()[0])
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(params["w"]))
+
     def test_gradient_checkpointing_matches(self, tmp_path):
         """remat (per-layer decoder body + per-block vision encode) changes
         memory, not numerics: same data + seed, same final loss."""
