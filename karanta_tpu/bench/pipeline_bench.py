@@ -61,6 +61,24 @@ def page_text(seed: int, n_lines: int = 40, words_per_line: int = 9) -> str:
     return "\n".join(lines)
 
 
+def forced_page_text(seed: int, error_rate: float,
+                     n_lines: int = 40) -> str:
+    """The completion a real checkpoint would emit for page `seed`: its own
+    text layer, word-perturbed at `error_rate` to model OCR-vs-anchor
+    divergence (the anchor in the prompt is the exact layer; a real model's
+    transcript differs by its error rate, which is what bounds n-gram
+    acceptance). Deterministic per page."""
+    text = page_text(seed, n_lines=n_lines)
+    if not error_rate:
+        return text
+    rng = np.random.default_rng(7000 + seed)
+    words = text.split(" ")
+    for i in range(len(words)):
+        if rng.random() < error_rate:
+            words[i] = _WORDS[int(rng.integers(0, len(_WORDS)))]
+    return " ".join(words)
+
+
 def make_page_array(seed: int, height: int = 1288,
                     width: int = 994) -> "np.ndarray":
     """Text-like page content at pipeline render dims (1288 px longest side,
@@ -77,7 +95,8 @@ def make_page_array(seed: int, height: int = 1288,
 
 
 def build_corpus(root: str, n_pages: int, text_layer: bool,
-                 height: int = 1288, width: Optional[int] = None) -> list[str]:
+                 height: int = 1288, width: Optional[int] = None,
+                 n_lines: int = 40) -> list[str]:
     """Write n_pages single-page scanned PDFs; with text_layer each carries
     an invisible OCR-style text layer (anchor-extractable — the workload
     where the pipeline auto-enables speculation)."""
@@ -90,7 +109,8 @@ def build_corpus(root: str, n_pages: int, text_layer: bool,
     for i in range(n_pages):
         pdf = page_to_pdf_bytes(
             make_page_array(i, height, width),
-            text_layer=page_text(i) if text_layer else None)
+            text_layer=(page_text(i, n_lines=n_lines)
+                        if text_layer else None))
         path = os.path.join(root, f"page_{i:04d}.pdf")
         with open(path, "wb") as f:
             f.write(pdf)
@@ -126,6 +146,7 @@ def build_engine(args, cfg, dtype):
         act_quant=("int8" if quantize == "int8"
                    and args.act_quant != "none" else None),
         speculative_ngram=args.speculative_ngram,
+        teacher_force=getattr(args, "teacher_force", False),
     )
     tok = ByteTokenizer()
     return Engine(params, cfg, tok, ecfg)
@@ -147,8 +168,10 @@ async def _warmup(server_url: str, args) -> None:
             f.write(page_to_pdf_bytes(
                 make_page_array(10_000_000, args.page_dim,
                                 max(64, int(args.page_dim * 994 / 1288))),
-                text_layer=page_text(10_000_000) if args.text_layer
-                else None))
+                text_layer=(page_text(10_000_000,
+                                      n_lines=getattr(args, "page_lines",
+                                                      40))
+                            if args.text_layer else None)))
         query = await build_page_query(
             path, 1, args.page_dim, max_tokens=args.decode_tokens,
             prompt_key=args.prompt_key, prompt_path=args.prompt_path)
@@ -187,7 +210,8 @@ async def run_bench(args) -> dict:
     workspace = args.workspace
     corpus_dir = os.path.join(workspace, "corpus")
     pdfs = build_corpus(corpus_dir, args.pages, args.text_layer,
-                        height=args.page_dim)
+                        height=args.page_dim,
+                        n_lines=getattr(args, "page_lines", 40))
 
     await _warmup(server_url, args)
 
@@ -211,6 +235,18 @@ async def run_bench(args) -> dict:
         admission_release_interval=args.admission_release_interval,
         max_output_tokens=args.decode_tokens,
     )
+    if getattr(args, "teacher_force", False):
+        import re
+
+        def _forced(path: str, page: int) -> Optional[str]:
+            m = re.search(r"page_(\d+)", os.path.basename(path))
+            return (forced_page_text(int(m.group(1)), args.force_error_rate,
+                                     n_lines=getattr(args, "page_lines", 40))
+                    if m else None)
+
+        pargs.forced_output_fn = _forced
+        # forced completions parse on the first attempt (like a real
+        # checkpoint's); keep the single-attempt budget for comparability
 
     start = time.time()
     await runner.amain(pargs)
@@ -232,6 +268,10 @@ async def run_bench(args) -> dict:
         "text_layer": args.text_layer,
         "guided": args.guided,
         "speculative_ngram": args.speculative_ngram,
+        "teacher_force": getattr(args, "teacher_force", False),
+        "force_error_rate": (args.force_error_rate
+                             if getattr(args, "teacher_force", False)
+                             else None),
         "backend": jax.default_backend(),
         "chips": n_chips,
         "server_output_tokens": totals.get("server_output_tokens", 0),
@@ -306,6 +346,27 @@ def add_args(parser: argparse.ArgumentParser) -> None:
                         help="send the pipeline's guided regex per request")
     parser.add_argument("--speculative-ngram", dest="speculative_ngram",
                         type=int, default=0)
+    parser.add_argument("--teacher-force", dest="teacher_force",
+                        action="store_true",
+                        help="force each page's completion to its (word-"
+                             "perturbed) text layer via the engine's "
+                             "teacher-forcing hook: full compute runs, "
+                             "output-text statistics become realistic — "
+                             "the honest operating point for measuring "
+                             "speculative decoding without checkpoints")
+    parser.add_argument("--page-lines", dest="page_lines", type=int,
+                        default=40,
+                        help="lines of text per corpus page (the text "
+                             "layer/anchor AND the forced transcript). The "
+                             "hermetic ByteTokenizer spends ~4x the tokens "
+                             "of real BPE on the same text, so anchored "
+                             "operating points shrink this to keep the "
+                             "anchor's TOKEN count realistic")
+    parser.add_argument("--force-error-rate", dest="force_error_rate",
+                        type=float, default=0.05,
+                        help="word perturbation rate for the forced "
+                             "transcript vs the anchor (models the OCR "
+                             "error rate; bounds n-gram acceptance)")
     parser.add_argument("--no-admission-control", dest="admission_control",
                         action="store_false")
     parser.add_argument("--admission-release-interval",

@@ -106,6 +106,18 @@ class EngineConfig:
     # verify all of them in ONE multi-token forward. 0 = off. Exact for
     # greedy slots; sampling/guided batches fall back to normal decode.
     speculative_ngram: int = 0
+    # bench/validation hook: honor per-request forced output streams. Each
+    # step still runs the FULL decode/verify compute, but the token the
+    # model "emitted" is overridden device-side by the request's
+    # forced_output at that position (data-dependent where — XLA cannot
+    # dead-code the real logits). This lets page throughput and speculative
+    # acceptance be measured under REALISTIC output-text statistics on a
+    # machine with random weights (no checkpoints/egress); acceptance then
+    # reflects the forced text, compute reflects the real model. Bench-only
+    # (bench.py --pipeline --teacher-force); never enabled by production
+    # servers, and the HTTP server ignores the forced_output field unless
+    # the engine was built with this on.
+    teacher_force: bool = False
 
 
 @dataclasses.dataclass
@@ -127,6 +139,9 @@ class GenRequest:
     # pre-decoded image bytes for sentinel data URLs (the HTTP server's
     # raw-body fast path; see chat.RAW_IMAGE_SENTINEL)
     raw_images: Optional[list] = None
+    # teacher-forcing hook (EngineConfig.teacher_force): the completion text
+    # this request must emit; ignored unless the engine enables the hook
+    forced_output: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -159,6 +174,7 @@ class _Prepared:
     top_logprobs: int = 0
     speculative: Optional[bool] = None   # per-request speculation hint
     staged: Optional[dict] = None        # fused-path operands pre-put on device
+    forced_tokens: Optional[np.ndarray] = None  # teacher-forcing stream
 
 
 class ContextLengthError(ValueError):
@@ -353,8 +369,18 @@ class Engine:
                                             donate_argnums=(0,))
             self._spec_chunk_jit = jax.jit(
                 self._spec_chunk_impl,
-                static_argnames=("steps", "gamma", "use_sampling"),
+                static_argnames=("steps", "gamma", "use_sampling",
+                                 "use_forced"),
                 donate_argnums=(1, 5))
+
+        # teacher forcing (bench-only): per-slot forced-output streams,
+        # indexed by history position (prompt at 0..len-1, first emitted
+        # token at len); -1 = unforced (model's own token stands)
+        self.forced = None
+        if engine_cfg.teacher_force:
+            self.forced = jnp.full((b, m), -1, jnp.int32)
+            self._teacher_insert_jit = jax.jit(self._teacher_insert_impl,
+                                               donate_argnums=(0,))
 
         # ---- jitted stage functions (cached per shape bucket) ----
         self._encode_image_jit = jax.jit(
@@ -376,7 +402,7 @@ class Engine:
             self._decode_chunk_impl,
             static_argnames=("steps", "use_top_p", "use_sampling",
                              "attend_len", "use_logprobs", "top_k_logprobs",
-                             "use_guided"),
+                             "use_guided", "use_forced"),
             donate_argnums=(1,))
         # static sampling gates: the nucleus sort / gumbel sampling only
         # compile in when some active slot actually needs them
@@ -616,9 +642,10 @@ class Engine:
 
     def _decode_chunk_impl(self, params, cache, cache_len, next_pos,
                            last_token, temps, top_ps, dfa_state,
-                           allowed, next_state, key, *, steps, use_top_p,
-                           use_sampling, attend_len, use_logprobs=False,
-                           top_k_logprobs=0, use_guided=True):
+                           allowed, next_state, key, forced=None, *,
+                           steps, use_top_p, use_sampling, attend_len,
+                           use_logprobs=False, top_k_logprobs=0,
+                           use_guided=True, use_forced=False):
         # token capacity: the int4 cache's row axis is nibble-packed (M/2)
         m = cache.k.shape[3] * (2 if isinstance(cache, dec.Q4KVCache) else 1)
 
@@ -639,6 +666,13 @@ class Engine:
             tokens = sample_tokens(logits, step_key,
                                    temps if use_sampling else None,
                                    top_ps if use_top_p else None)
+            if use_forced:  # teacher forcing (bench-only): override the
+                # sampled token with the request's forced stream at this
+                # history position (the new token lands at cache_len + 1)
+                fpos = jnp.minimum(cache_len + 1, m - 1)
+                frow = jnp.take_along_axis(forced, fpos[:, None],
+                                           axis=1)[:, 0]
+                tokens = jnp.where(frow >= 0, frow, tokens)
             if use_guided:
                 dfa_state = next_state[dfa_state, tokens]
             cache_len = jnp.minimum(cache_len + 1, m - 1)
@@ -665,9 +699,26 @@ class Engine:
             (slot, jnp.zeros((), jnp.int32)))
         return hist.at[slot, true_len].set(first_token)
 
+    def _teacher_insert_impl(self, forced, last_token, slot, row, true_len,
+                             hist=None):
+        """Upload a slot's forced-output row (history-position indexed) and
+        repoint the pending token — the prefill executable sampled the
+        model's own first token; under teacher forcing the first emitted
+        token is the forced stream's — in last_token (and the speculative
+        history, when kept). row[true_len] = -1 clears the slot."""
+        forced = jax.lax.dynamic_update_slice(
+            forced, row[None], (slot, jnp.zeros((), jnp.int32)))
+        tok0 = row[true_len]
+        tok0 = jnp.where(tok0 >= 0, tok0, last_token[slot])
+        last_token = last_token.at[slot].set(tok0)
+        if hist is None:
+            return forced, last_token
+        return forced, last_token, hist.at[slot, true_len].set(tok0)
+
     def _spec_chunk_impl(self, params, cache, cache_len, next_pos,
-                         last_token, hist, temps, key, *, steps, gamma,
-                         use_sampling=False):
+                         last_token, hist, temps, key, forced=None, *,
+                         steps, gamma, use_sampling=False,
+                         use_forced=False):
         """Chunk with n-gram speculation: each step drafts `gamma` tokens
         from the slot's own history (most recent earlier occurrence of its
         trailing bigram) and verifies them with one decode_multi pass;
@@ -704,16 +755,24 @@ class Engine:
             logits = dec.logits_from_hidden(params["text"], self.cfg.text,
                                             hidden,
                                             act_quant=self._act_quant)
+            # output positions of the T candidates (also the forcing index)
+            wpos = jnp.minimum(ntok[:, None] + jnp.arange(t)[None], m - 1)
             if use_sampling:  # static gate: greedy batches keep the
                 # argmax-only executable (no gumbel/logsumexp work)
                 y, n_new = spec_verify_sampled(logits, draft, temps, step_key)
             else:
                 y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+                if use_forced:  # teacher forcing (bench-only): the "model
+                    # output" is the forced stream; accept/reject drafts
+                    # against it by the normal exact-prefix rule, so
+                    # acceptance reflects the forced text's statistics
+                    # while the verify pass runs the real compute
+                    fr = jnp.take_along_axis(forced, wpos, axis=1)  # (B, T)
+                    y = jnp.where(fr >= 0, fr, y)
                 ok = jnp.cumprod((y[:, :gamma] == draft).astype(jnp.int32),
                                  axis=1)
                 n_new = 1 + jnp.sum(ok, axis=1)                # (B,) 1..T
             # record all T candidates; rejected ones get overwritten later
-            wpos = jnp.minimum(ntok[:, None] + jnp.arange(t)[None], m - 1)
             hist = hist.at[bidx[:, None], wpos].set(y)
             last_token = y[bidx, n_new - 1]
             cache_len = cache_len + n_new
@@ -738,11 +797,19 @@ class Engine:
             self._key, sub = jax.random.split(self._key)
         else:
             sub = self._key
+        # teacher forcing: outputs are the forced streams, so the verify
+        # rule is draft-vs-forced exact prefix regardless of temperature
+        # (the pipeline's attempt-0 temp is 0.1; rejection-sampling a
+        # distribution that forcing then overrides would be meaningless)
+        use_forced = self.ecfg.teacher_force
+        use_sampling = use_sampling and not use_forced
         (self.cache, self.cache_len, self.next_pos, self.last_token,
          self.token_hist, toks, counts) = self._spec_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.token_hist, self.temps, sub,
-            steps=steps, gamma=gamma, use_sampling=use_sampling)
+            self.forced if use_forced else None,
+            steps=steps, gamma=gamma, use_sampling=use_sampling,
+            use_forced=use_forced)
         # acceptance accounting happens host-side in the consumer, from the
         # truncated-at-EOS emission lists — the raw device counts include
         # post-EOS steps whose tokens the host discards, which skewed
@@ -935,6 +1002,20 @@ class Engine:
             logprobs=request.logprobs,
             top_logprobs=min(int(request.top_logprobs or 0), 5),
             speculative=request.speculative)
+
+        if self.ecfg.teacher_force and getattr(request, "forced_output",
+                                               None):
+            f = np.asarray(self.tok.encode(request.forced_output), np.int32)
+            # fit the completion budget and the slot (minus the speculative
+            # path's verify headroom, whose end-of-cache clamp would rewind
+            # the forcing index), EOS-terminated so the forced completion
+            # finishes with reason "stop" like a real one
+            budget = min(int(request.max_tokens),
+                         self.ecfg.max_seq_len - len(ids) - 2
+                         - self.ecfg.speculative_ngram)
+            f = f[:max(0, budget - 1)]
+            prepared.forced_tokens = np.concatenate(
+                [f, [self.tok.eos_token_id]]).astype(np.int32)
 
         if len(image_feeds) == 1 and not prefix_len:
             # stage the fused-path prompt operands on device from the
@@ -1336,8 +1417,13 @@ class Engine:
                 self.token_hist = self._hist_insert_jit(
                     self.token_hist, jnp.asarray(slot), jnp.asarray(arr),
                     jnp.asarray(len(g.ids), jnp.int32), firsts[i])
+            if self.ecfg.teacher_force:
+                self._apply_teacher(slot, g, len(g.ids))
         for g in group:
             self._release_page_buffers(g)
+        if self.ecfg.teacher_force:
+            return [self._teacher_first(g, firsts[i])
+                    for i, g in enumerate(group)]
         return firsts
 
     @staticmethod
@@ -1380,6 +1466,30 @@ class Engine:
             self.token_hist = self._hist_insert_jit(
                 self.token_hist, jnp.asarray(slot), jnp.asarray(ids),
                 jnp.asarray(true_len, jnp.int32), first_token)
+        if self.ecfg.teacher_force:
+            self._apply_teacher(slot, prepared, true_len)
+
+    def _apply_teacher(self, slot: int, prepared: _Prepared,
+                       true_len: int) -> None:
+        """Upload the request's forced-output stream for its slot (teacher
+        forcing, bench-only). Always uploads — a cleared row (-1) for
+        unforced requests, so a reused slot never inherits a stale one."""
+        m = self.ecfg.max_seq_len
+        row = np.full((m,), -1, np.int32)
+        ft = getattr(prepared, "forced_tokens", None)
+        if ft is not None and len(ft):
+            n = min(len(ft), m - true_len)
+            row[true_len:true_len + n] = ft[:n]
+        if self.ecfg.speculative_ngram > 0:
+            self.forced, self.last_token, self.token_hist = \
+                self._teacher_insert_jit(
+                    self.forced, self.last_token, jnp.asarray(slot),
+                    jnp.asarray(row), jnp.asarray(true_len, jnp.int32),
+                    self.token_hist)
+        else:
+            self.forced, self.last_token = self._teacher_insert_jit(
+                self.forced, self.last_token, jnp.asarray(slot),
+                jnp.asarray(row), jnp.asarray(true_len, jnp.int32))
 
     def prefill_insert(self, slot: int, prepared: _Prepared):
         """Prefill a page and insert it into `slot`; returns the first-token
@@ -1399,7 +1509,7 @@ class Engine:
             self.insert(slot, prepared, cache, first, true_len, next_pos,
                         dfa_val)
             self._release_page_buffers(prepared)
-            return first
+            return self._teacher_first(prepared, first)
         layout = feed["layout"]
         pos_after = ((int(prepared.positions.max()) + 1)
                      if len(prepared.ids) else 0)
@@ -1429,7 +1539,18 @@ class Engine:
             self.token_hist = self._hist_insert_jit(
                 self.token_hist, jnp.asarray(slot), jnp.asarray(arr),
                 jnp.asarray(len(prepared.ids), jnp.int32), first)
+        if self.ecfg.teacher_force:
+            self._apply_teacher(slot, prepared, len(prepared.ids))
         self._release_page_buffers(prepared)
+        return self._teacher_first(prepared, first)
+
+    def _teacher_first(self, prepared: _Prepared, first):
+        """Under teacher forcing the first emitted token is the forced
+        stream's, not the prefill executable's sample — report that one to
+        the host (a plain scalar; callers only int() it)."""
+        ft = getattr(prepared, "forced_tokens", None)
+        if self.ecfg.teacher_force and ft is not None and len(ft):
+            return np.int32(ft[0])
         return first
 
     @staticmethod
@@ -1489,10 +1610,11 @@ class Engine:
          self.dfa_state, ys) = self._decode_chunk_jit(
             self.params, self.cache, self.cache_len, self.next_pos,
             self.last_token, self.temps, self.top_ps, self.dfa_state,
-            self._allowed, self._next_state, sub, steps=steps,
+            self._allowed, self._next_state, sub, self.forced, steps=steps,
             use_top_p=use_top_p, use_sampling=use_sampling,
             attend_len=attend_len, use_logprobs=use_logprobs,
-            top_k_logprobs=top_k, use_guided=use_guided)
+            top_k_logprobs=top_k, use_guided=use_guided,
+            use_forced=self.ecfg.teacher_force)
         return lambda: self._collect_chunk(ys, use_logprobs)
 
     def decode_headroom(self, steps: int) -> bool:

@@ -486,6 +486,11 @@ class InferenceServer:
             top_logprobs=int(payload.get("top_logprobs", 0) or 0),
             speculative=(None if payload.get("speculative") is None
                          else bool(payload["speculative"])),
+            # teacher-forcing hook: honored only when the engine was built
+            # with EngineConfig.teacher_force (bench/validation harnesses);
+            # production servers ignore the field entirely
+            forced_output=(payload.get("forced_output")
+                           if self.engine.ecfg.teacher_force else None),
         )
         future: asyncio.Future = asyncio.get_running_loop().create_future()
 
@@ -595,6 +600,7 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         vision_quant=getattr(args, "vision_quant", None),
         prefix_cache=getattr(args, "prefix_cache", False),
         speculative_ngram=getattr(args, "speculative_ngram", 0),
+        teacher_force=getattr(args, "teacher_force", False),
     )
 
     mesh = None
@@ -736,6 +742,12 @@ def main(argv: Optional[list[str]] = None):
     parser.add_argument("--prefix-cache", dest="prefix_cache",
                         action="store_true",
                         help="reuse cached KV for shared prompt prefixes")
+    parser.add_argument("--teacher-force", dest="teacher_force",
+                        action="store_true",
+                        help="bench/validation hook: honor per-request "
+                             "forced_output streams (full compute runs; "
+                             "emitted tokens come from the request). "
+                             "Never for production serving.")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,

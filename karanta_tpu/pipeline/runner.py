@@ -24,7 +24,7 @@ import sys
 import tempfile
 import time
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 from karanta_tpu.constants import (
     MAX_OUTPUT_TOKENS_PER_PAGE, MODEL_MAX_CONTEXT, PIPELINE_IMAGE_DIM,
@@ -108,6 +108,11 @@ class PipelineArgs:
     # (pipeline.py:124) — overridable so capacity planning (and the
     # pipeline bench) can match the serving engine's decode budget
     max_output_tokens: int = MAX_OUTPUT_TOKENS_PER_PAGE
+    # bench-only (not CLI-exposed): (pdf_orig_path, page_num) -> str
+    # attaches a forced_output stream per request so throughput can be
+    # measured under realistic output-text statistics against a
+    # teacher-forcing server (EngineConfig.teacher_force)
+    forced_output_fn: Optional[Any] = None
 
 
 async def build_page_query(local_pdf_path: str, page: int,
@@ -202,6 +207,12 @@ async def process_page(args, worker_id: int, pdf_orig_path: str,
         query["temperature"] = TEMPERATURE_BY_ATTEMPT[lookup]
         if args.guided_decoding:
             query["guided_regex"] = GUIDED_REGEX
+        ffn = getattr(args, "forced_output_fn", None)
+        if ffn is not None:  # bench-only teacher forcing (PipelineArgs);
+            # keyed on the ORIGINAL path (the local one is a temp copy)
+            forced = ffn(pdf_orig_path, page_num)
+            if forced:
+                query["forced_output"] = forced
 
         try:
             t_post = time.perf_counter()
