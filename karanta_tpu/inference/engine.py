@@ -1005,6 +1005,13 @@ class Engine:
 
         if self.ecfg.teacher_force and getattr(request, "forced_output",
                                                None):
+            if request.guided_regex:
+                # a forced token the automaton forbids would silently poison
+                # the DFA state; the bench never combines the two, so reject
+                # loudly instead of decoding nonsense
+                raise ValueError("teacher forcing does not compose with "
+                                 "guided decoding (forced tokens bypass the "
+                                 "automaton)")
             f = np.asarray(self.tok.encode(request.forced_output), np.int32)
             # fit the completion budget and the slot (minus the speculative
             # path's verify headroom, whose end-of-cache clamp would rewind

@@ -97,6 +97,15 @@ class TestTeacherForce:
         assert eng.spec_passes > 0
         assert eng.spec_tokens / eng.spec_passes > 1.3
 
+    def test_guided_plus_forced_rejected(self, setup):
+        """Forced tokens bypass the automaton; the combination is refused
+        loudly at prepare() instead of poisoning the DFA state."""
+        eng = make_engine(setup)
+        req = _req("x", forced=FORCED)
+        req.guided_regex = r"[a-z ]+"
+        with pytest.raises(ValueError, match="guided"):
+            eng.prepare(req)
+
     def test_prepare_ignores_forced_when_off(self, setup):
         """Production engines (teacher_force off) never honor the field."""
         eng = make_engine(setup, teacher_force=False)
