@@ -72,11 +72,17 @@ def forced_page_text(seed: int, error_rate: float,
     if not error_rate:
         return text
     rng = np.random.default_rng(7000 + seed)
-    words = text.split(" ")
-    for i in range(len(words)):
-        if rng.random() < error_rate:
-            words[i] = _WORDS[int(rng.integers(0, len(_WORDS)))]
-    return " ".join(words)
+    out_lines = []
+    for line in text.split("\n"):
+        words = line.split(" ")
+        for i in range(len(words)):
+            if rng.random() < error_rate:
+                words[i] = _WORDS[int(rng.integers(0, len(_WORDS)))]
+        out_lines.append(" ".join(words))
+    # perturb per line so only words are replaced and the transcript keeps
+    # the anchor's line structure (a deleted newline would add divergence
+    # beyond the modeled word error rate)
+    return "\n".join(out_lines)
 
 
 def make_page_array(seed: int, height: int = 1288,
@@ -392,6 +398,14 @@ def run(args) -> dict:
     import tempfile
 
     import jax
+
+    if getattr(args, "teacher_force", False) and args.guided:
+        # forced tokens bypass the DFA: every request would 400 in
+        # Engine.prepare and the bench would silently degrade to
+        # all-fallback pages — fail fast instead
+        raise SystemExit(
+            "--teacher-force does not compose with --guided "
+            "(forced tokens bypass the automaton); drop one of the flags")
 
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu" or \
             os.environ.get("KARANTA_BENCH_PLATFORM", "") == "cpu":

@@ -747,8 +747,19 @@ def main(argv: Optional[list[str]] = None):
                         help="bench/validation hook: honor per-request "
                              "forced_output streams (full compute runs; "
                              "emitted tokens come from the request). "
-                             "Never for production serving.")
+                             "Never for production serving. Requires "
+                             "KARANTA_BENCH=1 in the environment — a "
+                             "reachable endpoint with forcing on would let "
+                             "any client dictate the emitted text.")
     args = parser.parse_args(argv)
+
+    if getattr(args, "teacher_force", False):
+        import os as _os
+
+        if _os.environ.get("KARANTA_BENCH") != "1":
+            parser.error("--teacher-force is a bench-only hook: set "
+                         "KARANTA_BENCH=1 to acknowledge this server must "
+                         "not be reachable by untrusted clients")
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")

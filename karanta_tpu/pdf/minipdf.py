@@ -335,8 +335,48 @@ class PdfDocument:
         self._offsets: dict[int, int] = {}
         self._objstm: dict[int, tuple[int, int]] = {}  # obj -> (stm num, idx)
         self.trailer: dict = {}
+        self._rescanned = False
+        self._scan_offsets: dict[int, int] = {}
+        self._last_gen = 0
+        self.handler = None  # standard security handler (pdf/crypt.py)
+        self.encrypt_unsupported = False
+        self._encrypt_num = -1
         self._load_xref()
+        self._init_encryption()
         self._pages: Optional[list[dict]] = None
+
+    def _init_encryption(self):
+        """Install the standard security handler for /Encrypt docs (empty
+        user password — the archive.org DRM-flavored case pypdf/poppler
+        open transparently). Anything we can't decrypt marks the doc
+        `encrypt_unsupported`; extraction then degrades to mediabox-only
+        reports instead of emitting ciphertext as text."""
+        enc = self.trailer.get(Name("Encrypt"))
+        if enc is None:
+            return
+        if isinstance(enc, Ref):
+            self._encrypt_num = enc.num
+        try:
+            enc_dict = self.resolve(enc)
+        except Exception:
+            self.encrypt_unsupported = True
+            return
+        if not isinstance(enc_dict, dict):
+            self.encrypt_unsupported = True
+            return
+        id0 = b""
+        ids = self.resolve(self.trailer.get(Name("ID")))
+        if isinstance(ids, list) and ids:
+            first = self.resolve(ids[0])
+            if isinstance(first, bytes):
+                id0 = first
+        try:
+            from karanta_tpu.pdf.crypt import make_security_handler
+
+            self.handler = make_security_handler(enc_dict, id0, self.resolve)
+        except Exception:
+            self.handler = None
+            self.encrypt_unsupported = True
 
     @classmethod
     def open(cls, path_or_file: "str | bytes | BinaryIO") -> "PdfDocument":
@@ -464,12 +504,22 @@ class PdfDocument:
 
     # -- object access -----------------------------------------------------
 
-    def _parse_indirect_at(self, offset: int) -> Any:
+    def _parse_indirect_at(self, offset: int,
+                           expect_num: Optional[int] = None) -> Any:
         lex = _Lexer(self.data, offset)
-        lex.read_token()  # num
-        lex.read_token()  # gen
+        num_tok = lex.read_token()
+        gen_tok = lex.read_token()
         kw = lex.read_token()
         if kw != b"obj":
+            return None
+        try:
+            header_num = int(num_tok)
+            self._last_gen = int(gen_tok)
+        except (TypeError, ValueError):
+            return None
+        if expect_num is not None and header_num != expect_num:
+            # broken xref: the table points at a different object (shifted
+            # offsets from sloppy incremental updates are common in the wild)
             return None
         value = _parse_object(lex, self)
         lex.skip_ws()
@@ -491,13 +541,63 @@ class PdfDocument:
         if num in self._objects:
             return self._objects[num]
         value = None
+        from_offsets = False
         if num in self._offsets:
-            value = self._parse_indirect_at(self._offsets[num])
+            value = self._parse_indirect_at(self._offsets[num],
+                                            expect_num=num)
+            from_offsets = True
         elif num in self._objstm:
             stm_num, idx = self._objstm[num]
             value = self._load_from_objstm(stm_num, idx, num)
+        if value is None:
+            # xref recovery: the recorded offset was broken or the object is
+            # missing from every table — locate it by scanning the file once
+            # (pypdf/poppler-style tolerance for damaged archives)
+            recovered = self._recovered_offset(num)
+            if recovered is not None:
+                value = self._parse_indirect_at(recovered, expect_num=num)
+                from_offsets = True
+        if (value is not None and from_offsets and self.handler is not None
+                and num != self._encrypt_num):
+            value = self._decrypt_value(value, num, self._last_gen)
         self._objects[num] = value
         return value
+
+    def _recovered_offset(self, num: int) -> Optional[int]:
+        if not self._rescanned:
+            self._rescanned = True
+            # last occurrence wins: incremental updates append newer bodies
+            for m in re.finditer(rb"(?:^|[\r\n])\s*(\d+)\s+(\d+)\s+obj\b",
+                                 self.data):
+                self._scan_offsets[int(m.group(1))] = m.start(1)
+        return self._scan_offsets.get(num)
+
+    def _decrypt_value(self, value: Any, num: int, gen: int) -> Any:
+        """Decrypt every string/stream in an indirect object's value
+        (objects inside object streams are already plaintext — the ObjStm
+        stream itself was decrypted — so this is only applied to objects
+        parsed from file offsets)."""
+        h = self.handler
+
+        def walk(v):
+            if isinstance(v, Op) or isinstance(v, bool):
+                return v
+            if isinstance(v, bytes):
+                return h.decrypt_string(v, num, gen)
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            if isinstance(v, Stream):
+                return Stream({k: walk(x) for k, x in v.dict.items()},
+                              h.decrypt_stream(v.raw, num, gen))
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items()}
+            return v
+
+        try:
+            return walk(value)
+        except Exception:
+            self.encrypt_unsupported = True
+            return value
 
     def _load_from_objstm(self, stm_num: int, idx: int, want: int) -> Any:
         stm = self.get_object(stm_num)

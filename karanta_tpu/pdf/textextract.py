@@ -120,13 +120,24 @@ class _Font:
 
     def __init__(self, doc: PdfDocument, font_dict: dict):
         self.two_byte = False
+        self.undecodable = False
         self.cmap: dict[int, str] = {}
         subtype = doc.resolve(font_dict.get(Name("Subtype")))
         if subtype == Name("Type0"):
             self.two_byte = True
         to_unicode = doc.resolve(font_dict.get(Name("ToUnicode")))
         if isinstance(to_unicode, Stream):
-            self._parse_cmap(to_unicode.data(doc))
+            try:
+                self._parse_cmap(to_unicode.data(doc))
+            except Exception:
+                pass  # corrupt CMap: fall through to the no-cmap paths
+        if self.two_byte and not self.cmap:
+            # CID/Type0 without a usable ToUnicode: the codes are glyph ids,
+            # not characters — emitting chr(code) would inject mojibake into
+            # the anchor. Degrade to no text (the page report still carries
+            # image boxes, so the anchor becomes image-only — matching
+            # poppler's behavior of garbled-or-empty on such fonts).
+            self.undecodable = True
 
     def _parse_cmap(self, data: bytes):
         lex = _Lexer(data, 0)
@@ -169,6 +180,8 @@ class _Font:
                                 self.cmap[lo_i + off] = _utf16(d)
 
     def decode(self, raw: bytes) -> str:
+        if self.undecodable:
+            return ""
         if self.two_byte:
             codes = [int.from_bytes(raw[i:i + 2], "big")
                      for i in range(0, len(raw) - len(raw) % 2, 2)]
@@ -192,6 +205,12 @@ def extract_page_report(doc: PdfDocument, page_index: int,
                         max_ops: int = 500_000) -> PageReport:
     page = doc.pages[page_index]
     mediabox = doc.media_box(page_index)
+    if getattr(doc, "encrypt_unsupported", False):
+        # content streams are ciphertext we cannot remove (real password /
+        # exotic handler): a mediabox-only report gives the pipeline a clean
+        # "Page dimensions" anchor instead of binary noise
+        return PageReport(mediabox=mediabox, text_elements=[],
+                          image_elements=[])
     resources = doc.resolve(page.get(Name("Resources"))) or {}
     fonts_res = doc.resolve(resources.get(Name("Font"))) or {}
     xobjects = doc.resolve(resources.get(Name("XObject"))) or {}

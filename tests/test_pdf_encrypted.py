@@ -1,0 +1,190 @@
+"""Wild-corpus PDF tolerance: encrypted empty-password docs, broken xrefs,
+incremental updates, CID fonts without ToUnicode.
+
+The reference rides pypdf + poppler, which open archive.org's DRM-flavored
+(empty-user-password) PDFs transparently (reference karanta/prompts/
+anchor.py:69 PdfReader; karanta/data/process_pdf_utils.py:56-74 poppler) and
+tolerate damaged xref tables. These tests pin the same tolerance onto the
+in-repo PDF stack: every fixture must yield anchor text or a clean fallback,
+and no exception may escape get_anchor_text / render_pdf_to_base64png.
+"""
+
+import base64
+import os
+
+import pytest
+
+from karanta_tpu.pdf.anchor import get_anchor_text
+from karanta_tpu.pdf.crypt import rc4
+from karanta_tpu.pdf.minipdf import PdfDocument
+from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+from tests.pdf_helpers import encrypt_pdf, make_pdf
+
+PAGES = [[(72, 700, "Hello encrypted world"), (72, 680, "second line")]]
+
+
+def _write(tmp_path, name: str, data: bytes) -> str:
+    path = os.path.join(str(tmp_path), name)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def test_rc4_known_answer():
+    # classic RC4 test vector (key "Key", plaintext "Plaintext")
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    # symmetry
+    assert rc4(b"k" * 16, rc4(b"k" * 16, b"payload")) == b"payload"
+
+
+@pytest.mark.parametrize("method",
+                         ["rc4-40", "rc4-128", "aes-128", "aes-256"])
+def test_encrypted_empty_password_anchor(tmp_path, method):
+    raw = encrypt_pdf(make_pdf(PAGES, compress=True, with_image=True),
+                      method=method)
+    path = _write(tmp_path, f"enc_{method}.pdf", raw)
+    doc = PdfDocument.open(path)
+    assert doc.handler is not None, f"{method}: handler not installed"
+    assert not doc.encrypt_unsupported
+    anchor = get_anchor_text(path, 1)
+    assert "Hello encrypted world" in anchor, f"{method}: {anchor!r}"
+    assert "second line" in anchor
+    # the embedded image stream decrypts too (image box in the report)
+    assert "[Image" in anchor
+
+
+@pytest.mark.parametrize("method", ["rc4-128", "aes-256"])
+def test_encrypted_render_no_exception(tmp_path, method):
+    raw = encrypt_pdf(make_pdf(PAGES, compress=True, with_image=True),
+                      method=method)
+    path = _write(tmp_path, f"enc_render_{method}.pdf", raw)
+    png_b64 = render_pdf_to_base64png(path, 1, target_longest_image_dim=256)
+    assert len(base64.b64decode(png_b64)) > 0
+
+
+def test_real_password_degrades_cleanly(tmp_path):
+    """A doc needing a non-empty password: no decrypt possible -> the anchor
+    is the clean mediabox header, not ciphertext noise, and nothing raises."""
+    raw = encrypt_pdf(make_pdf(PAGES, compress=True), method="rc4-128")
+    # corrupt /U so empty-password verification fails (= real password set)
+    import re
+
+    m = re.search(rb"/U <([0-9a-f]+)>", raw)
+    assert m
+    bad_u = b"00" * (len(m.group(1)) // 2)
+    raw = raw[:m.start(1)] + bad_u + raw[m.end(1):]
+    path = _write(tmp_path, "locked.pdf", raw)
+    doc = PdfDocument.open(path)
+    assert doc.encrypt_unsupported
+    anchor = get_anchor_text(path, 1)
+    assert anchor.startswith("Page dimensions:")
+    assert "Hello" not in anchor  # and no ciphertext garbage either
+    assert len(anchor) < 80
+    png_b64 = render_pdf_to_base64png(path, 1, target_longest_image_dim=128)
+    assert len(base64.b64decode(png_b64)) > 0  # blank page, no exception
+
+
+def test_broken_xref_offsets_recover(tmp_path):
+    """Every xref offset shifted (sloppy incremental-update writers): object
+    loads fall back to the recovery scan and the anchor still extracts."""
+    raw = make_pdf(PAGES, compress=True)
+    head, sep, tail = raw.partition(b"xref\n")
+    assert sep
+    import re
+
+    # shift every 10-digit offset by +3 (points mid-object: header mismatch)
+    def shift(m):
+        return b"%010d" % (int(m.group(0)) + 3)
+
+    tail = re.sub(rb"\d{10}(?= 00000 n)", shift, tail)
+    path = _write(tmp_path, "broken_xref.pdf", head + b"xref\n" + tail)
+    anchor = get_anchor_text(path, 1)
+    assert "Hello encrypted world" in anchor
+
+
+def test_incremental_update_latest_object_wins(tmp_path):
+    """Appended revision replaces page 1's content; the reader must serve the
+    NEWEST body (first xref section seen on the Prev chain wins)."""
+    raw = make_pdf(PAGES, compress=False)
+    # find the content stream object number (the one containing our text)
+    import re
+
+    m = re.search(rb"(\d+) 0 obj\n<< /Length \d+ >>\nstream\n(.*?)endstream",
+                  raw, re.S)
+    assert m and b"Hello" in m.group(2)
+    num = int(m.group(1))
+    new_content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (UPDATED TEXT) Tj ET")
+    body = (b"<< /Length " + str(len(new_content)).encode()
+            + b" >>\nstream\n" + new_content + b"\nendstream")
+    old_startxref = int(re.search(rb"startxref\n(\d+)", raw).group(1))
+    size = int(re.search(rb"/Size (\d+)", raw).group(1))
+    root = re.search(rb"/Root (\d+) 0 R", raw).group(1)
+    appended = bytearray(raw)
+    obj_off = len(appended)
+    appended += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(appended)
+    appended += (f"xref\n{num} 1\n{obj_off:010d} 00000 n \n".encode()
+                 + b"trailer\n<< /Size " + str(size).encode()
+                 + b" /Root " + root + b" 0 R /Prev "
+                 + str(old_startxref).encode() + b" >>\n"
+                 + f"startxref\n{xref_off}\n%%EOF\n".encode())
+    path = _write(tmp_path, "incremental.pdf", bytes(appended))
+    anchor = get_anchor_text(path, 1)
+    assert "UPDATED TEXT" in anchor
+    assert "Hello encrypted world" not in anchor
+
+
+def test_cid_font_without_tounicode_image_only_anchor(tmp_path):
+    """Type0/Identity-H with no ToUnicode: codes are glyph ids — emitting
+    chr(code) would put mojibake in the prompt. Expect an image-only anchor."""
+    img_payload = __import__("zlib").compress(bytes(32 * 32 * 3))
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /Im1 6 0 R >> >> "
+        b"/Contents 5 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NoMap "
+        b"/Encoding /Identity-H >>\nendobj\n")
+    content = (b"q 400 0 0 500 100 200 cm /Im1 Do Q\n"
+               b"BT /F1 12 Tf 1 0 0 1 72 700 Tm "
+               b"<00410042004300440045> Tj ET")
+    pdf += (b"5 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            b"6 0 obj\n<< /Type /XObject /Subtype /Image /Width 32 "
+            b"/Height 32 /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length "
+            + str(len(img_payload)).encode() + b" >>\nstream\n"
+            + img_payload + b"\nendstream\nendobj\n")
+    xref_pos = len(pdf)
+    pdf += (b"trailer\n<< /Size 7 /Root 1 0 R >>\n"
+            + f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    path = _write(tmp_path, "cid_nomap.pdf", pdf)
+    anchor = get_anchor_text(path, 1)
+    assert "[Image" in anchor  # image box survives
+    # no mojibake from raw CID codes (0x41.. would decode as "ABCDE" only
+    # via a ToUnicode map; without one the text must be dropped)
+    assert "ABCDE" not in anchor
+    assert "ABCDE" not in anchor.split("]")[-1] or \
+        "[Image" in anchor
+
+
+def test_encrypted_fuzz_no_hangs(tmp_path):
+    """Corruption sweep over an encrypted doc: parse-or-refuse, never raise
+    an unexpected class (mirrors tests/test_pdf_fuzz.py for the crypt path)."""
+    raw = encrypt_pdf(make_pdf(PAGES, compress=True), method="rc4-128")
+    step = max(1, len(raw) // 40)
+    for pos in range(0, len(raw), step):
+        corrupted = bytearray(raw)
+        corrupted[pos] ^= 0xFF
+        try:
+            doc = PdfDocument(bytes(corrupted))
+            for i in range(doc.num_pages()):
+                doc.media_box(i)
+                doc.page_content(i)
+        except Exception as exc:  # noqa: BLE001 - asserting the class set
+            from karanta_tpu.pdf.minipdf import PdfError
+
+            assert isinstance(exc, (PdfError, ValueError, KeyError,
+                                    IndexError)), exc
