@@ -153,6 +153,9 @@ def build_engine(args, cfg, dtype):
                    and args.act_quant != "none" else None),
         speculative_ngram=args.speculative_ngram,
         teacher_force=getattr(args, "teacher_force", False),
+        # every OCR page shares the olmOCR instruction prefix (text before
+        # the per-page anchor): cache its KV and prefill only the suffix
+        prefix_cache=getattr(args, "prefix_cache", True),
     )
     tok = ByteTokenizer()
     return Engine(params, cfg, tok, ecfg)
@@ -373,6 +376,11 @@ def add_args(parser: argparse.ArgumentParser) -> None:
                         help="word perturbation rate for the forced "
                              "transcript vs the anchor (models the OCR "
                              "error rate; bounds n-gram acceptance)")
+    parser.add_argument("--no-prefix-cache", dest="prefix_cache",
+                        action="store_false", default=True,
+                        help="disable shared-instruction-prefix KV caching "
+                             "(default on: the pipeline's pages share the "
+                             "olmOCR prompt head)")
     parser.add_argument("--no-admission-control", dest="admission_control",
                         action="store_false")
     parser.add_argument("--admission-release-interval",

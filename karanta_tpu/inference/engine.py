@@ -174,6 +174,7 @@ class _Prepared:
     top_logprobs: int = 0
     speculative: Optional[bool] = None   # per-request speculation hint
     staged: Optional[dict] = None        # fused-path operands pre-put on device
+    staged_sfx: Optional[dict] = None    # prefix-path suffix operands on device
     forced_tokens: Optional[np.ndarray] = None  # teacher-forcing stream
 
 
@@ -341,6 +342,12 @@ class Engine:
         # prefix KV cache: prefix-id bytes -> (KVCache (L,1,P,KVH,D), P)
 
         self._prefix_kv: "OrderedDict[bytes, Any]" = OrderedDict()
+        # running shared prompt head for LCP-based prefix detection; guarded
+        # by a lock because prepare() runs in a thread pool
+        self._prompt_head: Optional[np.ndarray] = None
+        import threading as _threading
+
+        self._prefix_lock = _threading.Lock()
         # decoded-image cache: raw-bytes sha1 -> RGB uint8 array. Repeated
         # images (retries, rotation-correction re-requests, duplicated blank
         # pages) skip the PNG/JPEG decode (~18 ms/page on one core). vLLM
@@ -387,6 +394,8 @@ class Engine:
             self._encode_image_impl, static_argnames=("n_windows",))
         self._prefill_jit = jax.jit(self._prefill_impl)
         self._prefill_prefix_jit = jax.jit(self._prefill_prefix_impl)
+        self._prefill_prefix_fused_jit = jax.jit(
+            self._prefill_prefix_fused_impl, static_argnames=("n_windows",))
         self._prefill_fused_jit = jax.jit(self._prefill_fused_impl,
                                           static_argnames=("n_windows",))
         self._prefill_fused_batch_jit = jax.jit(
@@ -584,6 +593,32 @@ class Engine:
             top_ps.at[slots].set(top_ps_new),
             dfa_state.at[slots].set(0),
         )
+
+    def _prefill_prefix_fused_impl(self, params, pixel_values, perm, valid,
+                                   pos_hw, extract, ids, positions, kv_mask,
+                                   img_positions, true_suffix_len,
+                                   prefix_k, prefix_v, prefix_mask,
+                                   *, n_windows):
+        """Single-image prefix continuation in ONE executable: vision encode
+        + suffix prefill over the cached prefix KV + first-token argmax.
+        Keeps the fused fast path's dispatch count while prefilling only the
+        (shorter) suffix bucket — the shared olmOCR instruction prefix is
+        paid once per engine, not once per page."""
+        encoded = vis.encode_image(params["visual"], self.cfg.vision,
+                                   pixel_values, perm, valid, pos_hw,
+                                   n_windows)
+        img_tokens = jnp.take(encoded, extract, axis=0)
+        emb = dec.embed_tokens(params["text"], ids)
+        emb = emb.at[img_positions].set(img_tokens.astype(emb.dtype),
+                                        mode="drop")
+        hidden, cache = dec.prefill_with_prefix(
+            params["text"], self.cfg.text, emb[None], positions[:, None, :],
+            dec.KVCache(prefix_k, prefix_v), prefix_mask[None],
+            kv_mask=kv_mask[None], act_quant=self._act_quant)
+        last = hidden[0, true_suffix_len - 1]
+        logits = dec.logits_from_hidden(params["text"], self.cfg.text, last,
+                                        act_quant=self._act_quant)
+        return logits, _greedy_token(logits), cache
 
     def _prefill_prefix_impl(self, params, ids, positions, kv_mask,
                              img_tokens, img_positions, true_suffix_len,
@@ -983,10 +1018,42 @@ class Engine:
         # a thread pool, and an eager table swap could invalidate another
         # in-flight request's start state between its prepare and insert
         prefix_len = 0
-        if self.ecfg.prefix_cache and img_token_counts:
+        if self.ecfg.prefix_cache:
+            # Shared-prefix detection by longest common prefix against the
+            # running prompt head. The OCR pipeline's prompts are
+            # [instruction text .. anchor .. image] (reference
+            # karanta/data/utils.py:269-297: text first, image second), so
+            # the shared part is the instruction head BEFORE the per-page
+            # anchor — an image-position boundary alone would make every
+            # page's "prefix" unique and the cache useless. The head is
+            # seeded by the first request (which takes a full prefill) and
+            # monotonically shrinks to the true cross-request common prefix.
             img_idx = np.flatnonzero(ids == self.tok.image_pad_id)
-            if len(img_idx) and img_idx[0] >= self.ecfg.prefix_min_tokens:
-                prefix_len = int(img_idx[0])
+            limit = int(img_idx[0]) if len(img_idx) else len(ids) - 1
+            head = ids[:limit]
+            with self._prefix_lock:
+                stored = self._prompt_head
+                if stored is None:
+                    self._prompt_head = head.copy()
+                else:
+                    n = min(len(stored), len(head))
+                    neq = np.flatnonzero(stored[:n] != head[:n])
+                    lcp = int(neq[0]) if len(neq) else n
+                    if lcp >= self.ecfg.prefix_min_tokens:
+                        if lcp < len(stored):
+                            self._prompt_head = stored[:lcp].copy()
+                        # quantize down to 128-token granularity so the
+                        # prefix length (a static shape in the continuation
+                        # executables) stabilizes instead of recompiling per
+                        # tiny LCP jitter; exact below one granule
+                        prefix_len = lcp if lcp < 128 else (lcp // 128) * 128
+            if prefix_len and prefix_len + _bucket(
+                    len(ids) - prefix_len,
+                    self.ecfg.prefill_buckets) > self.ecfg.max_seq_len:
+                # prefix rows + padded suffix bucket must fit the slot at
+                # insert time; long prompts near the context cap prefill
+                # whole instead
+                prefix_len = 0
 
         if len(ids) >= self.ecfg.max_seq_len:
             raise ContextLengthError(
@@ -1049,6 +1116,32 @@ class Engine:
                 pos_hw=jax.device_put(np.asarray(layout.pos_hw)),
                 extract=jax.device_put(feed["extract"]),
                 true_len=jnp.asarray(s, jnp.int32))
+        elif len(image_feeds) == 1 and prefix_len:
+            # prefix-continuation staging: suffix-only prompt operands (the
+            # prefix KV is reused from the LRU cache at prefill time)
+            feed = image_feeds[0]
+            layout = feed["layout"]
+            p = prefix_len
+            s = len(ids)
+            n_sfx = s - p
+            s_pad = _bucket(n_sfx, self.ecfg.prefill_buckets)
+            ids_p = np.zeros((s_pad,), np.int32)
+            ids_p[:n_sfx] = ids[p:]
+            pos_p = np.zeros((3, s_pad), np.int32)
+            pos_p[:, :n_sfx] = positions[:, p:]
+            kvm = np.zeros((s_pad,), np.float32)
+            kvm[:n_sfx] = 1.0
+            img_pos = np.full((feed["n_pad"],), s_pad, np.int32)
+            img_pos[: layout.num_merged] = np.flatnonzero(
+                ids == self.tok.image_pad_id) - p
+            prepared.staged_sfx = dict(
+                ids=jax.device_put(ids_p), positions=jax.device_put(pos_p),
+                kv_mask=jax.device_put(kvm), img_pos=jax.device_put(img_pos),
+                perm=jax.device_put(np.asarray(layout.perm)),
+                valid=jax.device_put(np.asarray(layout.valid)),
+                pos_hw=jax.device_put(np.asarray(layout.pos_hw)),
+                extract=jax.device_put(feed["extract"]),
+                true_len=jnp.asarray(n_sfx, jnp.int32))
         return prepared
 
     _ARENA_BUCKETS = (64, 256, 1024, 4096)
@@ -1280,6 +1373,29 @@ class Engine:
                 self.params, pix, st["perm"], st["valid"], st["pos_hw"],
                 st["extract"], st["ids"], st["positions"], st["kv_mask"],
                 st["img_pos"], st["true_len"], n_windows=layout.n_windows)
+            return self._sample_first(prepared, logits, cache, s, greedy)
+
+        if (len(prepared.image_feeds) == 1 and prepared.prefix_len
+                and prepared.staged_sfx is not None):
+            # single-image prefix continuation: same dispatch count as the
+            # fused fast path, suffix-bucket prefill only
+            feed = prepared.image_feeds[0]
+            plan, layout = feed["plan"], feed["layout"]
+            pix = feed.get("pix_dev")
+            if pix is None:  # staged in prepare(); fallback for direct calls
+                pix = patchify(jnp.asarray(feed["image_u8"]),
+                               grid_h=plan.grid_h, grid_w=plan.grid_w,
+                               pad_grid_h=plan.pad_grid_h,
+                               pad_grid_w=plan.pad_grid_w,
+                               out_dtype=self.ecfg.dtype)
+            p = prepared.prefix_len
+            prefix_kv = self._get_prefix_cache(prepared.ids[:p])
+            st = prepared.staged_sfx
+            logits, greedy, cache = self._prefill_prefix_fused_jit(
+                self.params, pix, st["perm"], st["valid"], st["pos_hw"],
+                st["extract"], st["ids"], st["positions"], st["kv_mask"],
+                st["img_pos"], st["true_len"], prefix_kv.k, prefix_kv.v,
+                jnp.ones((p,), jnp.float32), n_windows=layout.n_windows)
             return self._sample_first(prepared, logits, cache, s, greedy)
 
         img_tokens, img_positions = self._encode_images(prepared)
@@ -1568,6 +1684,7 @@ class Engine:
         page's whole lifetime — without this, each active slot pins ~17 MB
         of HBM (pixel feed + prompt operands) it no longer needs."""
         prepared.staged = None
+        prepared.staged_sfx = None
         for feed in prepared.image_feeds:
             feed["pix_dev"] = None
             feed["image_u8"] = None
