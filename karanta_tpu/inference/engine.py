@@ -274,9 +274,11 @@ class Engine:
             self.cache = dec.QuantKVCache.zeros(cfg.text, b, m,
                                                 engine_cfg.dtype)
         elif engine_cfg.kv_quantize == "int4":
-            if engine_cfg.speculative_ngram > 0:
+            if engine_cfg.speculative_ngram > 0 and m < 128:
                 raise ValueError(
-                    "kv_quantize='int4' does not support speculative decoding")
+                    "kv_quantize='int4' speculation needs max_seq_len >= 128 "
+                    "(the multi-token kernel's slab spans two 64-token "
+                    "windows)")
             if m >= 256 and m % 256:
                 # the append kernel's scale slab is a full 128-lane tile of
                 # PACKED rows, so the token bucket must be 256-aligned
@@ -760,7 +762,9 @@ class Engine:
         rejected rows are simply left beyond cache_len. use_sampling (static)
         verifies temp>0 rows by rejection sampling (spec_verify_sampled) —
         exact under the output distribution; off, verification is argmax."""
-        m = cache.k.shape[3]
+        # token capacity, NOT cache.k.shape[3]: the int4 cache's row axis
+        # counts PACKED rows (tokens/2)
+        m = self.ecfg.max_seq_len
         b = cache_len.shape[0]
         t = gamma + 1
         bidx = jnp.arange(b)

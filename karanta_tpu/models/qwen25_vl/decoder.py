@@ -695,15 +695,12 @@ def decode_multi(params: Params, cfg: TextConfig,
     batch_idx = jnp.arange(b)[:, None]                     # (B, 1)
     write_pos = cache_len[:, None] + jnp.arange(tq)[None]  # (B, T)
 
-    if isinstance(cache, Q4KVCache):
-        raise NotImplementedError(
-            "speculative decode_multi does not support the int4 KV cache "
-            "(use kv_quantize='int8' with speculative_ngram)")
+    q4 = isinstance(cache, Q4KVCache)
     quant = isinstance(cache, QuantKVCache)
     if _PAGED_FORCE is not None:
         paged_mode, paged_interp = _PAGED_FORCE
     else:
-        paged_mode = _paged_decode_mode(cache.k.shape[3], quant=quant)
+        paged_mode = _paged_decode_mode(cache.k.shape[3], quant=quant or q4)
         paged_interp = False
     mm = matmul_w8a8 if act_quant else qmm
 
@@ -714,7 +711,57 @@ def decode_multi(params: Params, cfg: TextConfig,
         q, k, v = _project_qkv(xn, layer["attn"], cfg, mm=mm)
         q, k = apply_rope(q, k, cos, sin)
         sl = lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
-        if quant:
+        if q4:
+            k_all, v_all, ks_all, vs_all = bufs
+            kq, ksc = quantize_kv_rows_q4(k)             # (B, T, KVH, D)
+            vq, vsc = quantize_kv_rows_q4(v)
+            if paged_mode == "append":
+                from karanta_tpu.ops.decode_attention import (
+                    paged_decode_append_multi_q4,
+                )
+
+                (attn, k_all, v_all, ks_all,
+                 vs_all) = paged_decode_append_multi_q4(
+                    q, kq, vq, ksc, vsc, k_all, v_all, ks_all, vs_all, idx,
+                    cache_len, block=1024, interpret=paged_interp)
+            else:
+                # dense fallback (CPU/tests): nibble-RMW one token at a
+                # time (T is a small static gamma), then attend over the
+                # unpacked layer slice
+                kvh = k_all.shape[2]
+                for t in range(tq):
+                    r, nib = _q4_row_nib(cache_len + t)
+                    old_k = k_all[idx, batch_idx[:, 0], :, r].astype(
+                        jnp.int32)
+                    old_v = v_all[idx, batch_idx[:, 0], :, r].astype(
+                        jnp.int32)
+
+                    def merge(old, new, nib=nib):
+                        n4 = new.astype(jnp.int32) & 0xF
+                        lo = (old & 0xF0) | n4
+                        hi = (old & 0x0F) | (n4 << 4)
+                        sel = (nib == 0)[:, None, None]
+                        return _bits_to_int8(jnp.where(sel, lo, hi))
+
+                    k_all = k_all.at[idx, batch_idx[:, 0], :, r].set(
+                        merge(old_k, kq[:, t]))
+                    v_all = v_all.at[idx, batch_idx[:, 0], :, r].set(
+                        merge(old_v, vq[:, t]))
+                    rows2 = 2 * jnp.arange(kvh)[None, :] + nib[:, None]
+                    ks_all = ks_all.at[idx, batch_idx, rows2,
+                                       r[:, None]].set(
+                        ksc[:, t].astype(ks_all.dtype))
+                    vs_all = vs_all.at[idx, batch_idx, rows2,
+                                       r[:, None]].set(
+                        vsc[:, t].astype(vs_all.dtype))
+                m = 2 * k_all.shape[3]
+                attn = decode_attention_multi(
+                    q, unpack_q4_rows(sl(k_all))[:, :, :m],
+                    unpack_q4_rows(sl(v_all))[:, :, :m], cache_len,
+                    k_scale=unpack_q4_scales(sl(ks_all))[:, :, :m],
+                    v_scale=unpack_q4_scales(sl(vs_all))[:, :, :m])
+            new_bufs = (k_all, v_all, ks_all, vs_all)
+        elif quant:
             k_all, v_all, ks_all, vs_all = bufs
             kq, ksc = quantize_kv_rows(k)                # (B, T, KVH, D)
             vq, vsc = quantize_kv_rows(v)
@@ -750,12 +797,13 @@ def decode_multi(params: Params, cfg: TextConfig,
                      mm=mm)
         return (x,) + new_bufs, None
 
-    init = ((embeds, cache.k, cache.v, cache.ks, cache.vs) if quant
+    init = ((embeds, cache.k, cache.v, cache.ks, cache.vs) if (quant or q4)
             else (embeds, cache.k, cache.v))
     (x, *bufs), _ = jax.lax.scan(
         body, init, (params["layers"], jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    out_cache = QuantKVCache(*bufs) if quant else KVCache(*bufs)
+    out_cache = (Q4KVCache(*bufs) if q4
+                 else QuantKVCache(*bufs) if quant else KVCache(*bufs))
     return x, out_cache
 
 

@@ -1738,3 +1738,393 @@ def paged_decode_append_q4(
 
     attn, k_new, v_new, ks_new, vs_new = out
     return attn.reshape(b, 1, h, d), k_new, v_new, ks_new, vs_new
+
+
+def _decode_append_multi_q4_kernel(
+        len_ref,               # SMEM (B,) int32
+        layer_ref,             # SMEM (1,) int32
+        q_ref,                 # VMEM (SPP, KVH*G*T, D) — rows h-major, then
+                               #      g, then t (query t of head (h, g) at
+                               #      row h*G*T + g*T + t)
+        newk_ref, newv_ref,    # VMEM (SPP, T*KVH, D) int8 nibbles in [-7, 7]
+        newks_ref, newvs_ref,  # VMEM (SPP, T*2*KVH, 1) plane-duplicated
+        k_in, v_in,            # ANY int8 packed (L, B, KVH, PM, D)
+        ks_in, vs_in,          # ANY (L, B, 2*KVH, PM) nibble-plane scales
+        o_ref,                 # VMEM (SPP, KVH*G*T, D)
+        k_out, v_out, ks_out, vs_out,   # ANY aliased to the four caches
+        k_buf, v_buf,          # VMEM scratch (SPP, NBUF, KVH, PBLK, D) int8
+        ksc_buf, vsc_buf,      # VMEM scratch (SPP, NBUF, 2*KVH, PBLK)
+        kslab, vslab,          # VMEM scratch (SPP, KVH, 64, D) int8
+        ksslab, vsslab,        # VMEM scratch (SPP, 2*KVH, SSLAB)
+        acc_ref, m_ref, l_ref,
+        sems, wsems,
+        *, block: int, kvh: int, group: int, tq: int, scale: float,
+        sslab: int, nbuf: int, spp: int, compute_dtype):
+    """Multi-token (speculative-verify) variant of _decode_append_q4_kernel:
+    appends tq nibble rows per slot at token positions cache_len + [0, tq)
+    and attends tq queries per head against ONE ring read of the PACKED
+    cache — query t sees cache tokens [0, cache_len + t] (causal over the
+    fresh rows). Combines _decode_append_multi_quant_kernel's widened
+    (G*T, BLK) score tiles with the q4 kernel's two-nibble-plane unpack.
+
+    Slab geometry: tq <= 32 consecutive tokens starting at cache_len span at
+    most TWO 64-token packing windows, whose packed rows live in
+    [32w, 32w + 64) for w = cache_len//64 — one 64-packed-row slab anchored
+    at 32w (clamped to pm-64) covers every RMW target. Ring reads may race
+    the slab write-back, but fresh tokens are masked out of the ring phase
+    (valid = token < cache_len) and folded separately from VMEM, so the
+    result is order-independent."""
+    prog = pl.program_id(0)
+    lidx = layer_ref[0]
+    gt = group * tq
+    pm = k_in.shape[3]
+    seqs = [len_ref[prog * spp + sp] for sp in range(spp)]
+    live = [jax.lax.div(sl, 64) * 32
+            + jnp.minimum(jax.lax.rem(sl, 64), 32) for sl in seqs]
+    nblocks = [jax.lax.div(lr + (block - 1), block) for lr in live]
+    max_nb = nblocks[0]
+    for nb in nblocks[1:]:
+        max_nb = jnp.maximum(max_nb, nb)
+
+    # per-slot window base (packed row of the first window the span touches)
+    wbases = [jax.lax.div(sl, 64) * 32 for sl in seqs]
+    slab_starts = [jax.lax.mul(jax.lax.div(
+        jnp.minimum(wb, pm - 64), 32), 32) for wb in wbases]
+    if sslab >= pm:
+        sslab_starts = [jnp.zeros((), jnp.int32) for _ in seqs]
+    else:
+        sslab_starts = [jax.lax.mul(jax.lax.div(
+            jnp.minimum(wb, pm - sslab), 128), 128) for wb in wbases]
+
+    # --- slab RMW: nibble-merge tq bytes + their plane scales per slot ---
+    rcopies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        for j, (src, dst) in enumerate(((k_in, kslab), (v_in, vslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, kvh),
+                       pl.ds(slab_starts[sp], 64)],
+                dst.at[sp], wsems.at[j, sp])
+            rc.start()
+            rcopies.append(rc)
+        for j, (src, dst) in enumerate(((ks_in, ksslab), (vs_in, vsslab))):
+            rc = pltpu.make_async_copy(
+                src.at[lidx, slot, pl.ds(0, 2 * kvh),
+                       pl.ds(sslab_starts[sp], sslab)],
+                dst.at[sp], wsems.at[2 + j, sp])
+            rc.start()
+            rcopies.append(rc)
+    for rc in rcopies:
+        rc.wait()
+    wcopies = []
+    for sp in range(spp):
+        slot = prog * spp + sp
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * kvh, sslab), 1)
+        plane_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * kvh, sslab), 0)
+        for t in range(tq):
+            s_tok = seqs[sp] + t
+            r_t = (jax.lax.div(s_tok, 64) * 32 + jax.lax.rem(s_tok, 32))
+            nib_t = jax.lax.div(jax.lax.rem(s_tok, 64), 32)
+            row_sel = row_iota == r_t - slab_starts[sp]
+            for h in range(kvh):
+                for slab_ref, new_ref in ((kslab, newk_ref),
+                                          (vslab, newv_ref)):
+                    old = slab_ref[sp, h].astype(jnp.int32)
+                    n4 = (new_ref[sp, t * kvh + h].astype(jnp.int32)
+                          & 0xF)                           # (D,)
+                    lo = (old & 0xF0) | n4[None, :]
+                    hi = (old & 0x0F) | (n4[None, :] << 4)
+                    merged = jnp.where(nib_t == 0, lo, hi)
+                    merged = (((merged & 0xFF) ^ 0x80) - 0x80).astype(
+                        jnp.int8)
+                    slab_ref[sp, h] = jnp.where(row_sel, merged,
+                                                slab_ref[sp, h])
+            sel = ((col_iota == r_t - sslab_starts[sp])
+                   & (plane_iota % 2 == nib_t))
+            ksslab[sp] = jnp.where(
+                sel,
+                newks_ref[sp, t * 2 * kvh:(t + 1) * 2 * kvh].astype(
+                    ksslab.dtype),
+                ksslab[sp])
+            vsslab[sp] = jnp.where(
+                sel,
+                newvs_ref[sp, t * 2 * kvh:(t + 1) * 2 * kvh].astype(
+                    vsslab.dtype),
+                vsslab[sp])
+        for j, (src, dst, starts, size, n) in enumerate((
+                (kslab, k_out, slab_starts, 64, kvh),
+                (vslab, v_out, slab_starts, 64, kvh),
+                (ksslab, ks_out, sslab_starts, sslab, 2 * kvh),
+                (vsslab, vs_out, sslab_starts, sslab, 2 * kvh))):
+            wc = pltpu.make_async_copy(
+                src.at[sp], dst.at[lidx, slot, pl.ds(0, n),
+                                   pl.ds(starts[sp], size)],
+                wsems.at[j, sp])
+            wc.start()
+            wcopies.append(wc)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+
+    def dmas(sp, i, buf_slot):
+        slot = prog * spp + sp
+        return [
+            pltpu.make_async_copy(
+                k_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                k_buf.at[sp, buf_slot], sems.at[0, sp, buf_slot]),
+            pltpu.make_async_copy(
+                v_in.at[lidx, slot, pl.ds(0, kvh), pl.ds(i * block, block)],
+                v_buf.at[sp, buf_slot], sems.at[1, sp, buf_slot]),
+            pltpu.make_async_copy(
+                ks_in.at[lidx, slot, pl.ds(0, 2 * kvh),
+                         pl.ds(i * block, block)],
+                ksc_buf.at[sp, buf_slot], sems.at[2, sp, buf_slot]),
+            pltpu.make_async_copy(
+                vs_in.at[lidx, slot, pl.ds(0, 2 * kvh),
+                         pl.ds(i * block, block)],
+                vsc_buf.at[sp, buf_slot], sems.at[3, sp, buf_slot]),
+        ]
+
+    for sp in range(spp):
+        for j in range(nbuf - 1):
+            @pl.when(j < nblocks[sp])
+            def _(sp=sp, j=j):
+                for dma in dmas(sp, j, j):
+                    dma.start()
+
+    def body(i, _):
+        cur = jax.lax.rem(i, nbuf)
+
+        for sp in range(spp):
+            @pl.when(i + nbuf - 1 < nblocks[sp])
+            def _(sp=sp):
+                pre = i + nbuf - 1
+                for dma in dmas(sp, pre, jax.lax.rem(pre, nbuf)):
+                    dma.start()
+
+        for sp in range(spp):
+            @pl.when(i < nblocks[sp])
+            def _(sp=sp):
+                for dma in dmas(sp, i, cur):
+                    dma.wait()
+
+                # packed-row columns -> token ids per nibble plane; ring
+                # tokens < cache_len are visible to all tq queries
+                g = i * block + jax.lax.broadcasted_iota(
+                    jnp.int32, (gt, block), 1)
+                tok_lo = ((g >> 5) << 6) + (g & 31)
+                q = q_ref[sp]
+                ksc = ksc_buf[sp, cur].astype(jnp.float32)  # (2*KVH, PBLK)
+                vsc = vsc_buf[sp, cur].astype(jnp.float32)
+
+                for h in range(kvh):
+                    qh = q[h * gt:(h + 1) * gt]
+                    kb = k_buf[sp, cur, h].astype(jnp.int32)
+                    vb = v_buf[sp, cur, h].astype(jnp.int32)
+                    rows = slice(h * gt, (h + 1) * gt)
+                    for nib in (0, 1):
+                        k = _q4_unpack_i32(kb, nib == 0).astype(compute_dtype)
+                        valid = tok_lo + 32 * nib < seqs[sp]
+                        s = jax.lax.dot_general(
+                            qh, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        s = s * ksc[2 * h + nib][None, :]
+                        s = jnp.where(valid, s * scale, NEG_INF)
+
+                        m_prev = m_ref[sp, rows, 0:1]
+                        l_prev = l_ref[sp, rows, 0:1]
+                        m_new = jnp.maximum(
+                            m_prev, jnp.max(s, axis=-1, keepdims=True))
+                        p = jnp.exp(s - m_new)
+                        alpha = jnp.exp(m_prev - m_new)
+                        l_ref[sp, rows, 0:1] = alpha * l_prev + jnp.sum(
+                            p, axis=-1, keepdims=True)
+                        m_ref[sp, rows, 0:1] = m_new
+                        v = _q4_unpack_i32(vb, nib == 0).astype(compute_dtype)
+                        pv = jax.lax.dot_general(
+                            (p * vsc[2 * h + nib][None, :]).astype(
+                                compute_dtype),
+                            v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        acc_ref[sp, rows, :] = (acc_ref[sp, rows, :] * alpha
+                                                + pv)
+        return ()
+
+    jax.lax.fori_loop(0, max_nb, body, ())
+
+    # fold in the tq fresh rows (nibble values + plane scales from VMEM),
+    # causally: query row h*G*T + g*T + t_q sees new key t_k iff t_k <= t_q
+    t_of_row = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (gt, 1), 0), tq)
+    for sp in range(spp):
+        q = q_ref[sp]
+        nks_f = newks_ref[sp][:, 0].astype(jnp.float32)   # (T*2*KVH,)
+        nvs_f = newvs_ref[sp][:, 0].astype(jnp.float32)
+        for h in range(kvh):
+            rows = slice(h * gt, (h + 1) * gt)
+            qh = q[rows]
+            for t in range(tq):
+                nk = (newk_ref[sp, t * kvh + h].astype(jnp.float32)
+                      * nks_f[t * 2 * kvh + 2 * h])
+                s_x = jnp.sum(qh.astype(jnp.float32) * nk[None, :], axis=-1,
+                              keepdims=True) * scale
+                s_x = jnp.where(t_of_row >= t, s_x, NEG_INF)
+                m_prev = m_ref[sp, rows, 0:1]
+                l_prev = l_ref[sp, rows, 0:1]
+                m_new = jnp.maximum(m_prev, s_x)
+                p_x = jnp.exp(s_x - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                l_ref[sp, rows, 0:1] = alpha * l_prev + p_x
+                m_ref[sp, rows, 0:1] = m_new
+                nv = (newv_ref[sp, t * kvh + h].astype(jnp.float32)
+                      * nvs_f[t * 2 * kvh + 2 * h])
+                acc_ref[sp, rows, :] = (acc_ref[sp, rows, :] * alpha
+                                        + p_x * nv[None, :])
+
+    for wc in wcopies:
+        wc.wait()
+
+    for sp in range(spp):
+        l = l_ref[sp, :, 0:1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[sp] = (acc_ref[sp] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "scale", "interpret", "nbuf",
+                                    "spp"))
+def paged_decode_append_multi_q4(
+    q: jnp.ndarray,          # (B, T, H, D)
+    new_k: jnp.ndarray,      # (B, T, KVH, D) int8 nibble values in [-7, 7]
+    new_v: jnp.ndarray,      # (B, T, KVH, D)
+    new_ks: jnp.ndarray,     # (B, T, KVH) row scales
+    new_vs: jnp.ndarray,     # (B, T, KVH)
+    k_cache: jnp.ndarray,    # (L, B, KVH, M/2, D) int8 packed, aliased
+    v_cache: jnp.ndarray,    # (L, B, KVH, M/2, D)
+    ks_cache: jnp.ndarray,   # (L, B, 2*KVH, M/2) nibble-plane scales
+    vs_cache: jnp.ndarray,   # (L, B, 2*KVH, M/2)
+    layer: jnp.ndarray,      # () int32
+    cache_len: jnp.ndarray,  # (B,) int32 TOKENS present BEFORE the T new
+    scale: Optional[float] = None,
+    block: int = 1024,       # ring block in TOKENS (halved to packed rows)
+    interpret: bool = False,
+    nbuf: int = 2,
+    spp: int = 4,
+):
+    """Fused multi-token append + verify attention over the nibble-packed
+    int4 KV cache: the speculative-decoding analogue of
+    paged_decode_append_multi_quant at the capacity operating point —
+    removes decode_multi's int4 exclusion (B128 + speculation compose).
+    Semantics match ops.attention.decode_attention_multi over the unpacked
+    cache. Callers must keep cache_len <= M - T - 1 (the engine's spec loop
+    clamps exactly that)."""
+    b, tq, h, d = q.shape
+    kvh = k_cache.shape[2]
+    pm = k_cache.shape[3]
+    group = h // kvh
+    scale = float(d ** -0.5 if scale is None else scale)
+    if nbuf < 2:
+        raise ValueError("nbuf must be >= 2 (ring needs a consume buffer)")
+    if tq > 32:
+        raise ValueError(f"tq {tq} exceeds the 64-packed-row slab (32-token "
+                         "span)")
+    if pm % 32 or pm < 64:
+        raise ValueError(
+            f"packed bucket {pm} must be a multiple of 32 and >= 64 "
+            "(the multi-token slab spans two 64-token windows)")
+    block, spp, nbuf = _ring_env(block, spp, nbuf)
+    block, spp = _fit_ring(pm, max(32, block // 2), spp, b, kvh, d, 1, nbuf,
+                           budget=_RING_BUDGET or 8 << 20)
+    sslab = pm if pm < 256 else 256
+    if pm >= 256 and pm % 128:
+        raise ValueError(f"packed bucket {pm} must be 128-aligned "
+                         f"(max_seq_len {2 * pm} -> multiple of 256)")
+    compute_dtype = q.dtype
+    sdtype = ks_cache.dtype
+
+    # rows h-major then g then t (see kernel docstring)
+    qg = q.transpose(0, 2, 1, 3).reshape(b, h * tq, d)
+    nk = new_k.reshape(b, tq * kvh, d)
+    nv = new_v.reshape(b, tq * kvh, d)
+    # plane-duplicated scales: rows t*2KVH + 2h and + 2h+1 both = head h of
+    # token t (Mosaic can't lower the sublane interleave in-kernel)
+    nks = jnp.repeat(new_ks.astype(sdtype), 2, axis=2).reshape(
+        b, tq * 2 * kvh, 1)
+    nvs = jnp.repeat(new_vs.astype(sdtype), 2, axis=2).reshape(
+        b, tq * 2 * kvh, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // spp,),
+        in_specs=[
+            pl.BlockSpec((spp, kvh * group * tq, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * kvh, d), lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * 2 * kvh, 1),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, tq * 2 * kvh, 1),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((spp, kvh * group * tq, d),
+                         lambda bb, lens, lay: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((spp, nbuf, kvh, block, d), k_cache.dtype),
+            pltpu.VMEM((spp, nbuf, kvh, block, d), v_cache.dtype),
+            pltpu.VMEM((spp, nbuf, 2 * kvh, block), sdtype),
+            pltpu.VMEM((spp, nbuf, 2 * kvh, block), sdtype),
+            pltpu.VMEM((spp, kvh, 64, d), k_cache.dtype),
+            pltpu.VMEM((spp, kvh, 64, d), v_cache.dtype),
+            pltpu.VMEM((spp, 2 * kvh, sslab), sdtype),
+            pltpu.VMEM((spp, 2 * kvh, sslab), sdtype),
+            pltpu.VMEM((spp, kvh * group * tq, d), jnp.float32),
+            pltpu.VMEM((spp, kvh * group * tq, 128), jnp.float32),
+            pltpu.VMEM((spp, kvh * group * tq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, spp, nbuf)),
+            pltpu.SemaphoreType.DMA((4, spp)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_decode_append_multi_q4_kernel, block=block,
+                          kvh=kvh, group=group, tq=tq, scale=scale,
+                          sslab=sslab, nbuf=nbuf, spp=spp,
+                          compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh * group * tq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(ks_cache.shape, sdtype),
+            jax.ShapeDtypeStruct(vs_cache.shape, sdtype),
+        ],
+        # operands: 0 lens, 1 layer, 2 q, 3 new_k, 4 new_v, 5 new_ks,
+        # 6 new_vs, 7 k_cache, 8 v_cache, 9 ks_cache, 10 vs_cache
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )(cache_len.astype(jnp.int32),
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      qg, nk, nv, nks, nvs,
+      k_cache, v_cache, ks_cache, vs_cache)
+
+    attn, k_new, v_new, ks_new, vs_new = out
+    attn = attn.reshape(b, kvh * group, tq, d).transpose(0, 2, 1, 3)
+    return attn.reshape(b, tq, h, d), k_new, v_new, ks_new, vs_new

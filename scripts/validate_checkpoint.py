@@ -62,11 +62,24 @@ def parse_args(argv=None):
                    help="skip the HF-generate reference pass (no torch, or "
                         "checkpoint too large for host RAM)")
     p.add_argument("--skip-quantized", action="store_true")
+    p.add_argument("--modes", default="int4kv,spec,spec-int4kv",
+                   help="comma list of extra serving modes to validate "
+                        "against native bf16 (each is one more engine pass): "
+                        "int4kv (nibble-packed KV capacity mode), spec "
+                        "(greedy n-gram speculation, exact by construction), "
+                        "spec-int4kv (the combined capacity+spec operating "
+                        "point). Empty string skips the matrix.")
     p.add_argument("--max-cer", dest="max_cer", type=float, default=0.005,
                    help="bound on native-vs-HF CER (north-star 0.5%%)")
     p.add_argument("--max-quant-delta", dest="max_quant_delta", type=float,
                    default=0.005,
                    help="bound on quantized-vs-bf16 CER delta")
+    p.add_argument("--max-mode-delta", dest="max_mode_delta", type=float,
+                   default=None,
+                   help="bound on the --modes rows' CER delta vs bf16 "
+                        "(default: --max-quant-delta). CI loosens this: "
+                        "int4 KV on a tiny RANDOM model flips tokens "
+                        "legitimately; the tight bound is for real weights.")
     p.add_argument("--out", default=None, help="write a markdown report here")
     p.add_argument("--text-layer", dest="text_layer", action="store_true",
                    default=True)
@@ -97,13 +110,21 @@ def _build_messages(args) -> list[list[dict]]:
     return [q["messages"] for q in queries]
 
 
-def _engine_cfg(args, dtype, quantized: bool):
+def _engine_cfg(args, dtype, mode: str):
+    """mode: bf16 | quantized | int4kv | spec | spec-int4kv. `quantized` is
+    the full deployed point (int8 weights + KV + W8A8, TPU-only fusions);
+    the matrix modes engage on any backend so CI proves them."""
     import jax
 
     from karanta_tpu.inference.engine import EngineConfig
 
     on_tpu = jax.default_backend() == "tpu"
-    quant = args.quantize != "none" and quantized and on_tpu
+    quant = args.quantize != "none" and mode == "quantized" and on_tpu
+    kvq = None
+    if mode == "quantized" and quant and args.kv_quantize != "none":
+        kvq = args.kv_quantize
+    elif "int4kv" in mode:
+        kvq = "int4"
     return EngineConfig(
         max_batch_size=max(2, min(8, args.pages)),
         max_seq_len=args.max_seq_len,
@@ -114,13 +135,13 @@ def _engine_cfg(args, dtype, quantized: bool):
         image_token_buckets=tuple(args.image_token_buckets),
         dtype=dtype,
         quantize=None,  # quantize-on-transfer happens in the loader
-        kv_quantize=(args.kv_quantize if quant
-                     and args.kv_quantize != "none" else None),
+        kv_quantize=kvq,
         act_quant=("int8" if quant and args.act_quant != "none" else None),
+        speculative_ngram=(3 if mode.startswith("spec") else 0),
     ), ("int8" if quant else None)
 
 
-def _load_engine(args, quantized: bool):
+def _load_engine(args, mode: str):
     import jax
     import jax.numpy as jnp
 
@@ -137,24 +158,24 @@ def _load_engine(args, quantized: bool):
     else:
         cfg = get_config(preset)
         tok = HFTokenizer(args.checkpoint)
-    ecfg, load_quant = _engine_cfg(args, dtype, quantized)
+    ecfg, load_quant = _engine_cfg(args, dtype, mode)
     params = load_hf_checkpoint(args.checkpoint, cfg, dtype,
                                 quantize=load_quant)
     return Engine(params, cfg, tok, ecfg), cfg, tok
 
 
-def _native_pass(args, messages, quantized: bool):
+def _native_pass(args, messages, mode: str):
     """Run the page set through a freshly built native engine; returns
     (prompt_ids per page, token ids per page, text per page). The engine is
-    freed before returning so bf16 + quantized runs fit 16 GB serially."""
+    freed before returning so the serial mode passes fit 16 GB."""
     from karanta_tpu.inference.engine import GenRequest
 
-    engine, cfg, tok = _load_engine(args, quantized)
+    engine, cfg, tok = _load_engine(args, mode)
     reqs = [GenRequest(messages=m, max_tokens=args.decode_tokens,
                        temperature=0.0, request_id=f"page-{i}")
             for i, m in enumerate(messages)]
     prepared = ([engine.prepare(r) for r in reqs]
-                if not args.skip_hf and not quantized else None)
+                if not args.skip_hf and mode == "bf16" else None)
     prepared_ids = ([np.asarray(p.ids) for p in prepared]
                     if prepared is not None
                     else [np.asarray(engine.prepare(r).ids) for r in reqs])
@@ -265,7 +286,7 @@ def main(argv=None) -> int:
           f"{args.decode_tokens} tokens/page", flush=True)
 
     ids, bf16_toks, bf16_texts, feeds, tok = _native_pass(
-        args, messages, quantized=False)
+        args, messages, mode="bf16")
     pairings: list[Pairing] = []
 
     if not args.skip_hf:
@@ -274,28 +295,46 @@ def main(argv=None) -> int:
                                  bf16_toks, hf_toks, tok))
 
     if not args.skip_quantized:
-        _, q_toks, _, _, _ = _native_pass(args, messages, quantized=True)
+        _, q_toks, _, _, _ = _native_pass(args, messages, mode="quantized")
         pairings.append(_compare("quantized vs native-bf16",
                                  q_toks, bf16_toks, tok))
         if not args.skip_hf:
             pairings.append(_compare("quantized vs HF-generate",
                                      q_toks, hf_toks, tok))
 
+    skipped_modes: list[str] = []
+    for mode in [m.strip() for m in (args.modes or "").split(",") if m.strip()]:
+        try:
+            _, m_toks, _, _, _ = _native_pass(args, messages, mode=mode)
+        except (NotImplementedError, ValueError) as exc:
+            # a mode the engine (or this backend) excludes is reported, not
+            # fatal — the matrix documents what is validatable today
+            skipped_modes.append(f"{mode}: SKIPPED ({exc})")
+            continue
+        pairings.append(_compare(f"mode {mode} vs native-bf16",
+                                 m_toks, bf16_toks, tok))
+
+    mode_bound = (args.max_mode_delta if args.max_mode_delta is not None
+                  else args.max_quant_delta)
     lines = [f"# checkpoint validation: {args.checkpoint}", ""]
     failed = False
     for p in pairings:
-        bound = (args.max_quant_delta if "vs native-bf16" in p.name
+        bound = (mode_bound if p.name.startswith("mode ")
+                 else args.max_quant_delta if "vs native-bf16" in p.name
                  else args.max_cer)
         ok = p.mean_cer <= bound
         failed |= not ok
         lines.append(f"- {p.name}: exact {p.exact}/{p.total}, "
                      f"mean CER {p.mean_cer:.5f} "
                      f"({'OK' if ok else 'FAIL'} <= {bound})")
+    for s in skipped_modes:
+        lines.append(f"- {s}")
     report = "\n".join(lines)
     print(report)
     print(json.dumps({
         "checkpoint": args.checkpoint,
         "pairings": [dataclasses.asdict(p) for p in pairings],
+        "skipped_modes": skipped_modes,
         "passed": not failed,
     }))
     if args.out:

@@ -238,16 +238,43 @@ class TestQ4Engine:
         assert isinstance(eng.cache, dec.Q4KVCache)
         assert eng.cache.k.shape[-2] == 64   # nibble-packed rows
 
-    def test_speculative_rejected(self):
+    def test_speculative_with_q4(self):
+        """Speculation over the int4 KV cache (greedy, exact): same tokens
+        as the non-speculative int4 engine."""
+        from karanta_tpu.inference.engine import Engine, EngineConfig, GenRequest
+        from karanta_tpu.inference.tokenizer import ByteTokenizer
+
+        class NoStop(ByteTokenizer):
+            def __init__(self):
+                super().__init__()
+                self.eos_token_id = -1
+
+        tok = NoStop()
+        cfg = tiny_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        base = dict(max_batch_size=2, max_seq_len=128, decode_chunk=4,
+                    prefill_buckets=(128,), dtype=jnp.float32,
+                    kv_quantize="int4")
+        plain = Engine(params, cfg, tok, EngineConfig(**base))
+        spec = Engine(params, cfg, tok,
+                      EngineConfig(**base, speculative_ngram=2))
+        req = [GenRequest(messages=[{"role": "user",
+                                     "content": "xyxyxyxyxyxy"}],
+                          max_tokens=16, temperature=0.0, request_id="r")]
+        a = plain.generate(req)[0]
+        b = spec.generate(req)[0]
+        assert a.token_ids == b.token_ids
+
+    def test_speculative_q4_small_bucket_rejected(self):
         from karanta_tpu.inference.engine import Engine, EngineConfig
         from karanta_tpu.inference.tokenizer import ByteTokenizer
 
         tok = ByteTokenizer()
         cfg = tiny_config(vocab_size=tok.vocab_size)
         params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-        with pytest.raises(ValueError, match="speculative"):
+        with pytest.raises(ValueError, match="128"):
             Engine(params, cfg, tok,
-                   EngineConfig(max_batch_size=2, max_seq_len=128,
+                   EngineConfig(max_batch_size=2, max_seq_len=64,
                                 dtype=jnp.float32, kv_quantize="int4",
                                 speculative_ngram=2))
 

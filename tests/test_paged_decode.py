@@ -467,3 +467,107 @@ class TestAppendQ4Kernel:
                                    np.asarray(c_ref.ks), atol=1e-6)
         np.testing.assert_allclose(np.asarray(c_pag.vs),
                                    np.asarray(c_ref.vs), atol=1e-6)
+
+
+class TestAppendMultiQ4Kernel:
+    @pytest.mark.parametrize("tq,lens", [
+        (3, [0, 5, 200, 248]),
+        (5, [31, 32, 63, 127]),
+        (4, [60, 62, 95, 126]),   # spans crossing the 64-token window
+    ])
+    def test_multi_q4_matches_scatter_plus_multi_dense(self, tq, lens):
+        """The fused multi-token int4 kernel vs token-ordered scatter +
+        decode_attention_multi: attention and all four packed buffers."""
+        from karanta_tpu.models.qwen25_vl import decoder as dec
+        from karanta_tpu.ops.attention import decode_attention_multi
+        from karanta_tpu.ops.decode_attention import (
+            paged_decode_append_multi_q4,
+        )
+
+        rng = np.random.default_rng(17)
+        L, B, M, H, KVH, D = 2, 4, 256, 8, 2, 64
+        q = jnp.asarray(rng.normal(size=(B, tq, H, D)), jnp.float32)
+        k_tok = jnp.asarray(rng.integers(-7, 8, size=(L, B, KVH, M, D)),
+                            jnp.int8)
+        v_tok = jnp.asarray(rng.integers(-7, 8, size=(L, B, KVH, M, D)),
+                            jnp.int8)
+        ks_tok = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, B, KVH, M)),
+                             jnp.float32)
+        vs_tok = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, B, KVH, M)),
+                             jnp.float32)
+        nkq, nks = dec.quantize_kv_rows_q4(
+            jnp.asarray(rng.normal(size=(B, tq, KVH, D)), jnp.float32))
+        nvq, nvs = dec.quantize_kv_rows_q4(
+            jnp.asarray(rng.normal(size=(B, tq, KVH, D)), jnp.float32))
+        nks = nks.astype(jnp.float32)
+        nvs = nvs.astype(jnp.float32)
+        lens = jnp.asarray(lens, jnp.int32)
+
+        attn, k2, v2, ks2, vs2 = paged_decode_append_multi_q4(
+            q, nkq, nvq, nks, nvs,
+            dec.pack_q4_rows(k_tok), dec.pack_q4_rows(v_tok),
+            dec.pack_q4_scales(ks_tok), dec.pack_q4_scales(vs_tok),
+            jnp.asarray(1), lens, block=128, interpret=True)
+
+        bidx = jnp.arange(B)[:, None]
+        wpos = lens[:, None] + jnp.arange(tq)[None]
+        k_ref = k_tok.at[1, bidx, :, wpos].set(nkq)
+        v_ref = v_tok.at[1, bidx, :, wpos].set(nvq)
+        ks_ref = ks_tok.at[1, bidx, :, wpos].set(nks)
+        vs_ref = vs_tok.at[1, bidx, :, wpos].set(nvs)
+        want = decode_attention_multi(q, k_ref[1], v_ref[1], lens,
+                                      k_scale=ks_ref[1], v_scale=vs_ref[1])
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(want),
+                                   atol=5e-3)
+        np.testing.assert_array_equal(
+            np.asarray(k2), np.asarray(dec.pack_q4_rows(k_ref)))
+        np.testing.assert_array_equal(
+            np.asarray(v2), np.asarray(dec.pack_q4_rows(v_ref)))
+        np.testing.assert_allclose(
+            np.asarray(ks2), np.asarray(dec.pack_q4_scales(ks_ref)),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(vs2), np.asarray(dec.pack_q4_scales(vs_ref)),
+            atol=1e-6)
+
+    def test_decode_multi_q4_append_integration(self, monkeypatch):
+        """decode_multi on a Q4KVCache with the fused multi kernel matches
+        the XLA nibble-RMW fallback path."""
+        import karanta_tpu.models.qwen25_vl.decoder as dec
+        from karanta_tpu.models.qwen25_vl.config import get_config
+
+        cfg = get_config("tiny").text
+        params = dec.init_decoder_params(cfg, jax.random.PRNGKey(1),
+                                         dtype=jnp.float32)
+        B, M, T = 2, 128, 4
+        rng = np.random.default_rng(5)
+        cache0 = dec.Q4KVCache.zeros(cfg, B, M, jnp.float32)
+        cache0 = dec.Q4KVCache(
+            jnp.asarray(rng.integers(-127, 127, size=cache0.k.shape),
+                        jnp.int8),
+            jnp.asarray(rng.integers(-127, 127, size=cache0.v.shape),
+                        jnp.int8),
+            jnp.asarray(rng.uniform(0.01, 0.1, size=cache0.ks.shape),
+                        jnp.float32),
+            jnp.asarray(rng.uniform(0.01, 0.1, size=cache0.vs.shape),
+                        jnp.float32))
+        emb = jnp.asarray(rng.normal(size=(B, T, cfg.hidden_size)),
+                          jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 40, size=(3, B, T)), jnp.int32)
+        lens = jnp.asarray([7, 62], jnp.int32)  # second spans a window edge
+
+        monkeypatch.setattr(dec, "_PAGED_FORCE", ("", False))
+        h_ref, c_ref = dec.decode_multi(params, cfg, emb, pos, cache0, lens)
+        monkeypatch.setattr(dec, "_PAGED_FORCE", ("append", True))
+        h_pag, c_pag = dec.decode_multi(params, cfg, emb, pos, cache0, lens)
+
+        np.testing.assert_allclose(np.asarray(h_pag), np.asarray(h_ref),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(c_pag.k),
+                                      np.asarray(c_ref.k))
+        np.testing.assert_array_equal(np.asarray(c_pag.v),
+                                      np.asarray(c_ref.v))
+        np.testing.assert_allclose(np.asarray(c_pag.ks),
+                                   np.asarray(c_ref.ks), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_pag.vs),
+                                   np.asarray(c_ref.vs), atol=1e-6)
