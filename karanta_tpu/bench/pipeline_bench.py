@@ -288,6 +288,18 @@ async def run_bench(args) -> dict:
         "requests_served": server.requests_served,
         "completion_tokens_served": server.completion_tokens_served,
     }
+    detail["finished_on_attempt_0"] = int(
+        totals.get("finished_on_attempt_0", 0))
+    detail["fallback_pages"] = int(totals.get("failed_pages", 0))
+    if detail["finished_on_attempt_0"] < args.pages:
+        # a degraded run (server errors -> anchor fallbacks) must not
+        # masquerade as a throughput number
+        import sys
+
+        print(f"WARNING: only {detail['finished_on_attempt_0']}/"
+              f"{args.pages} pages decoded on attempt 0 — the metric line "
+              "reflects fallback-path speed, not serving throughput",
+              file=sys.stderr)
     if getattr(engine, "spec_passes", 0):
         detail["spec_tokens_per_pass"] = round(
             engine.spec_tokens / max(1, engine.spec_passes), 3)

@@ -161,5 +161,48 @@ def make_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
     if skip_nonfinite:
         # skip updates on NaN/inf loss batches instead of poisoning params
         # (reference skips NaN-loss batches — ocr_training.py:89-93)
-        opt = optax.apply_if_finite(opt, max_consecutive_errors=10)
+        opt = skip_nonfinite_updates(opt)
     return opt
+
+
+class SkipNonfiniteState(NamedTuple):
+    inner_state: Any
+    notfinite_count: jnp.ndarray  # consecutive skipped steps
+
+
+def skip_nonfinite_updates(
+        opt: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Memory-lean replacement for optax.apply_if_finite: zero the updates
+    and keep the previous inner state when any gradient is nonfinite.
+
+    apply_if_finite's lax.cond keeps BOTH branch outputs live, which costs a
+    full optimizer-state-sized buffer at peak — the reason 2B full-FT OOMed
+    the 16 GB chip with guards on (BENCH_NOTES round-3 Muon section). Here
+    the inner update always runs and an elementwise `where` selects
+    new-vs-old per leaf; XLA fuses the select into the producing op and
+    donation aliases the buffers, so the state transient disappears. NaNs
+    computed through the inner update on a bad batch are discarded by the
+    select (never mixed into the kept state)."""
+
+    def init(params):
+        return SkipNonfiniteState(opt.init(params),
+                                  jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        leaves = jax.tree.leaves(updates)
+        isfinite = jnp.array(True)
+        for leaf in leaves:
+            isfinite = jnp.logical_and(isfinite,
+                                       jnp.all(jnp.isfinite(leaf)))
+        new_updates, new_inner = opt.update(updates, state.inner_state,
+                                            params)
+        out_updates = jax.tree.map(
+            lambda u: jnp.where(isfinite, u, jnp.zeros_like(u)), new_updates)
+        out_inner = jax.tree.map(
+            lambda n, o: jnp.where(isfinite, n, o) if isinstance(
+                n, jnp.ndarray) else n,
+            new_inner, state.inner_state)
+        count = jnp.where(isfinite, 0, state.notfinite_count + 1)
+        return out_updates, SkipNonfiniteState(out_inner, count)
+
+    return optax.GradientTransformation(init, update)
