@@ -572,10 +572,60 @@ def _attention_cv_fwd(q, k, v, kv_mask, causal, scale, q_offset):
     return out, (q, k, v, kv_mask, out)
 
 
+_BWD_Q_CHUNK = 512
+
+
+def _attention_bwd_q_chunked(q, k, v, kv_mask, out, dout, causal, scale,
+                             q_offset):
+    """Query-chunked backward: scan q chunks through _attention_bwd_math.
+
+    The monolithic backward carries a (B, Sq, KVH, G, D) f32 dq accumulator
+    through its kv-block scan; at B4/S2048 on a 3B model that is a ~540 MB
+    carry whose per-block read+write (and the S-minor layout XLA assigns it
+    past ~500 MB) cost ~11 ms/layer vs ~1 ms at B1 — the measured source of
+    the B>1 training per-row loss (BENCH_NOTES round-4 training section).
+    Chunking Sq keeps every chunk's accumulator in the small-regime layout;
+    dk/dv accumulate in a carry that is GQA-small ((B, Sk, KVH, D) f32)."""
+    b, sq, h, d = q.shape
+    cq = _BWD_Q_CHUNK
+    pad = (-sq) % cq
+    if pad:
+        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        op = jnp.pad(out, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dp = jnp.pad(dout, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    else:
+        qp, op, dp = q, out, dout
+    nc = (sq + pad) // cq
+
+    def chunk(i):
+        return (jax.lax.dynamic_slice_in_dim(qp, i * cq, cq, 1),
+                jax.lax.dynamic_slice_in_dim(op, i * cq, cq, 1),
+                jax.lax.dynamic_slice_in_dim(dp, i * cq, cq, 1))
+
+    def body(carry, i):
+        dk_acc, dv_acc = carry
+        q_c, out_c, dout_c = chunk(i)
+        dq_c, dk_c, dv_c = _attention_bwd_math(
+            q_c, k, v, kv_mask, out_c, dout_c, causal, scale,
+            q_offset + i * cq)
+        return ((dk_acc + dk_c.astype(jnp.float32),
+                 dv_acc + dv_c.astype(jnp.float32)), dq_c)
+
+    sk, kvh = k.shape[1], k.shape[2]
+    zero = jnp.zeros((b, sk, kvh, d), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(body, (zero, zero), jnp.arange(nc))
+    dq = jnp.moveaxis(dq_chunks, 0, 1).reshape(b, sq + pad, h, d)[:, :sq]
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _attention_cv_bwd(causal, scale, q_offset, res, dout):
     q, k, v, kv_mask, out = res
-    dq, dk, dv = _attention_bwd_math(q, k, v, kv_mask, out, dout,
-                                     causal, scale, q_offset)
+    if q.shape[1] > _BWD_Q_CHUNK:
+        dq, dk, dv = _attention_bwd_q_chunked(q, k, v, kv_mask, out, dout,
+                                              causal, scale, q_offset)
+    else:
+        dq, dk, dv = _attention_bwd_math(q, k, v, kv_mask, out, dout,
+                                         causal, scale, q_offset)
     dmask = None if kv_mask is None else jnp.zeros_like(kv_mask)
     return dq, dk, dv, dmask
 

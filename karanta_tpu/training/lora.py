@@ -149,7 +149,8 @@ def with_factors(lora: Any, factors: Any) -> Any:
 
 def make_lora_train_step(cfg, optimizer, n_windows: int = 0,
                          materialize: bool = False, remat: bool = False,
-                         grad_accum: int = 1, sp_mesh=None):
+                         grad_accum: int = 1, sp_mesh=None,
+                         ce_chunk: int = 512):
     """(state, params, batch) -> (state, metrics); state holds adapter
     factors + opt state; base params are frozen inputs.
 
@@ -167,7 +168,7 @@ def make_lora_train_step(cfg, optimizer, n_windows: int = 0,
     )
 
     loss_fn = make_loss_fn(cfg, n_windows=n_windows, remat=remat,
-                           sp_mesh=sp_mesh)
+                           sp_mesh=sp_mesh, ce_chunk=ce_chunk)
 
     def train_step(state: TrainState, base_params, lora_template, batch):
         def grad_once(mb):

@@ -33,6 +33,11 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--rank", type=int, default=16)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--trace", default=None,
+                   help="write a jax.profiler trace of 2 warm steps here")
+    p.add_argument("--ce-chunk", dest="ce_chunk", type=int, default=512,
+                   help="chunked-CE tokens per scan chunk (per ROW; the "
+                        "fp32 logits transient is B*chunk*vocab)")
     p.add_argument("--vision", action="store_true",
                    help="one 1288px-longest page image per row (the "
                         "reference's training render dim), anchor prompt + "
@@ -65,7 +70,8 @@ def main():
     opt = optax.adamw(1e-4)
     state = create_train_state(trainable_lora(lora), opt)
     step = jax.jit(make_lora_train_step(cfg, opt,
-                                        remat=not args.no_remat))
+                                        remat=not args.no_remat,
+                                        ce_chunk=args.ce_chunk))
 
     rng = np.random.default_rng(0)
     B, S = args.batch, args.seq
@@ -103,7 +109,8 @@ def main():
         S = batch["token_ids"].shape[1]
         step = jax.jit(make_lora_train_step(cfg, opt,
                                             remat=not args.no_remat,
-                                            n_windows=n_windows))
+                                            n_windows=n_windows,
+                                            ce_chunk=args.ce_chunk))
     else:
         token_ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (B, S)),
                                 jnp.int32)
@@ -127,6 +134,14 @@ def main():
         times.append(time.time() - t0)
         print(f"step {i + 1}: {times[-1] * 1e3:.0f} ms  "
               f"loss={float(metrics['loss']):.4f}")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(2):
+                state, metrics = step(state, params, lora, batch)
+                jax.block_until_ready(metrics["loss"])
+        print(f"trace written to {args.trace} (parse with "
+              "scripts/parse_trace.py)")
 
     best = min(times)
     med = sorted(times)[len(times) // 2]
