@@ -217,6 +217,33 @@ def _decode_embedded_image(doc, xobjects):
         try:
             if Name("DCTDecode") in filters:
                 return Image.open(io.BytesIO(xo.raw))
+            if Name("CCITTFaxDecode") in filters:
+                # bitonal fax scans — the dominant archive.org codec
+                # (poppler decodes these natively; reference
+                # process_pdf_utils.py:56-74). K < 0 = Group 4 only.
+                import numpy as np
+
+                from karanta_tpu.pdf.ccitt import decode_g4
+
+                parms = doc.resolve(xo.dict.get(Name("DecodeParms")))
+                if isinstance(parms, list):
+                    parms = next((doc.resolve(p) for p in parms
+                                  if isinstance(doc.resolve(p), dict)), {})
+                parms = parms if isinstance(parms, dict) else {}
+                k = int(doc.resolve(parms.get(Name("K"), 0)) or 0)
+                if k >= 0:
+                    continue  # Group 3: undecoded, degrade as before
+                cols = int(doc.resolve(parms.get(Name("Columns"), 1728))
+                           or 1728)
+                data = xo.raw
+                if filters and filters[0] == Name("FlateDecode"):
+                    data = zlib.decompress(data)
+                bitmap = decode_g4(data, columns=cols,
+                                   rows=height or None)
+                # 1 = black ink -> gray 0 (/BlackIs1 describes the decoded
+                # STREAM's bit convention, which we never materialize)
+                return Image.fromarray(
+                    np.where(bitmap > 0, 0, 255).astype(np.uint8), "L")
             if Name("FlateDecode") in filters or filt is None:
                 raw = zlib.decompress(xo.raw) if filters else xo.raw
                 cs = doc.resolve(xo.dict.get(Name("ColorSpace")))

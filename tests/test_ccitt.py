@@ -1,0 +1,120 @@
+"""CCITT Group 4 decoder: parity against libtiff's encoder, corruption
+tolerance, and end-to-end rasterization of a /CCITTFaxDecode page (the
+dominant bitonal codec in real archives — poppler handles it natively,
+reference karanta/data/process_pdf_utils.py:56-74)."""
+
+import base64
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from karanta_tpu.pdf.ccitt import CCITTError, decode_g4
+
+
+def g4_payload(arr: np.ndarray) -> bytes:
+    """Raw Group-4 bytes for a boolean bitmap, via PIL/libtiff (a trusted
+    independent encoder)."""
+    img = Image.fromarray(arr.astype(bool))
+    buf = io.BytesIO()
+    img.save(buf, format="TIFF", compression="group4",
+             tiffinfo={278: arr.shape[0]})  # single strip
+    buf.seek(0)
+    t = Image.open(buf)
+    offs, counts = t.tag_v2[273], t.tag_v2[279]
+    assert len(offs) == 1
+    return buf.getvalue()[offs[0]:offs[0] + counts[0]]
+
+
+class TestG4Decoder:
+    @pytest.mark.parametrize("name,make", [
+        ("random50", lambda r: r.random((64, 80)) > 0.5),
+        ("sparse", lambda r: r.random((48, 200)) > 0.9),
+        ("dense", lambda r: r.random((48, 200)) > 0.1),
+        ("triangle", lambda r: np.tril(np.ones((33, 100))) > 0),
+        ("stripes", lambda r: (np.indices((120, 256)).sum(0) % 7 < 3)),
+        ("blank", lambda r: np.zeros((20, 144), bool)),
+        ("solid", lambda r: np.ones((20, 144), bool)),
+        ("textlike", lambda r: (r.random((100, 800)) > 0.85)),
+    ])
+    def test_matches_libtiff(self, name, make):
+        arr = make(np.random.default_rng(hash(name) % 2**31))
+        got = decode_g4(g4_payload(arr), columns=arr.shape[1],
+                        rows=arr.shape[0])
+        np.testing.assert_array_equal(got, arr.astype(np.uint8), err_msg=name)
+
+    def test_row_pad_when_stream_short(self):
+        arr = np.eye(16, 32, dtype=bool)
+        got = decode_g4(g4_payload(arr), columns=32, rows=24)
+        assert got.shape == (24, 32)
+        np.testing.assert_array_equal(got[:16], arr.astype(np.uint8))
+        assert not got[16:].any()
+
+    def test_corruption_never_hangs(self):
+        arr = np.random.default_rng(3).random((40, 96)) > 0.6
+        raw = g4_payload(arr)
+        step = max(1, len(raw) // 32)
+        for pos in range(0, len(raw), step):
+            bad = bytearray(raw)
+            bad[pos] ^= 0xFF
+            try:
+                out = decode_g4(bytes(bad), columns=96, rows=40)
+                assert out.shape == (40, 96)
+            except CCITTError:
+                pass  # graceful refusal
+        for end in range(0, len(raw), step):
+            try:
+                decode_g4(raw[:end], columns=96, rows=40)
+            except CCITTError:
+                pass
+
+
+def _ccitt_pdf(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    payload = g4_payload(arr)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>\n"
+        b"endobj\n")
+    content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+    pdf += (b"4 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    pdf += (b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width "
+            + str(w).encode() + b" /Height " + str(h).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+            b" /Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns "
+            + str(w).encode() + b" /Rows " + str(h).encode() + b" >>"
+            b" /Length " + str(len(payload)).encode() + b" >>\nstream\n"
+            + payload + b"\nendstream\nendobj\n")
+    xref_pos = len(pdf)
+    pdf += (b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+            + f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    return pdf
+
+
+def test_render_ccitt_page(tmp_path):
+    """A scanned bitonal page (CCITT G4 image XObject) rasterizes through
+    the poppler-free renderer with the ink in the right place."""
+    from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+
+    arr = np.zeros((256, 198), bool)
+    arr[40:80, 30:160] = True  # a black bar
+    path = os.path.join(str(tmp_path), "fax.pdf")
+    with open(path, "wb") as f:
+        f.write(_ccitt_pdf(arr))
+    png = base64.b64decode(render_pdf_to_base64png(
+        path, 1, target_longest_image_dim=256))
+    img = np.asarray(Image.open(io.BytesIO(png)).convert("L"))
+    assert img.shape[0] >= 200
+    h, w = img.shape
+    # the bar region is dark, the rest light (coordinates scale with render)
+    bar = img[int(h * 40 / 256):int(h * 80 / 256),
+              int(w * 30 / 198):int(w * 160 / 198)]
+    rest = img[int(h * 120 / 256):, :]
+    assert bar.mean() < 80, bar.mean()
+    assert rest.mean() > 200, rest.mean()
