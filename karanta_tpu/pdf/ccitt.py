@@ -233,6 +233,127 @@ def decode_g4(data: bytes, columns: int,
     return np.stack(lines) if lines else np.zeros((0, columns), np.uint8)
 
 
+def _skip_eol(bits: _Bits) -> bool:
+    """Consume an optional EOL (11 zero-tolerant '000000000001'); returns
+    False at end of data."""
+    save = bits.pos
+    zeros = 0
+    while True:
+        b = bits.read_bit()
+        if b is None:
+            return False
+        if b == 0:
+            zeros += 1
+            continue
+        if zeros >= 11:
+            return True  # consumed an EOL
+        bits.pos = save
+        return True
+
+
+def _decode_1d_line(bits: _Bits, columns: int) -> Optional[np.ndarray]:
+    """One MH-coded line (alternating white/black runs, starts white)."""
+    line = np.zeros((columns,), np.uint8)
+    pos = 0
+    color = 0
+    while pos < columns:
+        try:
+            run = _read_run(bits, black=bool(color))
+        except CCITTError:
+            if pos == 0:
+                return None  # clean end of data between lines
+            raise
+        end = min(pos + run, columns)
+        if color:
+            line[pos:end] = 1
+        pos = end
+        color ^= 1
+    return line
+
+
+def decode_g3(data: bytes, columns: int, rows: Optional[int] = None,
+              two_d: bool = False) -> np.ndarray:
+    """Group 3 decode: K = 0 (pure 1D MH) or K > 0 (`two_d`: each line is
+    prefixed, after its EOL, by one bit — 1 = 1D, 0 = 2D-coded against the
+    previous line). Lines are EOL-separated (EOLs optional in PDF K=0
+    streams)."""
+    if columns <= 0:
+        raise CCITTError("columns must be positive")
+    bits = _Bits(data)
+    lines: list[np.ndarray] = []
+    prev: Optional[np.ndarray] = None
+    while rows is None or len(lines) < rows:
+        if not _skip_eol(bits) or bits.exhausted():
+            break
+        if two_d:
+            tag = bits.read_bit()
+            if tag is None:
+                break
+            if tag == 0 and prev is not None:
+                # 2D line against the previous row: reuse the G4 machinery
+                # by rebuilding the reference transitions
+                ref = (np.flatnonzero(np.diff(
+                    np.concatenate(([0], prev)))).tolist()
+                    + [columns, columns])
+                line = _decode_2d_line(bits, columns, ref)
+                if line is None:
+                    break
+                lines.append(line)
+                prev = line
+                continue
+        line = _decode_1d_line(bits, columns)
+        if line is None:
+            break
+        lines.append(line)
+        prev = line
+    if rows is not None and lines:
+        pad = np.zeros((columns,), np.uint8)
+        while len(lines) < rows:
+            lines.append(pad)
+    return np.stack(lines) if lines else np.zeros((0, columns), np.uint8)
+
+
+def _decode_2d_line(bits: _Bits, columns: int,
+                    ref: list) -> Optional[np.ndarray]:
+    """One 2D-coded line against reference transitions (G3 K>0 inner)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0
+    while a0 < columns:
+        mode = _read_mode(bits)
+        if mode is None:
+            return None
+        kind, dv = mode
+        i = 0
+        while i < len(ref) and ref[i] <= a0:
+            i += 1
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        if kind == "P":
+            a0 = b2
+        elif kind == "H":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(bits, black=bool(color))
+            r2 = _read_run(bits, black=not bool(color))
+            a1 = min(start + r1, columns)
+            cur.extend((a1, min(a1 + r2, columns)))
+            a0 = cur[-1]
+        else:
+            a1 = max(0, min(b1 + dv, columns))
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    line = np.zeros((columns,), np.uint8)
+    for j in range(0, len(cur) - 1, 2):
+        if cur[j + 1] > cur[j]:
+            line[cur[j]:min(cur[j + 1], columns)] = 1
+    if len(cur) & 1 and cur[-1] < columns:
+        line[cur[-1]:] = 1
+    return line
+
+
 def to_pil(bitmap: np.ndarray, black_is_1: bool = False):
     """(rows, cols) 1=black bitmap -> PIL 'L' image (0 = black ink).
 

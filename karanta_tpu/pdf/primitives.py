@@ -231,15 +231,19 @@ def _decode_embedded_image(doc, xobjects):
                                   if isinstance(doc.resolve(p), dict)), {})
                 parms = parms if isinstance(parms, dict) else {}
                 k = int(doc.resolve(parms.get(Name("K"), 0)) or 0)
-                if k >= 0:
-                    continue  # Group 3: undecoded, degrade as before
                 cols = int(doc.resolve(parms.get(Name("Columns"), 1728))
                            or 1728)
                 data = xo.raw
                 if filters and filters[0] == Name("FlateDecode"):
                     data = zlib.decompress(data)
-                bitmap = decode_g4(data, columns=cols,
-                                   rows=height or None)
+                if k < 0:
+                    bitmap = decode_g4(data, columns=cols,
+                                       rows=height or None)
+                else:
+                    from karanta_tpu.pdf.ccitt import decode_g3
+
+                    bitmap = decode_g3(data, columns=cols,
+                                       rows=height or None, two_d=k > 0)
                 # 1 = black ink -> gray 0 (/BlackIs1 describes the decoded
                 # STREAM's bit convention, which we never materialize)
                 return Image.fromarray(

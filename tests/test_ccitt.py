@@ -118,3 +118,45 @@ def test_render_ccitt_page(tmp_path):
     rest = img[int(h * 120 / 256):, :]
     assert bar.mean() < 80, bar.mean()
     assert rest.mean() > 200, rest.mean()
+
+
+class TestG3Decoder:
+    @staticmethod
+    def _payload(arr, t4options=None):
+        img = Image.fromarray(arr.astype(bool))
+        buf = io.BytesIO()
+        info = {278: arr.shape[0]}
+        if t4options is not None:
+            info[292] = t4options
+        img.save(buf, format="TIFF", compression="group3", tiffinfo=info)
+        buf.seek(0)
+        t = Image.open(buf)
+        offs, counts = t.tag_v2[273], t.tag_v2[279]
+        assert len(offs) == 1
+        return buf.getvalue()[offs[0]:offs[0] + counts[0]]
+
+    @pytest.mark.parametrize("two_d", [False, True])
+    def test_matches_libtiff(self, two_d):
+        from karanta_tpu.pdf.ccitt import decode_g3
+
+        rng = np.random.default_rng(7)
+        for arr in (rng.random((40, 96)) > 0.6,
+                    np.tril(np.ones((24, 64))) > 0,
+                    np.zeros((10, 80), bool)):
+            raw = self._payload(arr, t4options=1 if two_d else None)
+            got = decode_g3(raw, columns=arr.shape[1], rows=arr.shape[0],
+                            two_d=two_d)
+            np.testing.assert_array_equal(got, arr.astype(np.uint8))
+
+    def test_corruption_never_hangs(self):
+        from karanta_tpu.pdf.ccitt import decode_g3
+
+        arr = np.random.default_rng(9).random((30, 64)) > 0.5
+        raw = self._payload(arr)
+        for pos in range(0, len(raw), max(1, len(raw) // 24)):
+            bad = bytearray(raw)
+            bad[pos] ^= 0xFF
+            try:
+                decode_g3(bytes(bad), columns=64, rows=30)
+            except CCITTError:
+                pass
