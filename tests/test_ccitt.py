@@ -160,3 +160,24 @@ class TestG3Decoder:
                 decode_g3(bytes(bad), columns=64, rows=30)
             except CCITTError:
                 pass
+
+
+def test_encrypted_ccitt_page_renders(tmp_path):
+    """Composition: an RC4-encrypted PDF whose page image is CCITT G4 —
+    decryption and fax decoding compose through the real render path."""
+    from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+    from tests.pdf_helpers import encrypt_pdf
+
+    arr = np.zeros((128, 96), bool)
+    arr[30:60, 20:80] = True
+    raw = encrypt_pdf(_ccitt_pdf(arr), method="rc4-128")
+    path = os.path.join(str(tmp_path), "enc_fax.pdf")
+    with open(path, "wb") as f:
+        f.write(raw)
+    png = base64.b64decode(render_pdf_to_base64png(
+        path, 1, target_longest_image_dim=128))
+    img = np.asarray(Image.open(io.BytesIO(png)).convert("L"))
+    h, w = img.shape
+    bar = img[int(h * 30 / 128):int(h * 60 / 128),
+              int(w * 20 / 96):int(w * 80 / 96)]
+    assert bar.mean() < 80, bar.mean()
