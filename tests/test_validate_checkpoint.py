@@ -100,9 +100,8 @@ def test_validate_checkpoint_command(tiny_hf_checkpoint, tmp_path):
     # greedy n-gram speculation is exact by construction
     spec = by_name["mode spec vs native-bf16"]
     assert spec["exact"] == spec["total"] == 2, spec
-    # the combined capacity+speculation point must be scored or explicitly
-    # reported as skipped — never silently absent
-    assert ("mode spec-int4kv vs native-bf16" in names
-            or any(s.startswith("spec-int4kv") for s in
-                   summary["skipped_modes"]))
+    # the combined capacity+speculation point is a real scored row since the
+    # multi-token int4 kernel landed (ops/decode_attention.py
+    # paged_decode_append_multi_q4)
+    assert "mode spec-int4kv vs native-bf16" in names, summary
     assert report.exists()
