@@ -217,6 +217,11 @@ def _decode_embedded_image(doc, xobjects):
         try:
             if Name("DCTDecode") in filters:
                 return Image.open(io.BytesIO(xo.raw))
+            if Name("JPXDecode") in filters:
+                # JPEG2000 — archive.org's other dominant scan codec; PIL
+                # decodes it via openjpeg (poppler-parity for the reference's
+                # corpus, process_pdf_utils.py:56-74)
+                return Image.open(io.BytesIO(xo.raw))
             if Name("CCITTFaxDecode") in filters:
                 # bitonal fax scans — the dominant archive.org codec
                 # (poppler decodes these natively; reference

@@ -115,6 +115,75 @@ def _apply(m, x, y):
     return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
 
 
+# Adobe Glyph List subset: the names real subset fonts use in /Differences
+# arrays (reference analogue: pypdf's full AGL). Letters/digits resolve
+# programmatically; this table covers punctuation + accented Latin — the
+# glyph repertoire of the reference's newspaper corpora.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/", "colon": ":",
+    "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "fi": "ﬁ", "fl": "ﬂ", "ellipsis": "…",
+    "dagger": "†", "daggerdbl": "‡", "section": "§",
+    "paragraph": "¶", "sterling": "£", "degree": "°",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oe": "œ", "OE": "Œ", "oslash": "ø", "Oslash": "Ø",
+    "thorn": "þ", "Thorn": "Þ", "eth": "ð", "Eth": "Ð",
+    "dotlessi": "ı", "cedilla": "¸", "dieresis": "¨",
+    "macron": "¯", "acute": "´", "caron": "ˇ",
+    "breve": "˘", "tilde": "˜", "ring": "˚",
+    "ogonek": "˛", "hungarumlaut": "˝", "circumflex": "ˆ",
+}
+
+# accent-name -> combining suffix for names like "eacute"/"Ccedilla"
+_ACCENTS = {
+    "acute": "́", "grave": "̀", "circumflex": "̂",
+    "tilde": "̃", "dieresis": "̈", "ring": "̊",
+    "cedilla": "̧", "macron": "̄", "breve": "̆",
+    "caron": "̌", "ogonek": "̨", "dotaccent": "̇",
+    "hungarumlaut": "̋",
+}
+
+
+def _glyph_to_unicode(name: str) -> Optional[str]:
+    """Glyph name -> text, best effort (AGL subset + uniXXXX + accents)."""
+    if not name:
+        return None
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(chr(int(name[i:i + 4], 16))
+                           for i in range(3, len(name) - 3, 4))
+        except ValueError:
+            return None
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    # composed names like "eacute", "Ccedilla", "ntilde"
+    base, rest = name[0], name[1:]
+    if base.isalpha() and rest in _ACCENTS:
+        import unicodedata
+
+        return unicodedata.normalize("NFC", base + _ACCENTS[rest])
+    return None
+
+
 class _Font:
     """Byte-string -> unicode decoding for one font resource."""
 
@@ -122,9 +191,31 @@ class _Font:
         self.two_byte = False
         self.undecodable = False
         self.cmap: dict[int, str] = {}
+        self.codec = "latin-1"
+        self.diff_map: dict[int, str] = {}
         subtype = doc.resolve(font_dict.get(Name("Subtype")))
         if subtype == Name("Type0"):
             self.two_byte = True
+        enc = doc.resolve(font_dict.get(Name("Encoding")))
+        codecs = {"WinAnsiEncoding": "cp1252", "MacRomanEncoding": "mac_roman"}
+        if isinstance(enc, Name):
+            self.codec = codecs.get(str(enc), "latin-1")
+        elif isinstance(enc, dict):
+            base = doc.resolve(enc.get(Name("BaseEncoding")))
+            if isinstance(base, Name):
+                self.codec = codecs.get(str(base), "latin-1")
+            diffs = doc.resolve(enc.get(Name("Differences")))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        uni = _glyph_to_unicode(str(item))
+                        if uni is not None and 0 <= code <= 255:
+                            self.diff_map[code] = uni
+                        code += 1
         to_unicode = doc.resolve(font_dict.get(Name("ToUnicode")))
         if isinstance(to_unicode, Stream):
             try:
@@ -191,7 +282,11 @@ class _Font:
             return "".join(self.cmap.get(c, "") for c in codes)
         if self.two_byte:
             return "".join(chr(c) if 32 <= c < 0xD800 else "" for c in codes)
-        return raw.decode("latin-1", errors="ignore")
+        if self.diff_map:
+            return "".join(
+                self.diff_map.get(c, bytes([c]).decode(self.codec, "ignore"))
+                for c in codes)
+        return raw.decode(self.codec, errors="ignore")
 
 
 def _utf16(b: bytes) -> str:

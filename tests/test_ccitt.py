@@ -181,3 +181,42 @@ def test_encrypted_ccitt_page_renders(tmp_path):
     bar = img[int(h * 30 / 128):int(h * 60 / 128),
               int(w * 20 / 96):int(w * 80 / 96)]
     assert bar.mean() < 80, bar.mean()
+
+
+def test_render_jpx_page(tmp_path):
+    """A JPEG2000 (JPXDecode) page image rasterizes via PIL/openjpeg."""
+    from karanta_tpu.pdf.primitives import render_pdf_to_base64png
+
+    rng = np.random.default_rng(2)
+    arr = np.full((128, 96, 3), 250, np.uint8)
+    arr[30:60, 20:80] = (20, 30, 40)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG2000")
+    payload = buf.getvalue()
+    content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+    pdf = (b"%PDF-1.5\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>\n"
+           b"endobj\n"
+           b"4 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 96 "
+           b"/Height 128 /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+           b"/Filter /JPXDecode /Length " + str(len(payload)).encode()
+           + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n")
+    xref = len(pdf)
+    pdf += (b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+            + f"startxref\n{xref}\n%%EOF\n".encode())
+    path = os.path.join(str(tmp_path), "jpx.pdf")
+    with open(path, "wb") as f:
+        f.write(pdf)
+    png = base64.b64decode(render_pdf_to_base64png(
+        path, 1, target_longest_image_dim=128))
+    img = np.asarray(Image.open(io.BytesIO(png)).convert("L"))
+    h, w = img.shape
+    bar = img[int(h * 30 / 128):int(h * 60 / 128),
+              int(w * 20 / 96):int(w * 80 / 96)]
+    assert bar.mean() < 100, bar.mean()
+    del rng

@@ -264,3 +264,67 @@ class TestPrimitives:
             msg = create_vision_message(tmpl, None, payload)
             url = msg[0]["content"][1]["image_url"]["url"]
             assert url.startswith(f"data:{mime};base64,")
+
+
+class TestFontEncodings:
+    """Simple-font /Encoding fidelity: WinAnsi high-range punctuation and
+    /Differences glyph names (accented Latin — the reference's newspaper
+    corpora) must reach the anchor as real unicode, not latin-1 mojibake
+    (reference analogue: pypdf's encoding tables in anchor extraction)."""
+
+    @staticmethod
+    def _one_font_pdf(font_dict: bytes, text_bytes: bytes) -> bytes:
+        content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <"
+                   + text_bytes.hex().encode() + b"> Tj ET")
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+               b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox "
+               b"[0 0 612 792] /Resources << /Font << /F1 4 0 R >> >> "
+               b"/Contents 5 0 R >>\nendobj\n"
+               b"4 0 obj\n" + font_dict + b"\nendobj\n")
+        pdf += (b"5 0 obj\n<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+        xref = len(pdf)
+        pdf += (b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+                + f"startxref\n{xref}\n%%EOF\n".encode())
+        return pdf
+
+    def _anchor(self, tmp_path, font_dict, text_bytes):
+        import os
+
+        from karanta_tpu.pdf.anchor import get_anchor_text
+
+        path = os.path.join(str(tmp_path), "font.pdf")
+        with open(path, "wb") as f:
+            f.write(self._one_font_pdf(font_dict, text_bytes))
+        return get_anchor_text(path, 1)
+
+    def test_winansi_quotes(self, tmp_path):
+        anchor = self._anchor(
+            tmp_path,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+            b"\x93Hi\x94 \x96 ok")  # cp1252 curly quotes + en dash
+        assert "“Hi”" in anchor, anchor
+        assert "–" in anchor
+
+    def test_differences_accented_names(self, tmp_path):
+        anchor = self._anchor(
+            tmp_path,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /F "
+            b"/Encoding << /Differences [ 65 /eacute /ntilde /ccedilla "
+            b"/uni0153 ] >> >>",
+            b"ABCD")  # codes 65..68 remapped
+        for ch in ("é", "ñ", "ç", "œ"):
+            assert ch in anchor, (ch, anchor)
+
+    def test_differences_fallback_to_base(self, tmp_path):
+        # codes outside the Differences array decode via the base codec
+        anchor = self._anchor(
+            tmp_path,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /F "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [ 90 /bullet ] >> >>",
+            b"aZb")
+        assert "a•b" in anchor, anchor
