@@ -125,19 +125,24 @@ class _Bits:
 
 
 def _read_mode(bits: _Bits):
-    """Next 2D mode code, or None at clean end-of-data / EOFB."""
+    """Next 2D mode code, or None at clean end-of-data / EOFB (tolerating
+    fill bits: >= 11 zeros followed by 1 is an EOL; zeros to end-of-data is
+    a clean stop)."""
     code = ""
-    for _ in range(len(_EOL) + 2):
+    zeros = 0
+    for _ in range(64):
         b = bits.read_bit()
         if b is None:
             return None
+        if b == 0:
+            zeros += 1
+        elif zeros >= 11:
+            return None  # (fill-padded) EOL -> EOFB/RTC region, stop
         code += str(b)
         if code in _MODES:
             return _MODES[code]
-        if code == _EOL:
-            return None  # EOFB marker (or RTC) — stop decoding
-        if len(code) > 7 and "1" not in code:
-            continue  # still inside a potential EOL run of zeros
+        if len(code) >= 8 and "1" in code:
+            break
     raise CCITTError(f"bad 2D mode code {code!r}")
 
 
