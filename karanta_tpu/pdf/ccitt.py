@@ -168,6 +168,12 @@ def _read_run(bits: _Bits, black: bool) -> int:
             return total
 
 
+def _line_ref(line: np.ndarray, columns: int) -> list:
+    """Changing-element positions of a decoded line (for 2D reference)."""
+    return (np.flatnonzero(np.diff(
+        np.concatenate(([0], line)))).tolist() + [columns, columns])
+
+
 def decode_g4(data: bytes, columns: int,
               rows: Optional[int] = None) -> np.ndarray:
     """Decode a pure-2D (K < 0) CCITT stream -> (rows, columns) uint8 array
@@ -179,62 +185,17 @@ def decode_g4(data: bytes, columns: int,
     ref = [columns, columns]  # imaginary all-white reference line
     lines: list[np.ndarray] = []
     while rows is None or len(lines) < rows:
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        while a0 < columns:
-            mode = _read_mode(bits)
-            if mode is None:
-                if not cur and a0 <= 0:
-                    # clean end between lines
-                    if rows is not None and len(lines) < rows:
-                        pad = np.zeros((columns,), np.uint8)
-                        while len(lines) < rows:
-                            lines.append(pad)
-                    return (np.stack(lines) if lines
-                            else np.zeros((0, columns), np.uint8))
-                raise CCITTError("truncated mid-line")
-            kind, dv = mode
-            # b1: first changing element on the reference line strictly
-            # right of a0 (a0 = -1 admits position 0) whose color is
-            # opposite to a0's color. Even-indexed entries of `ref` are
-            # white->black transitions (lines start white).
-            i = 0
-            while i < len(ref) and ref[i] <= a0:
-                i += 1
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            if kind == "P":
-                a0 = b2  # color unchanged, run extends past b2
-            elif kind == "H":
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(bits, black=bool(color))
-                r2 = _read_run(bits, black=not bool(color))
-                a1 = min(start + r1, columns)
-                a2 = min(a1 + r2, columns)
-                cur.extend((a1, a2))
-                a0 = a2
-            else:  # vertical
-                a1 = b1 + dv
-                a1 = max(0, min(a1, columns))
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-        line = np.zeros((columns,), np.uint8)
-        for j in range(0, len(cur) - 1, 2):
-            s, e = cur[j], min(cur[j + 1], columns)
-            if e > s:
-                line[s:e] = 1
-        if len(cur) & 1 and cur[-1] < columns:
-            line[cur[-1]:] = 1
+        line = _decode_2d_line(bits, columns, ref)
+        if line is None:
+            break  # clean end of data / EOFB
         lines.append(line)
-        ref = [p for p in cur if p < columns] + [columns, columns]
-        if bits.exhausted() and (rows is None or len(lines) >= rows):
+        ref = _line_ref(line, columns)
+        if bits.exhausted():
             break
-        if rows is None and bits.exhausted():
-            break
+    if rows is not None and lines:
+        pad = np.zeros((columns,), np.uint8)
+        while len(lines) < rows:
+            lines.append(pad)
     return np.stack(lines) if lines else np.zeros((0, columns), np.uint8)
 
 
@@ -295,12 +256,9 @@ def decode_g3(data: bytes, columns: int, rows: Optional[int] = None,
             if tag is None:
                 break
             if tag == 0 and prev is not None:
-                # 2D line against the previous row: reuse the G4 machinery
-                # by rebuilding the reference transitions
-                ref = (np.flatnonzero(np.diff(
-                    np.concatenate(([0], prev)))).tolist()
-                    + [columns, columns])
-                line = _decode_2d_line(bits, columns, ref)
+                # 2D line against the previous row: the shared G4 machinery
+                line = _decode_2d_line(bits, columns,
+                                       _line_ref(prev, columns))
                 if line is None:
                     break
                 lines.append(line)
@@ -320,14 +278,20 @@ def decode_g3(data: bytes, columns: int, rows: Optional[int] = None,
 
 def _decode_2d_line(bits: _Bits, columns: int,
                     ref: list) -> Optional[np.ndarray]:
-    """One 2D-coded line against reference transitions (G3 K>0 inner)."""
+    """One 2D-coded line against reference-line transitions (shared by
+    decode_g4 and G3 K>0). Returns None on a clean stop BETWEEN lines
+    (end of data / EOFB); raises CCITTError when data runs out mid-line."""
     cur: list[int] = []
     a0 = -1
     color = 0
+    started = False
     while a0 < columns:
         mode = _read_mode(bits)
         if mode is None:
+            if started:
+                raise CCITTError("truncated mid-line")
             return None
+        started = True
         kind, dv = mode
         i = 0
         while i < len(ref) and ref[i] <= a0:

@@ -96,16 +96,17 @@ def _strip_pkcs5(data: bytes) -> bytes:
 def _hash_r6(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B iterated hash (R=6)."""
     k = hashlib.sha256(password + salt + udata).digest()
-    i = 0
+    rounds = 0
     while True:
         k1 = (password + k + udata) * 64
         e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
         # first 16 bytes of E as a big-endian integer mod 3 == byte-sum mod 3
         mod = sum(e[:16]) % 3
         k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
-        if i >= 63 and e[-1] <= i - 32:
+        rounds += 1
+        # spec: stop once at least 64 rounds ran AND e[-1] <= rounds - 32
+        if rounds >= 64 and e[-1] <= rounds - 32:
             return k[:32]
-        i += 1
 
 
 class StandardSecurityHandler:
@@ -128,28 +129,47 @@ class StandardSecurityHandler:
         u = g(Name("U")) or b""
         p = int(g(Name("P"), -1) or -1)
         self.stm_cfm = self.str_cfm = "V2"  # RC4 default pre-V4
+        cf_length_bits = None
         if self.v in (4, 5):
             cf = g(Name("CF")) or {}
             stmf = g(Name("StmF"), Name("Identity"))
             strf = g(Name("StrF"), Name("Identity"))
+            # a named-but-missing crypt filter means a broken/exotic file;
+            # fall back to the version's canonical method (V4: RC4, V5:
+            # AESV3) rather than Identity, which would pass ciphertext
+            # through as if plaintext
+            default_cfm = "AESV3" if self.v == 5 else "V2"
 
             def cfm_of(fname):
+                nonlocal cf_length_bits
                 if fname == Name("Identity"):
                     return "Identity"
                 spec = resolve(cf.get(fname)) if isinstance(cf, dict) else None
                 if not isinstance(spec, dict):
-                    return "Identity"
+                    return default_cfm
+                ln = resolve(spec.get(Name("Length")))
+                if isinstance(ln, (int, float)) and cf_length_bits is None:
+                    # the CF /Length is in BYTES (<= 32); some writers put
+                    # bits there anyway — normalize
+                    ln = int(ln)
+                    cf_length_bits = ln if ln > 40 else ln * 8
                 m = resolve(spec.get(Name("CFM")))
-                return str(m) if m is not None else "Identity"
+                return str(m) if m is not None else default_cfm
 
             self.stm_cfm = cfm_of(stmf)
             self.str_cfm = cfm_of(strf)
 
         if self.v == 5:
+            ue = g(Name("UE"))
+            self.ue = bytes(ue) if isinstance(ue, bytes) else b""
             self._init_v5(bytes(o), bytes(u))
             return
         if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
             raise UnsupportedEncryption(f"V={self.v} R={self.r}")
+        if self.v == 4 and cf_length_bits and length_bits <= 40:
+            # V4 files may carry the key length only inside the crypt
+            # filter dict (top-level /Length is optional past V2/V3)
+            length_bits = cf_length_bits
         n = 5 if self.r == 2 else max(5, min(16, length_bits // 8))
         # Algorithm 2: file key from the (empty) user password
         h = hashlib.md5()
@@ -197,12 +217,6 @@ class StandardSecurityHandler:
         if len(ue) < 32:
             raise UnsupportedEncryption("missing /UE entry")
         self.key = _aes_cbc_decrypt(inter, b"\x00" * 16, ue[:32])
-        if self.v == 5 and self.stm_cfm == "V2":
-            # V5 docs without an explicit CF dict still mean AESV3
-            self.stm_cfm = self.str_cfm = "AESV3"
-
-    # /UE is read before _init_v5 needs it: the factory below stashes it
-    ue: bytes = b""
 
     # -- per-object keys ---------------------------------------------------
 
@@ -238,10 +252,4 @@ class StandardSecurityHandler:
 def make_security_handler(encrypt_dict: dict, id0: bytes, resolve):
     """Build a handler for the trailer's /Encrypt dict; raises
     UnsupportedEncryption when transparent decryption is impossible."""
-    from karanta_tpu.pdf.minipdf import Name
-
-    handler = StandardSecurityHandler.__new__(StandardSecurityHandler)
-    ue = resolve(encrypt_dict.get(Name("UE")))
-    handler.ue = bytes(ue) if isinstance(ue, bytes) else b""
-    handler.__init__(encrypt_dict, id0, resolve)
-    return handler
+    return StandardSecurityHandler(encrypt_dict, id0, resolve)

@@ -514,7 +514,7 @@ class PdfDocument:
             return None
         try:
             header_num = int(num_tok)
-            self._last_gen = int(gen_tok)
+            header_gen = int(gen_tok)
         except (TypeError, ValueError):
             return None
         if expect_num is not None and header_num != expect_num:
@@ -534,7 +534,12 @@ class PdfDocument:
                 end = self.data.find(b"endstream", lex.pos)
                 length = max(end - lex.pos, 0)
             raw = self.data[lex.pos:lex.pos + int(length)]
+            # set AFTER nested resolution (an indirect /Length re-enters this
+            # method and would otherwise clobber the outer object's gen —
+            # the decryption key depends on it)
+            self._last_gen = header_gen
             return Stream(value, raw)
+        self._last_gen = header_gen
         return value
 
     def get_object(self, num: int) -> Any:

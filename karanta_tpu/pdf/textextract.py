@@ -280,8 +280,8 @@ class _Font:
             codes = list(raw)
         if self.cmap:
             return "".join(self.cmap.get(c, "") for c in codes)
-        if self.two_byte:
-            return "".join(chr(c) if 32 <= c < 0xD800 else "" for c in codes)
+        # (two_byte without a cmap never reaches here: __init__ marks those
+        # fonts undecodable and decode returned "" above)
         if self.diff_map:
             return "".join(
                 self.diff_map.get(c, bytes([c]).decode(self.codec, "ignore"))

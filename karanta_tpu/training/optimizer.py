@@ -171,7 +171,8 @@ class SkipNonfiniteState(NamedTuple):
 
 
 def skip_nonfinite_updates(
-        opt: optax.GradientTransformation) -> optax.GradientTransformation:
+        opt: optax.GradientTransformation,
+        max_consecutive_errors: int = 10) -> optax.GradientTransformation:
     """Memory-lean replacement for optax.apply_if_finite: zero the updates
     and keep the previous inner state when any gradient is nonfinite.
 
@@ -182,7 +183,13 @@ def skip_nonfinite_updates(
     new-vs-old per leaf; XLA fuses the select into the producing op and
     donation aliases the buffers, so the state transient disappears. NaNs
     computed through the inner update on a bad batch are discarded by the
-    select (never mixed into the kept state)."""
+    select (never mixed into the kept state).
+
+    Escape hatch (matching apply_if_finite's semantics): after
+    `max_consecutive_errors` consecutive nonfinite steps the update is
+    applied anyway, so a persistently-diverged run breaks visibly (NaN
+    params/loss) instead of silently zero-stepping through its whole
+    allocation. `state.notfinite_count` is exposed for metrics."""
 
     def init(params):
         return SkipNonfiniteState(opt.init(params),
@@ -194,12 +201,14 @@ def skip_nonfinite_updates(
         for leaf in leaves:
             isfinite = jnp.logical_and(isfinite,
                                        jnp.all(jnp.isfinite(leaf)))
+        give_up = state.notfinite_count >= max_consecutive_errors
+        use = jnp.logical_or(isfinite, give_up)
         new_updates, new_inner = opt.update(updates, state.inner_state,
                                             params)
         out_updates = jax.tree.map(
-            lambda u: jnp.where(isfinite, u, jnp.zeros_like(u)), new_updates)
+            lambda u: jnp.where(use, u, jnp.zeros_like(u)), new_updates)
         out_inner = jax.tree.map(
-            lambda n, o: jnp.where(isfinite, n, o) if isinstance(
+            lambda n, o: jnp.where(use, n, o) if isinstance(
                 n, jnp.ndarray) else n,
             new_inner, state.inner_state)
         count = jnp.where(isfinite, 0, state.notfinite_count + 1)

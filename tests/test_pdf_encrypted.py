@@ -188,3 +188,63 @@ def test_encrypted_fuzz_no_hangs(tmp_path):
 
             assert isinstance(exc, (PdfError, ValueError, KeyError,
                                     IndexError)), exc
+
+
+def test_nonzero_generation_with_indirect_length(tmp_path):
+    """Decryption key must use the OUTER object's generation even when its
+    /Length is an indirect reference (resolving it re-enters the parser;
+    a clobbered generation number derives the wrong RC4 key)."""
+    import hashlib
+    import struct
+
+    from tests.pdf_helpers import _FILE_ID, _rc4_file_key, _rc4_owner_entry, \
+        _rc4_user_entry
+
+    p, r, n = -3904, 3, 16
+    o = _rc4_owner_entry(r, n)
+    file_key = _rc4_file_key(r, n, o, p)
+    u = _rc4_user_entry(r, file_key)
+
+    def obj_key(num, gen):
+        h = hashlib.md5()
+        h.update(file_key)
+        h.update(struct.pack("<i", num)[:3])
+        h.update(struct.pack("<i", gen)[:2])
+        return h.digest()[: min(n + 5, 16)]
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (GEN TWO TEXT) Tj ET"
+    enc_content = rc4(obj_key(5, 2), content)
+
+    body = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+
+    def add(header, payload):
+        offsets[header] = len(body)
+        body.extend(payload)
+
+    add("1 0", b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    add("2 0", b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    add("3 0", b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox "
+               b"[0 0 612 792] /Resources << /Font << /F1 7 0 R >> >> "
+               b"/Contents 5 2 R >>\nendobj\n")
+    add("4 0", b"4 0 obj\n" + str(len(enc_content)).encode() + b"\nendobj\n")
+    add("5 2", b"5 2 obj\n<< /Length 4 0 R >>\nstream\n" + enc_content
+               + b"\nendstream\nendobj\n")
+    add("6 0", b"6 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128"
+               b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+               + b"> /P " + str(p).encode() + b" >>\nendobj\n")
+    add("7 0", b"7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont "
+               b"/Helvetica >>\nendobj\n")
+    xref_pos = len(body)
+    body.extend(b"xref\n0 8\n0000000000 65535 f \n")
+    for header in ("1 0", "2 0", "3 0", "4 0", "5 2", "6 0", "7 0"):
+        gen = int(header.split()[1])
+        body.extend(f"{offsets[header]:010d} {gen:05d} n \n".encode())
+    idhex = _FILE_ID.hex().encode()
+    body.extend(b"trailer\n<< /Size 8 /Root 1 0 R /Encrypt 6 0 R /ID [<"
+                + idhex + b"> <" + idhex + b">] >>\n"
+                + f"startxref\n{xref_pos}\n%%EOF\n".encode())
+
+    path = _write(tmp_path, "gen2.pdf", bytes(body))
+    anchor = get_anchor_text(path, 1)
+    assert "GEN TWO TEXT" in anchor, anchor
