@@ -223,6 +223,13 @@ def main() -> None:
         # before the KV cache is allocated
         return Engine(params, cfg, tok, ecfg)
 
+    # tunnel-health canary: quantify this session's host<->device band so
+    # absolute numbers are interpretable across sessions (healthy anchor:
+    # dispatch ~9 ms; see utils/canary.py)
+    from karanta_tpu.utils.canary import tunnel_canary
+
+    canary_pre = tunnel_canary()
+
     engine = build_engine(args.batch)
 
     # distinct page content per request: the engine caches decoded images by
@@ -289,6 +296,7 @@ def main() -> None:
         samples.append((args.pages / elapsed, results, elapsed))
     pages_per_sec, results, elapsed = max(samples, key=lambda s: s[0])
     total_completion = sum(r.completion_tokens for r in results)
+    canary_post = tunnel_canary()
 
     n_chips = max(jax.device_count(), 1)
     value = pages_per_sec / n_chips
@@ -310,6 +318,8 @@ def main() -> None:
             "batch": args.batch,
             "quantize": quantize,
             "kv_quantize": args.kv_quantize,
+            "tunnel_canary_pre": canary_pre,
+            "tunnel_canary_post": canary_post,
         },
     }))
 

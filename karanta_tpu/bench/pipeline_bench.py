@@ -224,6 +224,12 @@ async def run_bench(args) -> dict:
 
     await _warmup(server_url, args)
 
+    # tunnel-health canary: quantify this session's host<->device band
+    # (healthy anchor: dispatch ~9 ms; see utils/canary.py)
+    from karanta_tpu.utils.canary import tunnel_canary
+
+    canary_pre = tunnel_canary()
+
     pargs = runner.PipelineArgs(
         workspace=workspace,
         pdfs=pdfs,
@@ -287,6 +293,8 @@ async def run_bench(args) -> dict:
         "server_input_tokens": totals.get("server_input_tokens", 0),
         "requests_served": server.requests_served,
         "completion_tokens_served": server.completion_tokens_served,
+        "tunnel_canary_pre": canary_pre,
+        "tunnel_canary_post": tunnel_canary(),
     }
     detail["finished_on_attempt_0"] = int(
         totals.get("finished_on_attempt_0", 0))
@@ -366,7 +374,12 @@ def add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--guided", action="store_true",
                         help="send the pipeline's guided regex per request")
     parser.add_argument("--speculative-ngram", dest="speculative_ngram",
-                        type=int, default=0)
+                        type=int, default=3,
+                        help="n-gram drafter depth; default matches the "
+                             "production server CLI (3). Per-request "
+                             "anchor gating still applies, so un-anchored "
+                             "corpora decode per-step as in production; "
+                             "0 disables")
     parser.add_argument("--teacher-force", dest="teacher_force",
                         action="store_true",
                         help="force each page's completion to its (word-"

@@ -347,6 +347,11 @@ class Engine:
         # running shared prompt head for LCP-based prefix detection; guarded
         # by a lock because prepare() runs in a thread pool
         self._prompt_head: Optional[np.ndarray] = None
+        # consecutive below-threshold LCPs against the stored head; used to
+        # re-seed the head if the first-ever request was an outlier prompt
+        # (warmup / text-only probe) that would otherwise pin prefix caching
+        # off for the engine's lifetime
+        self._prefix_miss = 0
         import threading as _threading
 
         self._prefix_lock = _threading.Lock()
@@ -957,6 +962,29 @@ class Engine:
                     self._img_cache_bytes -= old.nbytes
         return rgb
 
+    def staging_headroom(self, pending_pages: int) -> bool:
+        """True when the device has HBM room to stage one more prepared page.
+
+        The server's prep-ahead window holds up to max(8, B) prepared pages
+        (~17 MB of staged operands each) on top of the KV cache; at int4-KV
+        x prefix-cache B96 that window was the measured OOM cause ("prep
+        window + prefix cache", BENCH_NOTES round 4). Rather than a static
+        per-config ceiling, gate staging on LIVE allocator stats: stage
+        another page only if current use plus the not-yet-materialized
+        staged pages leaves ~8% of HBM free for executable transients.
+        Platforms without memory_stats (CPU tests) never gate."""
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = int(stats.get("bytes_limit") or 0)
+            in_use = int(stats.get("bytes_in_use") or 0)
+        except Exception:
+            return True
+        if not limit:
+            return True
+        page = int(self.ecfg.max_pixels * 3
+                   * (jnp.dtype(self.ecfg.dtype).itemsize + 1) * 1.3)
+        return in_use + (pending_pages + 1) * page <= int(limit * 0.92)
+
     def prepare(self, request: GenRequest) -> _Prepared:
         parsed = chat.parse_openai_messages(
             request.messages, raw_images=request.raw_images)
@@ -1039,11 +1067,22 @@ class Engine:
                 stored = self._prompt_head
                 if stored is None:
                     self._prompt_head = head.copy()
+                    self._prefix_miss = 0
                 else:
                     n = min(len(stored), len(head))
                     neq = np.flatnonzero(stored[:n] != head[:n])
                     lcp = int(neq[0]) if len(neq) else n
-                    if lcp >= self.ecfg.prefix_min_tokens:
+                    if lcp < self.ecfg.prefix_min_tokens:
+                        # stored head doesn't represent this prompt family;
+                        # after a few consecutive misses re-seed from the
+                        # current prompt so an outlier first request (warmup,
+                        # text-only probe) can't disable caching forever
+                        self._prefix_miss += 1
+                        if self._prefix_miss >= 4:
+                            self._prompt_head = head.copy()
+                            self._prefix_miss = 0
+                    else:
+                        self._prefix_miss = 0
                         if lcp < len(stored):
                             self._prompt_head = stored[:lcp].copy()
                         # quantize down to 128-token granularity so the

@@ -199,7 +199,14 @@ class InferenceServer:
         the engine loop calls this at every chunk boundary, so the next
         wave's prep overlaps the current wave's decode instead of running
         serially at the wave boundary while the device idles."""
+        headroom = getattr(self.engine, "staging_headroom", None)
         while len(self._staged) < self._prep_ahead and not self.queue.empty():
+            if headroom is not None:
+                # live HBM gate: staged buffers already materialized show up
+                # in bytes_in_use; count only preps still in flight on top
+                pending = sum(1 for *_r, p in self._staged if not p.done())
+                if not headroom(pending):
+                    break
             request, future, stream_q = self.queue.get_nowait()
             if future.cancelled():
                 continue
@@ -598,8 +605,11 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         kv_quantize=getattr(args, "kv_quantize", None),
         act_quant=getattr(args, "act_quant", None),
         vision_quant=getattr(args, "vision_quant", None),
-        prefix_cache=getattr(args, "prefix_cache", False),
-        speculative_ngram=getattr(args, "speculative_ngram", 0),
+        # product defaults (matching the server CLI): prefix caching and the
+        # n-gram drafter ship ON — the bench and `python -m
+        # karanta_tpu.pipeline` run the same configuration
+        prefix_cache=getattr(args, "prefix_cache", True),
+        speculative_ngram=getattr(args, "speculative_ngram", 3),
         teacher_force=getattr(args, "teacher_force", False),
     )
 
@@ -686,7 +696,10 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
     return Engine(params, cfg, tok, ecfg, mesh=mesh), name
 
 
-def main(argv: Optional[list[str]] = None):
+def make_arg_parser() -> argparse.ArgumentParser:
+    """The server CLI. Exposed standalone so tests can pin the PRODUCT
+    defaults (prefix caching + n-gram speculation ship on) to the measured
+    bench configuration."""
     parser = argparse.ArgumentParser(
         prog="python -m karanta_tpu.inference.server")
     parser.add_argument("--host", default="0.0.0.0")
@@ -736,12 +749,18 @@ def main(argv: Optional[list[str]] = None):
                         help="W8A8 vision tower (beyond vLLM-FP8's bf16 "
                              "tower; +4%% pages/s measured)")
     parser.add_argument("--speculative-ngram", dest="speculative_ngram",
-                        type=int, default=0,
+                        type=int, default=3,
                         help="draft N tokens/step by n-gram lookup over each "
-                             "slot's own history; exact for greedy requests")
+                             "slot's own history; exact for greedy requests, "
+                             "sampling/guided slots fall back to per-step "
+                             "decode. Default on (x1.29 measured on anchored "
+                             "pages); 0 disables")
     parser.add_argument("--prefix-cache", dest="prefix_cache",
-                        action="store_true",
-                        help="reuse cached KV for shared prompt prefixes")
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="reuse cached KV for shared prompt prefixes "
+                             "(default on: OCR pages share the instruction "
+                             "head, x1.19 measured; --no-prefix-cache "
+                             "disables)")
     parser.add_argument("--teacher-force", dest="teacher_force",
                         action="store_true",
                         help="bench/validation hook: honor per-request "
@@ -751,6 +770,11 @@ def main(argv: Optional[list[str]] = None):
                              "KARANTA_BENCH=1 in the environment — a "
                              "reachable endpoint with forcing on would let "
                              "any client dictate the emitted text.")
+    return parser
+
+
+def main(argv: Optional[list[str]] = None):
+    parser = make_arg_parser()
     args = parser.parse_args(argv)
 
     if getattr(args, "teacher_force", False):

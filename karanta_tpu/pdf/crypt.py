@@ -140,24 +140,29 @@ class StandardSecurityHandler:
             # through as if plaintext
             default_cfm = "AESV3" if self.v == 5 else "V2"
 
+            cf_lengths: dict = {}
+
             def cfm_of(fname):
-                nonlocal cf_length_bits
                 if fname == Name("Identity"):
                     return "Identity"
                 spec = resolve(cf.get(fname)) if isinstance(cf, dict) else None
                 if not isinstance(spec, dict):
                     return default_cfm
                 ln = resolve(spec.get(Name("Length")))
-                if isinstance(ln, (int, float)) and cf_length_bits is None:
+                if isinstance(ln, (int, float)):
                     # the CF /Length is in BYTES (<= 32); some writers put
                     # bits there anyway — normalize
                     ln = int(ln)
-                    cf_length_bits = ln if ln > 40 else ln * 8
+                    cf_lengths[fname] = ln if ln > 40 else ln * 8
                 m = resolve(spec.get(Name("CFM")))
                 return str(m) if m is not None else default_cfm
 
             self.stm_cfm = cfm_of(stmf)
             self.str_cfm = cfm_of(strf)
+            # one file key serves both filters; when their /Length entries
+            # disagree prefer the STREAM filter's (streams carry the page
+            # content this handler exists to decrypt)
+            cf_length_bits = cf_lengths.get(stmf, cf_lengths.get(strf))
 
         if self.v == 5:
             ue = g(Name("UE"))

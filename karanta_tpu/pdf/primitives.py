@@ -230,17 +230,30 @@ def _decode_embedded_image(doc, xobjects):
 
                 from karanta_tpu.pdf.ccitt import decode_g4
 
-                parms = doc.resolve(xo.dict.get(Name("DecodeParms")))
-                if isinstance(parms, list):
-                    parms = next((doc.resolve(p) for p in parms
-                                  if isinstance(doc.resolve(p), dict)), {})
-                parms = parms if isinstance(parms, dict) else {}
+                # /DecodeParms aligns positionally with the /Filter array —
+                # read the entry at CCITTFaxDecode's index, not the first
+                # dict (a leading Flate stage may carry its own /Predictor
+                # parms, which would otherwise be misread as K/Columns)
+                parms_arr = doc.resolve(xo.dict.get(Name("DecodeParms")))
+                if not isinstance(parms_arr, list):
+                    parms_arr = [parms_arr]
+                parms_arr = [doc.resolve(p) for p in parms_arr]
+                ci = filters.index(Name("CCITTFaxDecode"))
+                parms = (parms_arr[ci]
+                         if ci < len(parms_arr)
+                         and isinstance(parms_arr[ci], dict) else {})
                 k = int(doc.resolve(parms.get(Name("K"), 0)) or 0)
                 cols = int(doc.resolve(parms.get(Name("Columns"), 1728))
                            or 1728)
                 data = xo.raw
                 if filters and filters[0] == Name("FlateDecode"):
                     data = zlib.decompress(data)
+                    fparms = (parms_arr[0] if parms_arr
+                              and isinstance(parms_arr[0], dict) else None)
+                    if fparms and Name("Predictor") in fparms:
+                        from karanta_tpu.pdf.minipdf import _apply_predictor
+
+                        data = _apply_predictor(data, doc, fparms)
                 if k < 0:
                     bitmap = decode_g4(data, columns=cols,
                                        rows=height or None)

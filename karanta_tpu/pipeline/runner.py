@@ -677,7 +677,14 @@ async def _supervise_server(args, stop: asyncio.Event,
             await proc.wait()
 
 
-async def _spawn_server(args: PipelineArgs):
+def _server_cmd(args: PipelineArgs) -> list[str]:
+    """Command line for the spawned inference server. No performance flags
+    are injected here: the server's own CLI defaults ARE the product
+    configuration (prefix caching on, n-gram speculation on — the measured
+    bench configuration), and unknown pipeline flags pass through in
+    server_extra_args so `--no-prefix-cache` / `--speculative-ngram 0`
+    reach the server (reference forwards unknowns to vLLM the same way,
+    pipeline.py:733-734,1249)."""
     from urllib.parse import urlparse
 
     port = urlparse(args.server).port or 30024
@@ -686,6 +693,11 @@ async def _spawn_server(args: PipelineArgs):
     if args.model_path:
         cmd += ["--model-path", args.model_path]
     cmd += list(getattr(args, "server_extra_args", []) or [])
+    return cmd
+
+
+async def _spawn_server(args: PipelineArgs):
+    cmd = _server_cmd(args)
     logger.info("spawning inference server: %s", " ".join(cmd))
     return await asyncio.create_subprocess_exec(*cmd)
 

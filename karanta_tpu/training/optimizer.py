@@ -209,7 +209,7 @@ def skip_nonfinite_updates(
             lambda u: jnp.where(use, u, jnp.zeros_like(u)), new_updates)
         out_inner = jax.tree.map(
             lambda n, o: jnp.where(use, n, o) if isinstance(
-                n, jnp.ndarray) else n,
+                n, jnp.ndarray) else o,
             new_inner, state.inner_state)
         count = jnp.where(isfinite, 0, state.notfinite_count + 1)
         return out_updates, SkipNonfiniteState(out_inner, count)
