@@ -222,6 +222,9 @@ async def run_bench(args) -> dict:
                         height=args.page_dim,
                         n_lines=getattr(args, "page_lines", 40))
 
+    from karanta_tpu.pipeline.render_pool import warm_pool
+
+    await warm_pool()
     await _warmup(server_url, args)
 
     # tunnel-health canary: quantify this session's host<->device band

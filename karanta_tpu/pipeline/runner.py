@@ -70,11 +70,15 @@ _render_semaphores: dict[int, asyncio.Semaphore] = {}
 
 
 def _render_sem() -> asyncio.Semaphore:
+    from karanta_tpu.pipeline.render_pool import _worker_count
+
     loop_id = id(asyncio.get_running_loop())
     sem = _render_semaphores.get(loop_id)
     if sem is None:
         _render_semaphores.clear()  # old loops are gone; drop their semaphores
-        sem = asyncio.Semaphore(max(1, (os.cpu_count() or 4) - 2))
+        # sized to the render worker pool (cpu-2, reference
+        # pipeline.py:136-142) so render_wait_ms measures pool queueing
+        sem = asyncio.Semaphore(max(1, _worker_count()))
         _render_semaphores[loop_id] = sem
     return sem
 
@@ -130,9 +134,13 @@ async def build_page_query(local_pdf_path: str, page: int,
     t0 = time.perf_counter()
     async with _render_sem():
         t1 = time.perf_counter()
-        image_base64, anchor_text = await asyncio.to_thread(
-            prepare_image_and_text, local_pdf_path, page,
-            target_longest_image_dim, 4000, True)
+        # rasterize + anchor in a spawned worker PROCESS (render_pool):
+        # minipdf's content-stream work is GIL-bound, so in-thread
+        # rendering caps at ~1 core and steals time from the serving loop
+        from karanta_tpu.pipeline.render_pool import render_page
+
+        image_base64, anchor_text = await render_page(
+            local_pdf_path, page, target_longest_image_dim, 4000, True)
     # client-side accounting (totals; consumers divide by pages):
     # render_wait = queueing for the bounded render pool, render = the
     # rasterize+anchor thread itself
@@ -575,6 +583,13 @@ async def amain(args: PipelineArgs) -> None:
     check_rasterizer()
     if args.serve_inproc:
         check_device(require_accelerator=True)
+
+    # spawn + warm the render worker pool now, not inside the first pages
+    from karanta_tpu.pipeline.render_pool import warm_pool
+
+    n_render = await warm_pool()
+    if n_render:
+        logger.info("render pool warm: %d worker process(es)", n_render)
 
     if args.pdfs:
         paths: list[str] = []
