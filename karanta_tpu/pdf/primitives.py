@@ -222,6 +222,37 @@ def _decode_embedded_image(doc, xobjects):
                 # decodes it via openjpeg (poppler-parity for the reference's
                 # corpus, process_pdf_utils.py:56-74)
                 return Image.open(io.BytesIO(xo.raw))
+            if Name("JBIG2Decode") in filters:
+                # bitonal archive scans post-2005 (poppler-parity: the
+                # reference's codec set, process_pdf_utils.py:56-74). The
+                # stream carries embedded-organization segments; shared
+                # symbol dictionaries arrive via /JBIG2Globals.
+                import numpy as np
+
+                from karanta_tpu.pdf.jbig2 import decode_embedded
+
+                parms_arr = doc.resolve(xo.dict.get(Name("DecodeParms")))
+                if not isinstance(parms_arr, list):
+                    parms_arr = [parms_arr]
+                parms_arr = [doc.resolve(p) for p in parms_arr]
+                ji = filters.index(Name("JBIG2Decode"))
+                parms = (parms_arr[ji]
+                         if ji < len(parms_arr)
+                         and isinstance(parms_arr[ji], dict) else {})
+                gref = parms.get(Name("JBIG2Globals"))
+                gstream = doc.resolve(gref) if gref is not None else None
+                globals_data = b""
+                if isinstance(gstream, Stream):
+                    globals_data = gstream.data(doc)
+                data = xo.raw
+                if filters and filters[0] == Name("FlateDecode"):
+                    data = zlib.decompress(data)
+                bitmap = decode_embedded(data, globals_data,
+                                         width=width or None,
+                                         height=height or None)
+                # 1 = black -> gray 0 (same convention as CCITT below)
+                return Image.fromarray(
+                    np.where(bitmap > 0, 0, 255).astype(np.uint8), "L")
             if Name("CCITTFaxDecode") in filters:
                 # bitonal fax scans — the dominant archive.org codec
                 # (poppler decodes these natively; reference

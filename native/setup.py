@@ -23,5 +23,10 @@ setup(
             libraries=["z"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "jbig2core",
+            sources=["jbig2core.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )
