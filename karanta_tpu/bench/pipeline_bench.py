@@ -156,8 +156,22 @@ def build_engine(args, cfg, dtype):
         # every OCR page shares the olmOCR instruction prefix (text before
         # the per-page anchor): cache its KV and prefill only the suffix
         prefix_cache=getattr(args, "prefix_cache", True),
+        prefix_min_tokens=getattr(args, "prefix_min_tokens", 256),
     )
-    tok = ByteTokenizer()
+    if getattr(args, "tokenizer_path", None):
+        # BPE operating point (VERDICT r4 next #4): realistic word-level
+        # token statistics instead of the hermetic byte tokenizer's ~4x
+        # spend; build one with scripts/make_bpe_tokenizer.py
+        from karanta_tpu.inference.tokenizer import HFTokenizer
+
+        tok = HFTokenizer(args.tokenizer_path)
+        if cfg.text.vocab_size < tok.vocab_size:
+            raise SystemExit(
+                f"preset {cfg.name} vocab {cfg.text.vocab_size} can't "
+                f"cover the tokenizer's {tok.vocab_size} ids; use a "
+                f"full-size preset")
+    else:
+        tok = ByteTokenizer()
     return Engine(params, cfg, tok, ecfg)
 
 
@@ -286,6 +300,9 @@ async def run_bench(args) -> dict:
         "text_layer": args.text_layer,
         "guided": args.guided,
         "speculative_ngram": args.speculative_ngram,
+        "tokenizer": ("bpe:" + os.path.basename(
+            args.tokenizer_path.rstrip("/"))
+            if getattr(args, "tokenizer_path", None) else "byte"),
         "teacher_force": getattr(args, "teacher_force", False),
         "force_error_rate": (args.force_error_rate
                              if getattr(args, "teacher_force", False)
@@ -404,6 +421,19 @@ def add_args(parser: argparse.ArgumentParser) -> None:
                         help="word perturbation rate for the forced "
                              "transcript vs the anchor (models the OCR "
                              "error rate; bounds n-gram acceptance)")
+    parser.add_argument("--tokenizer-path", dest="tokenizer_path",
+                        default=None,
+                        help="HF tokenizer dir (scripts/"
+                             "make_bpe_tokenizer.py output or real Qwen "
+                             "files): measure under word-level BPE token "
+                             "statistics instead of the hermetic byte "
+                             "tokenizer's ~4x spend")
+    parser.add_argument("--prefix-min-tokens", dest="prefix_min_tokens",
+                        type=int, default=256,
+                        help="LCP gate below which prefix caching doesn't "
+                             "fire. 256 is the measured pay-off threshold "
+                             "(forcing the ~226-BPE-token olmOCR head "
+                             "through at 192 lost ~10%%; BENCH_NOTES r5)")
     parser.add_argument("--no-prefix-cache", dest="prefix_cache",
                         action="store_false", default=True,
                         help="disable shared-instruction-prefix KV caching "

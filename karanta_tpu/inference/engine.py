@@ -86,6 +86,13 @@ class EngineConfig:
     # prefix KV caching: reuse the cached KV of a shared instruction prefix
     # (every OCR page shares one) so prefill runs only over the suffix
     prefix_cache: bool = False
+    # LCP gate below which prefix reuse doesn't fire. MEASURED (round 5,
+    # interleaved A/B under the BPE tokenizer): the olmOCR instruction
+    # head is ~226 tokens, and forcing it through at gate 192 was a ~10%
+    # LOSS (128 reused rows don't cover the continuation-path overhead on
+    # image-dominated prompts) — 256 is the pay-off threshold, not an
+    # arbitrary floor. Caching pays when prompts share >=256 tokens
+    # (few-shot headers, long system prompts, byte-level regimes: x1.19).
     prefix_min_tokens: int = 256
     prefix_cache_entries: int = 4
     # batched prefill: admit up to this many same-shaped unguided pages

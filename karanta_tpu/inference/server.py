@@ -609,6 +609,7 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         # n-gram drafter ship ON — the bench and `python -m
         # karanta_tpu.pipeline` run the same configuration
         prefix_cache=getattr(args, "prefix_cache", True),
+        prefix_min_tokens=getattr(args, "prefix_min_tokens", 256),
         speculative_ngram=getattr(args, "speculative_ngram", 3),
         teacher_force=getattr(args, "teacher_force", False),
     )
@@ -642,22 +643,25 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
             from karanta_tpu.inference.tokenizer import HFTokenizer
 
             tok = HFTokenizer(args.tokenizer_path)
-        elif (args.preset or "tiny") != "tiny":
-            # the byte tokenizer's 272-id vocab only matches the tiny
-            # preset; silently serving a full-vocab model with it would
+        elif (args.preset or "tiny") not in ("tiny", "small"):
+            # the byte tokenizer's 272-id vocab only matches the hermetic
+            # presets; silently serving a full-vocab model with it would
             # start cleanly and emit garbage
             raise SystemExit(
                 f"--native-checkpoint with preset {args.preset!r} needs "
                 "--tokenizer-path (an HF tokenizer dir); the hermetic byte "
-                "tokenizer only fits the 'tiny' preset")
+                "tokenizer only fits the 'tiny'/'small' presets")
         else:
             from karanta_tpu.inference.tokenizer import ByteTokenizer
 
             tok = ByteTokenizer()
-        if (args.preset or "tiny") == "tiny":
-            from karanta_tpu.models.qwen25_vl.config import tiny_config
+        if (args.preset or "tiny") in ("tiny", "small"):
+            from karanta_tpu.models.qwen25_vl.config import (small_config,
+                                                             tiny_config)
 
-            cfg = tiny_config(vocab_size=tok.vocab_size)
+            factory = (tiny_config if (args.preset or "tiny") == "tiny"
+                       else small_config)
+            cfg = factory(vocab_size=tok.vocab_size)
         else:
             cfg = get_config(args.preset)
         params = jax.tree.map(
@@ -683,10 +687,13 @@ def build_engine_from_args(args) -> tuple[Engine, str]:
         from karanta_tpu.inference.tokenizer import ByteTokenizer
 
         tok = ByteTokenizer()
-        if (args.preset or "tiny") == "tiny":
-            from karanta_tpu.models.qwen25_vl.config import tiny_config
+        if (args.preset or "tiny") in ("tiny", "small"):
+            from karanta_tpu.models.qwen25_vl.config import (small_config,
+                                                             tiny_config)
 
-            cfg = tiny_config(vocab_size=tok.vocab_size)
+            factory = (tiny_config if (args.preset or "tiny") == "tiny"
+                       else small_config)
+            cfg = factory(vocab_size=tok.vocab_size)
         else:
             cfg = get_config(args.preset)
         params = init_params(cfg, jax.random.PRNGKey(0), dtype)
@@ -761,6 +768,12 @@ def make_arg_parser() -> argparse.ArgumentParser:
                              "(default on: OCR pages share the instruction "
                              "head, x1.19 measured; --no-prefix-cache "
                              "disables)")
+    parser.add_argument("--prefix-min-tokens", dest="prefix_min_tokens",
+                        type=int, default=256,
+                        help="LCP gate below which prefix reuse doesn't "
+                             "fire. Measured pay-off threshold: forcing "
+                             "the ~226-token olmOCR head through at 192 "
+                             "was a ~10%% loss (BENCH_NOTES round 5)")
     parser.add_argument("--teacher-force", dest="teacher_force",
                         action="store_true",
                         help="bench/validation hook: honor per-request "

@@ -33,6 +33,8 @@ class HFTokenizer:
         self.eos_token_id = self._tok.convert_tokens_to_ids(IM_END)
         self.pad_token_id = self._tok.pad_token_id or 0
         self.image_pad_id = self._tok.convert_tokens_to_ids(IMAGE_PAD)
+        # total id space incl. added specials (model vocab must cover it)
+        self.vocab_size = len(self._tok)
 
     def encode(self, text: str) -> list[int]:
         return self._tok.encode(text, add_special_tokens=False)

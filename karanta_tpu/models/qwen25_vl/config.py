@@ -149,6 +149,30 @@ def tiny_config(vocab_size: int = 1024) -> VLMConfig:
     )
 
 
+def small_config(vocab_size: int = 1024) -> VLMConfig:
+    """Mid-scale hermetic config (~40x tiny compute): enough capacity for
+    a generalizing anchor-copy circuit, still single-chip-trainable in
+    minutes. The round-4 closed loop showed tiny (hidden 64, 3 layers)
+    plateauing at fresh-words CER 0.68 — a capacity ceiling, not a
+    pipeline defect; this preset exists to prove the circuit trains
+    (VERDICT r4 next #6)."""
+    return VLMConfig(
+        name="qwen2.5-vl-small",
+        vision=VisionConfig(
+            hidden_size=128, depth=6, num_heads=4, intermediate_size=256,
+            fullatt_block_indexes=(2, 5), out_hidden_size=256,
+        ),
+        text=TextConfig(
+            vocab_size=vocab_size, hidden_size=256, num_layers=6,
+            num_heads=8, num_kv_heads=4, head_dim=32,
+            intermediate_size=512, mrope_section=(4, 6, 6),
+            tie_word_embeddings=True,
+        ),
+        image_token_id=9, video_token_id=10, vision_start_token_id=8,
+        vision_end_token_id=11, eos_token_id=2, pad_token_id=0,
+    )
+
+
 PRESETS = {
     "qwen2.5-vl-3b": qwen25_vl_3b,
     "qwen2.5-vl-7b": qwen25_vl_7b,
@@ -156,6 +180,7 @@ PRESETS = {
     "qwen2-vl-2b": qwen2_vl_2b,
     "olmocr-2": qwen25_vl_7b,   # olmOCR-2-7B is a Qwen2.5-VL-7B fine-tune
     "olmocr": qwen2_vl_7b,      # olmOCR-7B-0725 is a Qwen2-VL-7B fine-tune
+    "small": small_config,
     "tiny": tiny_config,
 }
 

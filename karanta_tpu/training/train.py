@@ -122,11 +122,14 @@ def main(argv: Optional[list[str]] = None) -> dict:
         [ExperimentArguments, ModelArguments, DatasetArguments]).parse(argv)
 
     # --- model & mesh ---
-    if model_args.model_name_or_path == "tiny":
+    if model_args.model_name_or_path in ("tiny", "small"):
         from karanta_tpu.inference.tokenizer import ByteTokenizer
+        from karanta_tpu.models.qwen25_vl.config import small_config
 
         tokenizer = ByteTokenizer()
-        cfg = tiny_config(vocab_size=tokenizer.vocab_size)
+        factory = (tiny_config if model_args.model_name_or_path == "tiny"
+                   else small_config)
+        cfg = factory(vocab_size=tokenizer.vocab_size)
     else:
         from karanta_tpu.inference.tokenizer import HFTokenizer
 

@@ -63,6 +63,11 @@ PROMPTS = os.path.join(REPO, "configs/prompts/closed_loop.yaml")
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--root", default=os.path.join(REPO, "runs/closed_loop"))
+    p.add_argument("--model", default="tiny", choices=["tiny", "small"],
+                   help="hermetic preset: 'small' (~40x tiny compute) is "
+                        "the capacity point where the anchor-copy circuit "
+                        "generalizes (VERDICT r4 #6); 'tiny' is the "
+                        "CPU-minutes demo default")
     p.add_argument("--train-pages", type=int, default=512)
     p.add_argument("--eval-pages", type=int, default=16)
     p.add_argument("--chars", type=int, default=4)
@@ -157,6 +162,7 @@ def train(args) -> str:
         "--dataset_root", os.path.join(args.root, "corpus_train"),
         "--output_dir", out_dir,
         "--max_steps", str(args.steps),
+        "--model_name_or_path", args.model,
     ]
     if args.lr is not None:
         argv += ["--learning_rate", str(args.lr)]
@@ -185,7 +191,7 @@ def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
                PYTHONPATH=os.pathsep.join(
                    [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
     cmd = [sys.executable, "-m", "karanta_tpu.inference.server",
-           "--native-checkpoint", ckpt_dir, "--preset", "tiny",
+           "--native-checkpoint", ckpt_dir, "--preset", args.model,
            "--host", "127.0.0.1", "--port", str(port),
            "--max-batch-size", str(args.serve_batch), "--max-model-len",
            str(args.max_model_len), "--decode-chunk",
