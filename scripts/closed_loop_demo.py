@@ -202,7 +202,9 @@ def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
         cmd,
         env=env, stdout=open(os.path.join(args.root, "server.log"), "w"),
         stderr=subprocess.STDOUT)
-    deadline = time.time() + 300
+    # first-ever compile of a preset's executables over the remote-compile
+    # tunnel can take several minutes; warm runs are ready in seconds
+    deadline = time.time() + 900
     while time.time() < deadline:
         if proc.poll() is not None:
             raise RuntimeError("server exited early; see server.log")
@@ -215,7 +217,7 @@ def serve(args, ckpt_dir: str) -> tuple[subprocess.Popen, int]:
         except Exception:
             time.sleep(1.0)
     proc.terminate()
-    raise RuntimeError("server did not become ready in 300s")
+    raise RuntimeError("server did not become ready in 900s")
 
 
 def run_pipeline(args, port: int) -> dict[str, str]:
