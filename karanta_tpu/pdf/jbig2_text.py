@@ -268,9 +268,36 @@ def encode_refinement(enc: MQEncoder, cx: MQContexts, bitmap: np.ndarray,
 # 6.5 / 7.4.3: symbol dictionary
 # ----------------------------------------------------------------------
 
+def _native_mod():
+    import os
+
+    from karanta_tpu.pdf.jbig2 import _native
+
+    if _native is None or os.environ.get("KARANTA_JBIG2_NATIVE",
+                                         "1") == "0":
+        return None
+    return _native if hasattr(_native, "decode_symbol_dict") else None
+
+
 def decode_symbol_dict(data: bytes, inherited: list,
                        custom_tables: list) -> list:
     """Segment payload -> list of exported symbol bitmaps."""
+    native = _native_mod()
+    if native is not None and not custom_tables:
+        packed = [(b.shape[1], b.shape[0],
+                   np.ascontiguousarray(b, np.uint8).tobytes())
+                  for b in inherited]
+        try:
+            out = native.decode_symbol_dict(bytes(data), packed)
+        except ValueError as e:
+            raise JBIG2Error(str(e)) from None
+        return [np.frombuffer(raw, np.uint8).reshape(h, w).copy()
+                for w, h, raw in out]
+    return _decode_symbol_dict_py(data, inherited, custom_tables)
+
+
+def _decode_symbol_dict_py(data: bytes, inherited: list,
+                           custom_tables: list) -> list:
     flags = struct.unpack_from(">H", data, 0)[0]
     pos = 2
     sdhuff = flags & 1
@@ -480,6 +507,24 @@ def _draw(region: np.ndarray, bmp: np.ndarray, x: int, y: int, op: int):
 
 def decode_text_region(data: bytes, symbols: list,
                        custom_tables: list) -> tuple[_RegionInfo, np.ndarray]:
+    native = _native_mod()
+    if native is not None and not custom_tables and symbols:
+        packed = [(b.shape[1], b.shape[0],
+                   np.ascontiguousarray(b, np.uint8).tobytes())
+                  for b in symbols]
+        try:
+            w, h, x, y, comb, raw = native.decode_text_region(bytes(data),
+                                                              packed)
+        except ValueError as e:
+            raise JBIG2Error(str(e)) from None
+        region = np.frombuffer(raw, np.uint8).reshape(h, w).copy()
+        return _RegionInfo(w, h, x, y, comb), region
+    return _decode_text_region_py(data, symbols, custom_tables)
+
+
+def _decode_text_region_py(data: bytes, symbols: list,
+                           custom_tables: list
+                           ) -> tuple[_RegionInfo, np.ndarray]:
     p = _parse_text_params(data)
     if not symbols:
         raise JBIG2Error("text region with no symbol dictionary")

@@ -215,3 +215,63 @@ class TestEmbeddedSymbolStream:
                     int(w * 30 / 160):int(w * 46 / 160)]
         assert block.mean() < 80
         assert img[:int(h * 20 / 140), :].mean() > 200
+
+
+class TestNativeSymbolPath:
+    """native/jbig2core.cpp symbol-dict + text-region decoders must match
+    the Python reference bit-for-bit (the same cross-implementation
+    validation the generic layer has)."""
+
+    def _skip_if_no_native(self):
+        from karanta_tpu.pdf.jbig2_text import _native_mod
+
+        if _native_mod() is None:
+            pytest.skip("native jbig2core symbol path not built")
+
+    def test_symbol_dict_parity(self, monkeypatch):
+        self._skip_if_no_native()
+        rng = np.random.default_rng(21)
+        glyphs = _glyphs(rng, 8)
+        payload = jt.encode_symbol_dict(glyphs)
+        nat = jt.decode_symbol_dict(payload, [], [])
+        monkeypatch.setenv("KARANTA_JBIG2_NATIVE", "0")
+        py = jt.decode_symbol_dict(payload, [], [])
+        assert len(nat) == len(py) == len(glyphs)
+        for a, b in zip(nat, py):
+            np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("transposed", [0, 1])
+    def test_text_region_parity(self, transposed, monkeypatch):
+        self._skip_if_no_native()
+        rng = np.random.default_rng(22 + transposed)
+        glyphs = _glyphs(rng, 5)
+        placements = [(i % 5, 4 + 13 * (i % 3), 3 + 12 * (i % 4))
+                      for i in range(10)]
+        w, h = (60, 80) if transposed else (80, 60)
+        payload = jt.encode_text_region(w, h, glyphs, placements,
+                                        transposed=transposed)
+        info_n, nat = jt.decode_text_region(payload, glyphs, [])
+        monkeypatch.setenv("KARANTA_JBIG2_NATIVE", "0")
+        info_p, py = jt.decode_text_region(payload, glyphs, [])
+        assert (info_n.width, info_n.height, info_n.x, info_n.y,
+                info_n.comb_op) == (info_p.width, info_p.height, info_p.x,
+                                    info_p.y, info_p.comb_op)
+        np.testing.assert_array_equal(nat, py)
+
+    def test_native_huffman_raises_jbig2error(self):
+        self._skip_if_no_native()
+        import struct as _s
+
+        with pytest.raises(JBIG2Error, match="Huffman"):
+            jt.decode_symbol_dict(_s.pack(">H", 1) + b"\0" * 16, [], [])
+
+    def test_native_garbage_raises_cleanly(self):
+        self._skip_if_no_native()
+        rng = np.random.default_rng(3)
+        glyphs = _glyphs(rng, 2)
+        for _ in range(20):
+            blob = bytes(rng.integers(0, 256, size=60, dtype=np.uint8))
+            try:
+                jt.decode_text_region(blob, glyphs, [])
+            except (JBIG2Error, Exception):
+                pass
