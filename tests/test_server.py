@@ -324,3 +324,58 @@ class TestExtractDataImages:
                 "url": "data:image/png;base64,KARANTARAW0"}}]}]
         parsed = parse_openai_messages(messages, raw_images=[raw])
         assert parsed.images == [raw]
+
+
+class TestSmallPresetServing:
+    def test_native_checkpoint_small_preset(self, tmp_path):
+        """--preset small serves a native small-config checkpoint with the
+        byte tokenizer (the mid-scale closed-loop serving path)."""
+        import argparse
+
+        import optax
+
+        from karanta_tpu.inference.server import build_engine_from_args
+        from karanta_tpu.models.qwen25_vl.config import small_config
+        from karanta_tpu.training.checkpoint import save_checkpoint
+        from karanta_tpu.training.train_step import create_train_state
+
+        tok = ByteTokenizer()
+        cfg = small_config(vocab_size=tok.vocab_size)
+        params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+        state = create_train_state(params, optax.adamw(1e-4))
+        save_checkpoint(str(tmp_path), 3, state)
+
+        ns = argparse.Namespace(
+            model_path=None, native_checkpoint=str(tmp_path),
+            tokenizer_path=None, preset="small",
+            max_batch_size=1, max_model_len=128, decode_chunk=4,
+            quantize=None, kv_quantize=None, act_quant=None,
+            vision_quant=None, prefix_cache=False, speculative_ngram=0,
+            tensor_parallel_size=1, data_parallel_size=1)
+        engine, name = build_engine_from_args(ns)
+        assert name == "native-step_3"
+        assert engine.cfg.text.hidden_size == 256
+
+    def test_full_preset_still_requires_tokenizer(self, tmp_path):
+        import argparse
+
+        import optax
+        import pytest as _pytest
+
+        from karanta_tpu.inference.server import build_engine_from_args
+        from karanta_tpu.training.checkpoint import save_checkpoint
+        from karanta_tpu.training.train_step import create_train_state
+
+        params = init_params(tiny_config(vocab_size=272),
+                             jax.random.PRNGKey(0), dtype=jnp.float32)
+        save_checkpoint(str(tmp_path), 1,
+                        create_train_state(params, optax.adamw(1e-4)))
+        ns = argparse.Namespace(
+            model_path=None, native_checkpoint=str(tmp_path),
+            tokenizer_path=None, preset="qwen2.5-vl-3b",
+            max_batch_size=1, max_model_len=128, decode_chunk=4,
+            quantize=None, kv_quantize=None, act_quant=None,
+            vision_quant=None, prefix_cache=False, speculative_ngram=0,
+            tensor_parallel_size=1, data_parallel_size=1)
+        with _pytest.raises(SystemExit, match="tokenizer"):
+            build_engine_from_args(ns)
