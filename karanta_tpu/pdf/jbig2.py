@@ -401,6 +401,9 @@ INTERMEDIATE_TEXT = 4
 IMMEDIATE_TEXT = 6
 IMMEDIATE_LOSSLESS_TEXT = 7
 PATTERN_DICT = 16
+INTERMEDIATE_HALFTONE = 20
+IMMEDIATE_HALFTONE = 22
+IMMEDIATE_LOSSLESS_HALFTONE = 23
 INTERMEDIATE_GENERIC = 36
 IMMEDIATE_GENERIC = 38
 IMMEDIATE_LOSSLESS_GENERIC = 39
@@ -533,6 +536,7 @@ def decode_embedded(data: bytes, globals_data: bytes = b"",
         + parse_segments(data)
     page_w, page_h, page_default = width, height, 0
     symbol_dicts: dict[int, list] = {}
+    pattern_dicts: dict[int, list] = {}
     tables: dict[int, object] = {}
     page: Optional[np.ndarray] = None
 
@@ -576,6 +580,25 @@ def decode_embedded(data: bytes, globals_data: bytes = b"",
             info, bitmap = _decode_text_region(
                 seg.data, symbols,
                 [tables[r] for r in seg.referred if r in tables])
+            if page_h is None:
+                page_h = info.y + info.height
+            if page_w is None:
+                page_w = info.x + info.width
+            _compose(ensure_page(), info, bitmap)
+        elif seg.type == PATTERN_DICT:
+            from karanta_tpu.pdf.jbig2_halftone import decode_pattern_dict
+
+            pattern_dicts[seg.number] = decode_pattern_dict(seg.data)
+        elif seg.type in (IMMEDIATE_HALFTONE, IMMEDIATE_LOSSLESS_HALFTONE,
+                          INTERMEDIATE_HALFTONE):
+            from karanta_tpu.pdf.jbig2_halftone import (
+                decode_halftone_region,
+            )
+
+            patterns: list = []
+            for r in seg.referred:
+                patterns.extend(pattern_dicts.get(r, []))
+            info, bitmap = decode_halftone_region(seg.data, patterns)
             if page_h is None:
                 page_h = info.y + info.height
             if page_w is None:
