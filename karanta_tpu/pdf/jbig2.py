@@ -540,6 +540,8 @@ def decode_embedded(data: bytes, globals_data: bytes = b"",
     tables: dict[int, object] = {}
     page: Optional[np.ndarray] = None
 
+    height_fixed = height is not None  # the PDF /Height is authoritative
+
     def ensure_page() -> np.ndarray:
         nonlocal page
         if page is None:
@@ -547,6 +549,25 @@ def decode_embedded(data: bytes, globals_data: bytes = b"",
                 raise JBIG2Error("no page dimensions available")
             page = np.full((page_h, page_w), page_default, np.uint8)
         return page
+
+    def place(info: _RegionInfo, bitmap: np.ndarray) -> None:
+        nonlocal page, page_h, page_w
+        if page_w is None:
+            page_w = info.x + info.width
+        if page_h is None:
+            page_h = info.y + info.height
+        p = ensure_page()
+        bottom = info.y + bitmap.shape[0]
+        if bottom > p.shape[0] and not height_fixed:
+            # striped page with unknown declared height (7.4.8.2): the
+            # page grows downward as stripes arrive
+            if bottom > (1 << 16):
+                raise JBIG2Error("unreasonable striped page height")
+            grown = np.full((bottom, p.shape[1]), page_default, np.uint8)
+            grown[: p.shape[0]] = p
+            page = grown
+            page_h = bottom
+        _compose(page, info, bitmap)
 
     for seg in segments:
         if seg.type == PAGE_INFO:
@@ -560,11 +581,7 @@ def decode_embedded(data: bytes, globals_data: bytes = b"",
         elif seg.type in (IMMEDIATE_GENERIC, IMMEDIATE_LOSSLESS_GENERIC,
                           INTERMEDIATE_GENERIC):
             info, bitmap = _decode_generic_segment(seg)
-            if page_h is None:
-                page_h = info.y + info.height
-            if page_w is None:
-                page_w = info.x + info.width
-            _compose(ensure_page(), info, bitmap)
+            place(info, bitmap)
         elif seg.type == SYMBOL_DICT:
             inherited: list = []
             for r in seg.referred:
@@ -580,11 +597,7 @@ def decode_embedded(data: bytes, globals_data: bytes = b"",
             info, bitmap = _decode_text_region(
                 seg.data, symbols,
                 [tables[r] for r in seg.referred if r in tables])
-            if page_h is None:
-                page_h = info.y + info.height
-            if page_w is None:
-                page_w = info.x + info.width
-            _compose(ensure_page(), info, bitmap)
+            place(info, bitmap)
         elif seg.type == PATTERN_DICT:
             from karanta_tpu.pdf.jbig2_halftone import decode_pattern_dict
 
@@ -599,11 +612,7 @@ def decode_embedded(data: bytes, globals_data: bytes = b"",
             for r in seg.referred:
                 patterns.extend(pattern_dicts.get(r, []))
             info, bitmap = decode_halftone_region(seg.data, patterns)
-            if page_h is None:
-                page_h = info.y + info.height
-            if page_w is None:
-                page_w = info.x + info.width
-            _compose(ensure_page(), info, bitmap)
+            place(info, bitmap)
         elif seg.type == CODE_TABLES:
             tables[seg.number] = parse_custom_table(seg.data)
         elif seg.type in (END_OF_PAGE, END_OF_STRIPE, END_OF_FILE,

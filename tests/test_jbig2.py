@@ -231,3 +231,39 @@ def test_encrypted_jbig2_page_renders(tmp_path):
     bar = img[int(h * 30 / 128):int(h * 60 / 128),
               int(w * 20 / 96):int(w * 80 / 96)]
     assert bar.mean() < 80, bar.mean()
+
+
+def test_striped_page_grows():
+    """Unknown-height striped pages (page info height 0xFFFFFFFF) grow as
+    stripes arrive (7.4.8.2) when no PDF /Height overrides."""
+    import struct as _s
+
+    from karanta_tpu.pdf.jbig2 import (IMMEDIATE_LOSSLESS_GENERIC,
+                                       _segment_header,
+                                       encode_generic_region)
+
+    rng = np.random.default_rng(12)
+    stripe0 = (rng.random((16, 40)) < 0.4).astype(np.uint8)
+    stripe1 = (rng.random((20, 40)) < 0.4).astype(np.uint8)
+
+    page_info = _s.pack(">IIIIBH", 40, 0xFFFFFFFF, 0, 0, 0x20, 16)
+    out = _segment_header(0, 48, (), 1, len(page_info)) + page_info
+    for i, (stripe, y0) in enumerate(((stripe0, 0), (stripe1, 16))):
+        h, w = stripe.shape
+        region = _s.pack(">IIIIB", w, h, 0, y0, 0)
+        region += bytes([0])  # template 0, no tpgdon
+        for dx, dy in ((3, -1), (-3, -1), (2, -2), (-2, -2)):
+            region += _s.pack("bb", dx, dy)
+        region += encode_generic_region(stripe, 0)
+        out += _segment_header(i + 1, IMMEDIATE_LOSSLESS_GENERIC, (), 1,
+                               len(region)) + region
+
+    page = decode_embedded(out)
+    assert page.shape == (36, 40)
+    np.testing.assert_array_equal(page[:16], stripe0)
+    np.testing.assert_array_equal(page[16:], stripe1)
+
+    # with a PDF /Height the declared dims stay authoritative (clipping)
+    clipped = decode_embedded(out, width=40, height=24)
+    assert clipped.shape == (24, 40)
+    np.testing.assert_array_equal(clipped[:16], stripe0)
