@@ -267,3 +267,27 @@ def test_striped_page_grows():
     clipped = decode_embedded(out, width=40, height=24)
     assert clipped.shape == (24, 40)
     np.testing.assert_array_equal(clipped[:16], stripe0)
+
+
+def test_mmr_generic_region():
+    """MMR=1 generic regions route to the T.6 decoder (which is validated
+    bit-exact against libtiff) — libtiff is the encoding oracle here."""
+    import struct as _s
+
+    from tests.test_ccitt import g4_payload
+    from karanta_tpu.pdf.jbig2 import (IMMEDIATE_LOSSLESS_GENERIC,
+                                       PAGE_INFO, _segment_header)
+
+    rng = np.random.default_rng(13)
+    bm = (rng.random((30, 64)) < 0.4)
+
+    page_info = _s.pack(">IIIIBH", 64, 30, 0, 0, 0, 0)
+    out = _segment_header(0, PAGE_INFO, (), 1, len(page_info)) + page_info
+    region = _s.pack(">IIIIB", 64, 30, 0, 0, 0)
+    region += bytes([1])  # MMR=1
+    region += g4_payload(bm)
+    out += _segment_header(1, IMMEDIATE_LOSSLESS_GENERIC, (), 1,
+                           len(region)) + region
+
+    page = decode_embedded(out)
+    np.testing.assert_array_equal(page, bm.astype(np.uint8))
